@@ -1,0 +1,316 @@
+"""The flagship dataflow: tiles -> reproject -> mosaic -> chunks.
+
+Spark-first re-expression of the reference pipeline
+(/root/reference/src/pipeline/stages.rs:310-366, fetch -> mosaic ->
+write over bounded channels) as ONE declarative DAG:
+
+    images_df
+      -> grid-bounds columns        (pandas UDF, vectorized proj)
+      -> chunk-range columns        (pure Column floor arithmetic)
+      -> intersect/year filter      (Catalyst-pushed predicates)
+      -> mapInPandas: decode ONCE per tile, reproject, emit one
+         *patch* per intersecting chunk (the analytic tile->chunk
+         inversion, reference output_grid.rs:315-384 / J2)
+      -> groupBy(time_idx,row_idx,col_idx).applyInPandas: accumulate
+         patches into the chunk canvas (mean / last-on-top / weighted,
+         reference mosaic.rs:233-291 / R2+R3)
+
+Scale notes (100 TB design):
+- The shuffle carries *reprojected overlap patches*, not whole tiles:
+  shuffle bytes ~= output pixels touched, independent of tile size,
+  and each tile is fetched+decoded exactly once (the role of the
+  reference's 32 GB decoded-tile LRU, cog_reader.rs:349-472, without
+  any cache).
+- Chunk keys are dense integers; skew from the hot spatial cluster is
+  handled by AQE skew-join/partition-split plus the patch shuffle
+  being pre-aggregated per tile (a chunk with 1000 overlapping tiles
+  receives 1000 patch rows of <=256KB, not 1000 full images).
+- All per-pixel math is numpy over Arrow batches; nothing row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark import codecs, proj
+from aef_mosaic_spark.grid import OutputGrid
+
+PATCH_SCHEMA = (
+    "time_idx int, row_idx int, col_idx int, "
+    "y0 int, x0 int, ph int, pw int, "
+    "patch binary, mask binary, sort_key long, weight double, image_id string"
+)
+
+CHUNK_SCHEMA = (
+    "time_idx int, row_idx int, col_idx int, chunk binary, "
+    "n_tiles int, valid_px long, bands int, chunk_h int, chunk_w int"
+)
+
+
+def with_grid_bounds(df: DataFrame, grid: OutputGrid) -> DataFrame:
+    """Add tile bounds in the grid CRS (gx0, gy0, gx1, gy1).
+
+    Edge-densified bounds transform (reference src/crs.rs:159-217)
+    vectorized across the whole Arrow batch: one trig pass per
+    (src_crs -> grid_crs) group, not per row.
+    """
+    dst = grid.crs
+
+    def _tx(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[["image_id"]].copy()
+            gx0 = np.empty(len(pdf)); gy0 = np.empty(len(pdf))
+            gx1 = np.empty(len(pdf)); gy1 = np.empty(len(pdf))
+            for crs in pdf["crs"].unique():
+                m = (pdf["crs"] == crs).to_numpy()
+                sub = pdf.loc[m]
+                k = 5  # edge samples per side
+                ts = np.linspace(0.0, 1.0, k)
+                x0 = sub["min_x"].to_numpy(); x1 = sub["max_x"].to_numpy()
+                y0 = sub["min_y"].to_numpy(); y1 = sub["max_y"].to_numpy()
+                xs = np.concatenate([
+                    x0[:, None] + ts * (x1 - x0)[:, None],
+                    x0[:, None] + ts * (x1 - x0)[:, None],
+                    np.repeat(x0[:, None], k, 1),
+                    np.repeat(x1[:, None], k, 1),
+                ], axis=1)
+                ys = np.concatenate([
+                    np.repeat(y0[:, None], k, 1),
+                    np.repeat(y1[:, None], k, 1),
+                    y0[:, None] + ts * (y1 - y0)[:, None],
+                    y0[:, None] + ts * (y1 - y0)[:, None],
+                ], axis=1)
+                tx, ty = proj.transform_points(xs.ravel(), ys.ravel(), crs, dst)
+                tx = tx.reshape(xs.shape); ty = ty.reshape(ys.shape)
+                gx0[m] = tx.min(axis=1); gx1[m] = tx.max(axis=1)
+                gy0[m] = ty.min(axis=1); gy1[m] = ty.max(axis=1)
+            out["gx0"], out["gy0"], out["gx1"], out["gy1"] = gx0, gy0, gx1, gy1
+            yield out
+
+    bounds = df.select("image_id", "crs", "min_x", "min_y", "max_x", "max_y").mapInPandas(
+        _tx, schema="image_id string, gx0 double, gy0 double, gx1 double, gy1 double"
+    )
+    return df.join(bounds, "image_id")
+
+
+def with_chunk_ranges(df: DataFrame, grid: OutputGrid) -> DataFrame:
+    """Add inclusive chunk-range columns + time_idx, filter to tiles
+    that intersect the grid and a configured year — all pure Column
+    arithmetic (Catalyst codegen, pushdown-friendly). Mirrors
+    chunks_for_bounds_wgs84 (reference output_grid.rs:315-384) and the
+    year filter F5 (spatial_lookup.rs:61-74)."""
+    gx0, gy0, gx1, gy1 = grid.bounds
+    gx1 = gx0 + grid.width * grid.resolution
+    gy0 = gy1 - grid.height * grid.resolution
+    cw = grid.chunk_w * grid.resolution
+    ch = grid.chunk_h * grid.resolution
+    years_map = F.create_map(
+        *[F.lit(v) for y, t in ((y, i) for i, y in enumerate(grid.years)) for v in (y, t)]
+    )
+    out = (
+        df.where(
+            (F.col("gx0") < gx1) & (F.col("gx1") > gx0)
+            & (F.col("gy0") < gy1) & (F.col("gy1") > gy0)
+            & F.col("year").isin(list(grid.years))
+        )
+        .withColumn("time_idx", years_map[F.col("year")])
+        .withColumn(
+            "col_min",
+            F.greatest(F.floor((F.col("gx0") - F.lit(gx0)) / cw), F.lit(0)).cast("int"),
+        )
+        .withColumn(
+            "col_max",
+            F.least(F.ceil((F.col("gx1") - F.lit(gx0)) / cw) - 1,
+                    F.lit(grid.chunk_cols - 1)).cast("int"),
+        )
+        .withColumn(
+            "row_min",
+            F.greatest(F.floor((F.lit(gy1) - F.col("gy1")) / ch), F.lit(0)).cast("int"),
+        )
+        .withColumn(
+            "row_max",
+            F.least(F.ceil((F.lit(gy1) - F.col("gy0")) / ch) - 1,
+                    F.lit(grid.chunk_rows - 1)).cast("int"),
+        )
+        .where((F.col("col_min") <= F.col("col_max")) & (F.col("row_min") <= F.col("row_max")))
+    )
+    return out
+
+
+def assignments(df: DataFrame, grid: OutputGrid) -> DataFrame:
+    """(image_id, time_idx, row_idx, col_idx) — the join-output
+    tile/cell assignment table (golden_assignments fixture; J2+J3).
+    Pure JVM explode of `sequence` ranges, no UDF."""
+    ranged = with_chunk_ranges(with_grid_bounds(df, grid), grid)
+    return (
+        ranged.select(
+            "image_id", "time_idx",
+            F.explode(F.sequence("row_min", "row_max")).alias("row_idx"),
+            F.sequence("col_min", "col_max").alias("cols"),
+        )
+        .select("image_id", "time_idx", "row_idx", F.explode("cols").alias("col_idx"))
+    )
+
+
+def _reproject_tile_to_chunk(img: np.ndarray, tile_crs: str, tmin_x: float,
+                             tmax_y: float, tres: float, grid: OutputGrid,
+                             row_idx: int, col_idx: int):
+    """Inverse-map one chunk window's pixel centers into the source
+    tile; nearest-neighbor gather. Returns (y0, x0, patch, mask) of the
+    tight valid window, or None.
+
+    Replaces the reference's adaptive-grid approximation
+    (reproject.rs:454-628) with exact per-pixel inverse projection —
+    affordable because it's one vectorized numpy/trig pass per patch
+    and *more* accurate than the <=0.75 px interpolation budget."""
+    bands, sh, sw = img.shape
+    # target window = whole chunk, then crop to the valid footprint
+    R0 = row_idx * grid.chunk_h
+    C0 = col_idx * grid.chunk_w
+    rr = np.arange(grid.chunk_h)
+    cc = np.arange(grid.chunk_w)
+    ty = grid.bounds[3] - (R0 + rr + 0.5) * grid.resolution
+    tx = grid.bounds[0] + (C0 + cc + 0.5) * grid.resolution
+    TX, TY = np.meshgrid(tx, ty)
+    sx_w, sy_w = proj.transform_points(TX.ravel(), TY.ravel(), grid.crs, tile_crs)
+    # world -> source pixel index (source rows top-down from tmax_y)
+    sc = np.floor((sx_w - tmin_x) / tres).astype(np.int64).reshape(TX.shape)
+    sr = np.floor((tmax_y - sy_w) / tres).astype(np.int64).reshape(TY.shape)
+    valid = (sc >= 0) & (sc < sw) & (sr >= 0) & (sr < sh)
+    if not valid.any():
+        return None
+    ys, xs = np.where(valid)
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    v = valid[y0:y1, x0:x1]
+    scc = np.clip(sc[y0:y1, x0:x1], 0, sw - 1)
+    srr = np.clip(sr[y0:y1, x0:x1], 0, sh - 1)
+    patch = img[:, srr, scc]  # (bands, ph, pw)
+    patch[:, ~v] = 0
+    return y0, x0, patch, v.astype(np.uint8)
+
+
+def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
+    """mapInPandas: decode each tile ONCE, emit one patch row per
+    intersecting chunk. sort_key = stable compositing order for
+    last-on-top (reference composites by insertion order; we make it
+    deterministic by image_id)."""
+    nb = grid.num_bands
+    gd = grid.to_dict()
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = OutputGrid.from_dict(gd)
+        for pdf in it:
+            rows: list[dict] = []
+            for t in pdf.itertuples(index=False):
+                img = codecs.decode(t.bytes, t.fmt, t.w, t.h)[:nb]
+                sort_key = int.from_bytes(
+                    __import__("hashlib").md5(t.image_id.encode()).digest()[:8],
+                    "big", signed=True,
+                )
+                for r in range(t.row_min, t.row_max + 1):
+                    for c in range(t.col_min, t.col_max + 1):
+                        res = _reproject_tile_to_chunk(
+                            img, t.crs, t.min_x, t.max_y, t.resolution, g, r, c
+                        )
+                        if res is None:
+                            continue
+                        y0, x0, patch, mask = res
+                        rows.append({
+                            "time_idx": int(t.time_idx), "row_idx": r, "col_idx": c,
+                            "y0": y0, "x0": x0,
+                            "ph": patch.shape[1], "pw": patch.shape[2],
+                            "patch": patch.astype(np.uint8).tobytes(),
+                            "mask": np.packbits(mask.ravel()).tobytes(),
+                            "sort_key": sort_key, "weight": 1.0,
+                            "image_id": t.image_id,
+                        })
+            yield pd.DataFrame(
+                rows,
+                columns=["time_idx", "row_idx", "col_idx", "y0", "x0", "ph", "pw",
+                         "patch", "mask", "sort_key", "weight", "image_id"],
+            )
+
+    return ranged.mapInPandas(_gen, schema=PATCH_SCHEMA)
+
+
+def _finalize_mean(s: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Rounded mean, half away from zero — bit-exact with the
+    reference accumulator (mosaic.rs:265-290: (s+c/2)/c for s>=0,
+    (s-c/2)/c otherwise, integer division toward zero)."""
+    cc = np.maximum(c, 1).astype(np.int64)
+    s = s.astype(np.int64)
+    pos = (s + cc // 2) // cc
+    neg = -((-s + cc // 2) // cc)
+    return np.where(s >= 0, pos, neg)
+
+
+def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -> DataFrame:
+    """groupBy(chunk).applyInPandas — the A1/R2/R3 compositor.
+
+    modes: 'mean' (reference parity), 'last' (last-on-top by
+    sort_key), 'weighted' (float weighted blend). Fill for
+    never-touched pixels is 0 with a valid-pixel count reported
+    (uint8 analog of the reference's -128 int8 NODATA)."""
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+
+    def _fin(pdf: pd.DataFrame) -> pd.DataFrame:
+        t, r, c = (int(pdf.iloc[0][k]) for k in ("time_idx", "row_idx", "col_idx"))
+        if mode == "mean":
+            acc = np.zeros((nb, chh, chw), np.int64)
+            cnt = np.zeros((chh, chw), np.int64)
+        elif mode == "weighted":
+            acc = np.zeros((nb, chh, chw), np.float64)
+            cnt = np.zeros((chh, chw), np.float64)
+        else:
+            canvas = np.zeros((nb, chh, chw), np.uint8)
+            touched = np.zeros((chh, chw), bool)
+            pdf = pdf.sort_values("sort_key", kind="stable")
+        n_tiles = pdf["image_id"].nunique()
+        for p in pdf.itertuples(index=False):
+            patch = np.frombuffer(p.patch, np.uint8).reshape(nb, p.ph, p.pw)
+            mask = np.unpackbits(
+                np.frombuffer(p.mask, np.uint8), count=p.ph * p.pw
+            ).reshape(p.ph, p.pw).astype(bool)
+            ys, xs = slice(p.y0, p.y0 + p.ph), slice(p.x0, p.x0 + p.pw)
+            if mode == "mean":
+                acc[:, ys, xs] += patch * mask
+                cnt[ys, xs] += mask
+            elif mode == "weighted":
+                acc[:, ys, xs] += patch * (mask * p.weight)
+                cnt[ys, xs] += mask * p.weight
+            else:
+                sub = canvas[:, ys, xs]
+                sub[:, mask] = patch[:, mask]
+                canvas[:, ys, xs] = sub
+                touched[ys, xs] |= mask
+        if mode == "mean":
+            canvas = np.where(cnt > 0, _finalize_mean(acc, cnt), 0).astype(np.uint8)
+            valid = int((cnt > 0).sum())
+        elif mode == "weighted":
+            canvas = np.where(
+                cnt > 0, np.rint(acc / np.maximum(cnt, 1e-12)), 0
+            ).astype(np.uint8)
+            valid = int((cnt > 0).sum())
+        else:
+            valid = int(touched.sum())
+        return pd.DataFrame([{
+            "time_idx": t, "row_idx": r, "col_idx": c,
+            "chunk": canvas.tobytes(), "n_tiles": int(n_tiles),
+            "valid_px": valid, "bands": nb, "chunk_h": chh, "chunk_w": chw,
+        }])
+
+    return patches.groupBy("time_idx", "row_idx", "col_idx").applyInPandas(
+        _fin, schema=CHUNK_SCHEMA
+    )
+
+
+def mosaic(images: DataFrame, grid: OutputGrid, mode: str = "mean") -> DataFrame:
+    """images -> chunk DataFrame (the full flagship DAG, lazily)."""
+    ranged = with_chunk_ranges(with_grid_bounds(images, grid), grid)
+    return composite_chunks(reproject_patches(ranged, grid), grid, mode=mode)

@@ -1,0 +1,106 @@
+"""Flagship pipeline parity: Spark DAG vs the independent NumPy oracle
+(SURVEY.md §5: identical join-output row counts + tile/cell
+assignments; decoded-pixel exact equality for the composited chunks;
+reference numeric vectors for the mean accumulator)."""
+
+import numpy as np
+import pytest
+
+from aef_mosaic_spark import generator, oracle
+from aef_mosaic_spark.grid import OutputGrid
+from aef_mosaic_spark.operators import mosaic as M
+
+N_TILES = 60
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    return generator.images_pdf(N_TILES)
+
+
+@pytest.fixture(scope="module")
+def grid(images_pdf):
+    # grid over the main cluster area in UTM 10N (reprojects zone-11 tiles)
+    return OutputGrid(
+        bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+        crs="EPSG:32610",
+        resolution=10.0,
+        years=(2023, 2024),
+        num_bands=3,
+        chunk_h=256,
+        chunk_w=256,
+    )
+
+
+@pytest.fixture(scope="module")
+def images_sdf(spark, images_pdf):
+    return spark.createDataFrame(images_pdf)
+
+
+def test_assignments_match_oracle(spark, images_pdf, images_sdf, grid):
+    got = {
+        (r.image_id, r.time_idx, r.row_idx, r.col_idx)
+        for r in M.assignments(images_sdf, grid).collect()
+    }
+    want = oracle.oracle_assignments(images_pdf, grid)
+    assert got == want
+    assert len(got) > N_TILES  # tiles overlap multiple chunks
+
+
+def test_assignment_excludes_wrong_year_and_far_tiles(spark, images_pdf, images_sdf, grid):
+    got_ids = {r.image_id for r in M.assignments(images_sdf, grid).collect()}
+    y2022 = set(images_pdf[images_pdf.year == 2022].image_id)
+    assert not (got_ids & y2022)
+
+
+def test_mean_mosaic_matches_oracle(spark, images_pdf, images_sdf, grid):
+    chunks = {
+        (r.time_idx, r.row_idx, r.col_idx): r
+        for r in M.mosaic(images_sdf, grid, mode="mean").collect()
+    }
+    want = oracle.oracle_mosaic(images_pdf, grid, mode="mean")
+    assert set(chunks) == set(want)
+    for key, w in want.items():
+        r = chunks[key]
+        got = np.frombuffer(r.chunk, np.uint8).reshape(3, 256, 256)
+        assert r.n_tiles == w["n_tiles"], key
+        assert r.valid_px == w["valid_px"], key
+        assert np.array_equal(got, w["canvas"]), (
+            key,
+            int(np.abs(got.astype(int) - w["canvas"].astype(int)).max()),
+        )
+
+
+def test_last_on_top_matches_oracle(spark, images_pdf, images_sdf, grid):
+    chunks = {
+        (r.time_idx, r.row_idx, r.col_idx): r
+        for r in M.mosaic(images_sdf, grid, mode="last").collect()
+    }
+    want = oracle.oracle_mosaic(images_pdf, grid, mode="last")
+    assert set(chunks) == set(want)
+    for key, w in want.items():
+        got = np.frombuffer(chunks[key].chunk, np.uint8).reshape(3, 256, 256)
+        assert np.array_equal(got, w["canvas"]), key
+
+
+def test_weighted_mode_runs(spark, images_sdf, grid):
+    rows = M.mosaic(images_sdf, grid, mode="weighted").collect()
+    assert rows and all(r.valid_px > 0 for r in rows)
+
+
+def test_mean_rounding_reference_vector():
+    # reference mosaic.rs tests: mean(10, 20) == 15; half-away-from-zero
+    assert M._finalize_mean(np.array([30]), np.array([2]))[0] == 15
+    assert M._finalize_mean(np.array([5]), np.array([2]))[0] == 3  # 2.5 -> 3
+    assert M._finalize_mean(np.array([-5]), np.array([2]))[0] == -3  # -2.5 -> -3
+    assert M._finalize_mean(np.array([7]), np.array([3]))[0] == 2
+
+
+def test_caption_passthrough(spark, images_pdf, images_sdf, grid):
+    # captions survive the join byte-for-byte (BASELINE per-row invariant)
+    joined = M.assignments(images_sdf, grid).join(
+        images_sdf.select("image_id", "caption"), "image_id"
+    )
+    got = {(r.image_id, r.caption) for r in joined.collect()}
+    want_caps = dict(zip(images_pdf.image_id, images_pdf.caption))
+    assert all(cap == want_caps[i] for i, cap in got)
