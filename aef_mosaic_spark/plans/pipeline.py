@@ -1,0 +1,176 @@
+"""MosaicJob — the end-to-end resumable run (reference run_pipeline,
+/root/reference/src/lib.rs:47-363) plus the plan-only analyze command
+(reference analyze_work, src/main.rs:119-253).
+
+Lifecycle mapping (SURVEY §3): steps 1-4 of the reference (setup,
+bind, plan, physical plan) are driver-side DataFrame construction that
+Catalyst analyzes/optimizes; step 5 (3-stage worker pipeline) is one
+Spark DAG; checkpointing is an icelite snapshot per run with resume =
+anti-join of pending chunk keys against committed partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.grid import OutputGrid
+from aef_mosaic_spark.operators import mosaic as M
+from aef_mosaic_spark.sources.icelite import Icelite
+
+KEYS = ["time_idx", "row_idx", "col_idx"]
+
+
+def config_hash(grid: OutputGrid, mode: str) -> str:
+    """SHA-256 over output-affecting config, like the reference's
+    checkpoint guard (src/checkpoint.rs:284-306): resuming with a
+    different grid/mode must be refused, not silently mixed."""
+    payload = json.dumps({"grid": grid.to_dict(), "mode": mode}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+class MosaicJob:
+    def __init__(self, grid: OutputGrid, mode: str = "mean"):
+        self.grid = grid
+        self.mode = mode
+        self.hash = config_hash(grid, mode)
+
+    # ------------------------------------------------------------ plan
+    def ranged_tiles(self, images: DataFrame) -> DataFrame:
+        return M.with_chunk_ranges(M.with_grid_bounds(images, self.grid), self.grid)
+
+    def pending_tiles(self, spark: SparkSession, images: DataFrame,
+                      table: Icelite, resume: bool) -> tuple[DataFrame, int]:
+        """Prune completed chunks (reference src/lib.rs:249-264, F4/J9).
+
+        Fully distributed: explode per-tile chunk keys -> anti-join the
+        committed keys -> regroup to a per-tile *remaining chunk list*
+        so fully-completed tiles are never decoded again.
+        Returns (tiles with `todo` array column, n_completed)."""
+        ranged = self.ranged_tiles(images)
+        keys = (
+            ranged.select(
+                "image_id", "time_idx",
+                F.explode(F.sequence("row_min", "row_max")).alias("row_idx"),
+                F.sequence("col_min", "col_max").alias("cols"),
+            ).select("image_id", "time_idx", "row_idx", F.explode("cols").alias("col_idx"))
+        )
+        n_completed = 0
+        if resume and table.exists():
+            props = table.properties()
+            if props.get("config_hash") != self.hash:
+                raise ValueError(
+                    "resume refused: config_hash mismatch "
+                    f"({props.get('config_hash')} != {self.hash})"
+                )
+            done = table.completed_keys(spark, KEYS)
+            n_completed = done.count()
+            keys = keys.join(done, on=KEYS, how="left_anti")
+        todo = keys.groupBy("image_id").agg(
+            F.collect_set(F.struct(*KEYS)).alias("todo")
+        )
+        return ranged.join(todo, "image_id"), n_completed
+
+    # ------------------------------------------------------------- run
+    def run(self, spark: SparkSession, images: DataFrame, output_path: str,
+            resume: bool = False) -> dict:
+        """Execute and commit one snapshot; returns a metrics dict
+        (reference MetricsSnapshot, src/pipeline/metrics.rs:322-329)."""
+        table = Icelite(output_path)
+        if not resume and table.exists():
+            raise FileExistsError(f"{output_path} exists; pass resume=True")
+        t0 = time.time()
+        tiles, n_completed = self.pending_tiles(spark, images, table, resume)
+
+        obs_tiles = Observation("tiles")
+        tiles = tiles.observe(
+            obs_tiles,
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.length("bytes")).alias("tile_bytes"),
+        )
+        patches = M.reproject_patches(tiles, self.grid)
+        # keep only still-pending chunks (a tile may straddle done/undone)
+        patches = patches.join(
+            tiles.select(F.explode("todo").alias("k"))
+                 .select("k.time_idx", "k.row_idx", "k.col_idx").distinct(),
+            on=KEYS, how="left_semi",
+        )
+        obs_patches = Observation("patches")
+        patches = patches.observe(
+            obs_patches,
+            F.count(F.lit(1)).alias("n_patches"),
+            F.sum(F.length("patch")).alias("patch_bytes"),
+        )
+        chunks = M.composite_chunks(patches, self.grid, mode=self.mode)
+
+        snap_id = table.append(
+            chunks,
+            partition_by=["time_idx"],
+            properties={
+                "config_hash": self.hash,
+                "grid": json.dumps(self.grid.to_dict()),
+                "mode": self.mode,
+            },
+            summary={"operation": "mosaic", "resumed": resume,
+                     "previously_completed": n_completed},
+        )
+        wall = time.time() - t0
+
+        def _get(obs: Observation, keys: list[str]) -> dict:
+            # an all-complete resume plans to an empty relation; its
+            # observation never fires — report zeros instead of failing
+            try:
+                m = obs.get
+                return {k: (m.get(k) or 0) for k in keys}
+            except Exception:
+                return dict.fromkeys(keys, 0)
+
+        tile_m = _get(obs_tiles, ["n_tiles", "tile_bytes"])
+        patch_m = _get(obs_patches, ["n_patches", "patch_bytes"])
+        lineage = table.lineage()
+        metrics = {
+            "snapshot_id": snap_id,
+            "wall_s": round(wall, 3),
+            "tiles_in": tile_m["n_tiles"],
+            "tile_bytes_in": tile_m["tile_bytes"],
+            "patches": patch_m["n_patches"],
+            "patch_bytes": patch_m["patch_bytes"],
+            "chunks_written": sum(e["rows"] for e in lineage
+                                  if e["snapshot_id"] == snap_id),
+            "bytes_written": sum(e["bytes"] for e in lineage
+                                 if e["snapshot_id"] == snap_id),
+            "previously_completed": n_completed,
+            "tiles_per_sec": round((tile_m["n_tiles"] or 0) / wall, 2),
+            "read_mb_per_sec": round((tile_m["tile_bytes"] or 0) / wall / 1e6, 2),
+        }
+        with open(os.path.join(output_path, f"metrics-{snap_id}.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+        return metrics
+
+    # --------------------------------------------------------- analyze
+    def analyze(self, spark: SparkSession, images: DataFrame) -> dict:
+        """Plan-only coverage/cost report (reference analyze_work,
+        src/main.rs:215-247 + coverage_stats, spatial_lookup.rs:92-122)."""
+        a = M.assignments(images, self.grid)
+        per_chunk = a.groupBy(*KEYS).agg(F.count(F.lit(1)).alias("n_tiles"))
+        stats = per_chunk.agg(
+            F.count(F.lit(1)).alias("chunks_with_data"),
+            F.max("n_tiles").alias("max_tiles_per_chunk"),
+            F.avg("n_tiles").alias("avg_tiles_per_chunk"),
+        ).collect()[0]
+        chunk_bytes = self.grid.num_bands * self.grid.chunk_h * self.grid.chunk_w
+        total = self.grid.num_chunks
+        return {
+            "total_chunks": total,
+            "chunks_with_data": stats.chunks_with_data,
+            "empty_chunks": total - stats.chunks_with_data,
+            "max_tiles_per_chunk": stats.max_tiles_per_chunk,
+            "avg_tiles_per_chunk": round(stats.avg_tiles_per_chunk, 3),
+            "est_output_bytes": chunk_bytes * stats.chunks_with_data,
+            "est_output_bytes_compressed": chunk_bytes * stats.chunks_with_data // 3,
+        }

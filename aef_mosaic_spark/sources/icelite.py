@@ -1,0 +1,197 @@
+"""icelite — a minimal Iceberg-style table layer over Parquet.
+
+No iceberg-spark-runtime jar / pyiceberg in the sandbox (SURVEY §7.0),
+so this implements the subset the engine needs with Iceberg's
+*semantics* and layout vocabulary:
+
+- immutable data files under ``data/snap-<id>/``; a write never
+  mutates visible state until its snapshot JSON is committed
+  (write-temp, manifest-commit-last — snapshot isolation),
+- ``metadata/manifest-<id>.json``: per-file partition values + row and
+  byte counts (the per-partition lineage/metrics the north rule asks
+  for),
+- ``metadata/snap-<id>.json``: snapshot with parent pointer, live
+  manifest list, summary, and engine properties (config_hash guard,
+  reference src/checkpoint.rs:284-306),
+- ``metadata/version-hint.text``: current snapshot id, atomically
+  replaced (os.replace) — the commit point.
+
+This mirrors the reference's checkpoint set + Zarr chunk store
+(src/checkpoint.rs:40-67, src/io/zarr_writer.rs:339-380): a completed
+chunk == a committed partition row; resume == anti-join against the
+committed keys.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Icelite:
+    def __init__(self, path: str):
+        self.path = path
+        self.meta = os.path.join(path, "metadata")
+
+    # ----------------------------------------------------------- state
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta, "version-hint.text"))
+
+    def current_snapshot_id(self) -> int | None:
+        hint = os.path.join(self.meta, "version-hint.text")
+        if not os.path.exists(hint):
+            return None
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snap_id: int | None = None) -> dict | None:
+        snap_id = snap_id if snap_id is not None else self.current_snapshot_id()
+        if snap_id is None:
+            return None
+        with open(os.path.join(self.meta, f"snap-{snap_id}.json")) as f:
+            return json.load(f)
+
+    def properties(self) -> dict:
+        s = self.snapshot()
+        return s["properties"] if s else {}
+
+    def data_files(self) -> list[dict]:
+        """Live file entries {path, partition, rows, bytes} from the
+        current snapshot's manifest list."""
+        s = self.snapshot()
+        if not s:
+            return []
+        out: list[dict] = []
+        for m in s["manifests"]:
+            with open(os.path.join(self.meta, m)) as f:
+                out.extend(json.load(f)["entries"])
+        return out
+
+    # ----------------------------------------------------------- write
+    def _commit(self, manifests: list[str], properties: dict, summary: dict,
+                parent: int | None) -> int:
+        snap_id = (parent or 0) + 1
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "manifests": manifests,
+            "properties": properties,
+            "summary": summary,
+        }
+        os.makedirs(self.meta, exist_ok=True)
+        with open(os.path.join(self.meta, f"snap-{snap_id}.json"), "w") as f:
+            json.dump(snap, f, indent=1)
+        tmp = os.path.join(self.meta, f".hint-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(tmp, os.path.join(self.meta, "version-hint.text"))  # commit point
+        return snap_id
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None,
+               properties: dict | None = None, summary: dict | None = None) -> int:
+        """Write df as a new snapshot (parent = current). Data lands in
+        a snapshot-private dir first; the snapshot JSON + version hint
+        commit makes it visible (a crash mid-write leaves no visible
+        change — the resume-safety invariant, SURVEY §7.3d)."""
+        parent = self.current_snapshot_id()
+        snap_id = (parent or 0) + 1
+        data_dir = os.path.join(self.path, "data", f"snap-{snap_id}")
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+
+        entries = []
+        for fp in sorted(glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)):
+            rel = os.path.relpath(fp, self.path)
+            part = {}
+            for seg in rel.split(os.sep):
+                if "=" in seg and not seg.endswith(".parquet"):
+                    k, v = seg.split("=", 1)
+                    part[k] = v
+            md = pq.read_metadata(fp)
+            entries.append({
+                "path": rel,
+                "partition": part,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(fp),
+            })
+        manifest_name = f"manifest-{snap_id}.json"
+        os.makedirs(self.meta, exist_ok=True)
+        with open(os.path.join(self.meta, manifest_name), "w") as f:
+            json.dump({"snapshot_id": snap_id, "entries": entries}, f, indent=1)
+
+        prev = self.snapshot(parent) if parent else None
+        manifests = (prev["manifests"] if prev else []) + [manifest_name]
+        props = dict(prev["properties"]) if prev else {}
+        props.update(properties or {})
+        summ = {
+            "added_files": len(entries),
+            "added_rows": sum(e["rows"] for e in entries),
+            "added_bytes": sum(e["bytes"] for e in entries),
+        }
+        summ.update(summary or {})
+        return self._commit(manifests, props, summ, parent)
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None,
+                  properties: dict | None = None, summary: dict | None = None) -> int:
+        """New snapshot whose manifest list drops all prior files
+        (logical delete; old snapshots stay readable — time travel)."""
+        parent = self.current_snapshot_id()
+        if parent is not None:
+            # commit an empty-manifest snapshot, then append on top
+            self._commit([], self.properties(), {"operation": "overwrite"}, parent)
+        return self.append(df, partition_by, properties, summary)
+
+    # ------------------------------------------------------------ read
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        s = self.snapshot(snapshot_id)
+        if not s or not s["manifests"]:
+            raise FileNotFoundError(f"icelite table at {self.path} has no data")
+        # one read per snapshot data dir (so hive-style partition columns
+        # are inferred), unioned by name — manifests are the file source
+        # of truth, never a directory listing of the table root
+        dfs = []
+        for m in s["manifests"]:
+            with open(os.path.join(self.meta, m)) as f:
+                man = json.load(f)
+            files = [os.path.join(self.path, e["path"]) for e in man["entries"]]
+            if not files:
+                continue
+            base = os.path.join(self.path, "data", f"snap-{man['snapshot_id']}")
+            dfs.append(spark.read.option("basePath", base).parquet(*files))
+        if not dfs:
+            raise FileNotFoundError(f"icelite table at {self.path} has no data files")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def completed_keys(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
+        return self.read(spark).select(*key_cols).distinct()
+
+    def lineage(self) -> list[dict]:
+        """Per-partition lineage: every live file with partition values
+        + row/byte counts + the snapshot that added it."""
+        out = []
+        s = self.snapshot()
+        for m in (s["manifests"] if s else []):
+            with open(os.path.join(self.meta, m)) as f:
+                man = json.load(f)
+            for e in man["entries"]:
+                out.append({**e, "snapshot_id": man["snapshot_id"]})
+        return out
+
+    def history(self) -> list[dict]:
+        out = []
+        sid = self.current_snapshot_id()
+        while sid:
+            s = self.snapshot(sid)
+            out.append({"snapshot_id": sid, "summary": s["summary"]})
+            sid = s["parent_id"]
+        return out

@@ -1,0 +1,128 @@
+"""icelite sink + resumable MosaicJob: snapshot isolation, config-hash
+guard, anti-join resume idempotence (SURVEY §7.2 M4; reference
+checkpoint semantics src/checkpoint.rs:74-158)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark import generator, oracle
+from aef_mosaic_spark.grid import OutputGrid
+from aef_mosaic_spark.plans.pipeline import KEYS, MosaicJob, config_hash
+from aef_mosaic_spark.sources.icelite import Icelite
+
+
+@pytest.fixture
+def grid():
+    return OutputGrid(
+        bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+        num_bands=3, chunk_h=256, chunk_w=256,
+    )
+
+
+def test_icelite_append_read_lineage(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    df = spark.range(100).withColumn("p", (F.col("id") % 3).cast("int"))
+    s1 = t.append(df, partition_by=["p"], properties={"k": "v"})
+    assert s1 == 1 and t.exists()
+    back = t.read(spark)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "p"}
+    lin = t.lineage()
+    assert sum(e["rows"] for e in lin) == 100
+    assert all(e["bytes"] > 0 and "p" in e["partition"] for e in lin)
+    # append accumulates
+    t.append(df.limit(10), partition_by=["p"])
+    assert t.read(spark).count() == 110
+    assert t.properties()["k"] == "v"
+    assert [h["snapshot_id"] for h in t.history()] == [2, 1]
+
+
+def test_icelite_overwrite_and_time_travel(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(5))
+    t.overwrite(spark.range(7))
+    assert t.read(spark).count() == 7
+    assert t.read(spark, snapshot_id=1).count() == 5  # time travel
+
+
+def test_mosaic_job_end_to_end(spark, tmp_path, grid):
+    images = spark.createDataFrame(generator.images_pdf(40))
+    job = MosaicJob(grid, mode="mean")
+    m = job.run(spark, images, str(tmp_path / "out"))
+    assert m["chunks_written"] > 0 and m["tiles_per_sec"] > 0
+    assert os.path.exists(tmp_path / "out" / f"metrics-{m['snapshot_id']}.json")
+    table = Icelite(str(tmp_path / "out"))
+    chunks = table.read(spark)
+    assert chunks.count() == m["chunks_written"]
+    # partition column survived the partitioned layout
+    assert {r.time_idx for r in chunks.select("time_idx").distinct().collect()} <= {0, 1}
+
+
+def test_resume_is_idempotent_and_guarded(spark, tmp_path, grid):
+    pdf = generator.images_pdf(40)
+    images = spark.createDataFrame(pdf)
+    job = MosaicJob(grid, mode="mean")
+    out_full = str(tmp_path / "full")
+    job.run(spark, images, out_full)
+    full = {
+        (r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+        for r in Icelite(out_full).read(spark).collect()
+    }
+
+    # simulate a killed run: only half the tiles made it in run 1
+    out_res = str(tmp_path / "resumed")
+    half = spark.createDataFrame(pdf.iloc[: len(pdf) // 2])
+    job.run(spark, half, out_res)
+    t = Icelite(out_res)
+    n_first = t.read(spark).count()
+    assert 0 < n_first
+
+    # wrong config must be refused
+    other = MosaicJob(grid, mode="last")
+    with pytest.raises(ValueError, match="config_hash"):
+        other.run(spark, images, out_res, resume=True)
+    # without resume flag, refuse to clobber
+    with pytest.raises(FileExistsError):
+        job.run(spark, images, out_res)
+
+    # resume with the full input completes the remaining chunks only
+    m2 = job.run(spark, images, out_res, resume=True)
+    assert m2["previously_completed"] == n_first
+    resumed = {
+        (r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+        for r in t.read(spark).collect()
+    }
+    # every chunk key present exactly once overall
+    assert set(resumed) == set(full)
+    # chunks completed in run 2 (not touched by run 1's partial input)
+    # must be byte-identical to the single-shot run
+    done_first = {
+        (r.time_idx, r.row_idx, r.col_idx)
+        for r in t.read(spark, snapshot_id=1).select(*KEYS).collect()
+    }
+    identical = [k for k in full if k not in done_first]
+    assert identical, "resume run should have added chunks"
+    for k in identical:
+        assert resumed[k] == full[k]
+
+    # a second resume with everything complete writes nothing new
+    m3 = job.run(spark, images, out_res, resume=True)
+    assert m3["chunks_written"] == 0
+
+
+def test_config_hash_stability(grid):
+    assert config_hash(grid, "mean") == config_hash(grid, "mean")
+    assert config_hash(grid, "mean") != config_hash(grid, "last")
+
+
+def test_analyze(spark, grid):
+    images = spark.createDataFrame(generator.images_pdf(40))
+    rep = MosaicJob(grid).analyze(spark, images)
+    assert rep["chunks_with_data"] > 0
+    assert rep["chunks_with_data"] + rep["empty_chunks"] == rep["total_chunks"]
+    assert rep["max_tiles_per_chunk"] >= rep["avg_tiles_per_chunk"] > 0
