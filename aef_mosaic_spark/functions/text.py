@@ -1,0 +1,150 @@
+"""Text-analysis operators for a training-data pipeline (driver
+requirement beyond the reference): language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Each builder returns Spark Column expressions (pure built-ins,
+whole-stage codegen) and has a matching *_sql twin producing the
+identical ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with", "for"],
+    "es": ["el", "la", "los", "que", "por"],
+    "fr": ["le", "les", "des", "et", "dans"],
+    "de": ["der", "die", "und", "mit", "von"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def token_count_sql(t: str) -> str:
+    return f"len(string_split_regex(lower(trim({t})), '\\s+'))"
+
+
+def _occ_simple_col(text: Column, word: str) -> Column:
+    """Whitespace-delimited occurrences of `word`, overlap-safe: double
+    every space first so ' a a ' becomes ' a  a ' and non-overlapping
+    replace counts every occurrence. Pure string built-ins — the same
+    trick is expressible in DuckDB (whose RE2 regex has no lookahead)."""
+    p2 = F.replace(
+        F.concat(F.lit(" "), F.lower(text), F.lit(" ")), F.lit(" "), F.lit("  ")
+    )
+    needle = f" {word} "
+    removed = F.replace(p2, F.lit(needle), F.lit(""))
+    return ((F.length(p2) - F.length(removed)) / F.lit(len(needle))).cast("int")
+
+
+def _occ_simple_sql(t: str, word: str) -> str:
+    p2 = f"replace(' ' || lower({t}) || ' ', ' ', '  ')"
+    needle = f" {word} "
+    return (f"((length({p2}) - length(replace({p2}, '{needle}', '')))"
+            f" / {len(needle)})::INT")
+
+
+def lang_scores_col(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((_occ_simple_col(text, w) for w in ws), F.lit(0))
+        for lang, ws in LANG_MARKERS.items()
+    }
+
+
+def lang_scores_sql(t: str) -> dict[str, str]:
+    return {
+        lang: "(" + " + ".join(_occ_simple_sql(t, w) for w in ws) + ")"
+        for lang, ws in LANG_MARKERS.items()
+    }
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax language by marker hits; 'und' when no marker present.
+    Ties broken by fixed lexicon order (same CASE chain in SQL)."""
+    scores = lang_scores_col(text)
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:  # first-wins on ties via strict >
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best
+
+
+def lang_id_sql(t: str) -> str:
+    scores = lang_scores_sql(t)
+    langs = list(LANG_MARKERS)
+    best, best_score = "'und'", "0"
+    for lang in langs:
+        cond = f"({scores[lang]} > {best_score})"
+        best = f"(CASE WHEN {cond} THEN '{lang}' ELSE {best} END)"
+        best_score = f"(CASE WHEN {cond} THEN {scores[lang]} ELSE {best_score} END)"
+    return best
+
+
+def punct_ratio_col(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return F.round((F.length(text) - F.length(stripped)) /
+                   F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def punct_ratio_sql(t: str) -> str:
+    stripped = f"regexp_replace({t}, '[^\\w\\s]', '', 'g')"
+    return (f"round((length({t}) - length({stripped}))::DOUBLE / "
+            f"greatest(length({t}), 1), 6)")
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    hits = sum((_occ_simple_col(text, w) for w in STOPWORDS), F.lit(0))
+    return F.round(hits / F.greatest(token_count_col(text), F.lit(1)), 6)
+
+
+def stopword_ratio_sql(t: str) -> str:
+    hits = "(" + " + ".join(_occ_simple_sql(t, w) for w in STOPWORDS) + ")"
+    return f"round({hits}::DOUBLE / greatest({token_count_sql(t)}, 1), 6)"
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + low punctuation +
+    stopword presence (the classic Gopher-style heuristics, public)."""
+    n_tok = token_count_col(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio_col(text) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio_col(text) >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(len_ok + punct_ok + stop_ok, 2)
+
+
+def quality_score_sql(t: str) -> str:
+    n_tok = token_count_sql(t)
+    return (
+        "round("
+        f"(CASE WHEN {n_tok} >= 10 AND {n_tok} <= 5000 THEN 0.4e0 ELSE 0e0 END) + "
+        f"(CASE WHEN {punct_ratio_sql(t)} <= 0.2 THEN 0.3e0 ELSE 0e0 END) + "
+        f"(CASE WHEN {stopword_ratio_sql(t)} >= 0.01 THEN 0.3e0 ELSE 0e0 END)"
+        ", 2)"
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Normalized-text md5 fingerprint (lowercase, collapse whitespace,
+    strip punctuation) — near-exact dedup key."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"[^\w\s]", ""), r"\s+", " "))
+    return F.md5(norm)
+
+
+def fingerprint_sql(t: str) -> str:
+    norm = (f"trim(regexp_replace(regexp_replace(lower({t}), '[^\\w\\s]', '', 'g'),"
+            f" '\\s+', ' ', 'g'))")
+    return f"md5({norm})"

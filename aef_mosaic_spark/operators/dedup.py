@@ -1,0 +1,227 @@
+"""Deduplication operators for a large-scale training-data pipeline
+(driver requirement): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All pure DataFrame built-ins — no Python UDFs anywhere — so every
+variant (a) runs JVM-side with map-side partial aggregation, and
+(b) has an exact ANSI-SQL twin for the DuckDB oracle (see
+__spark_entry__.py). Shuffle shape at 10^12 docs:
+
+- exact/fingerprint: one groupBy on a 128-bit key (combiner-friendly),
+- MinHash: explode(tokens) -> groupBy(doc) [local distinct + min] ->
+  explode(bands) -> groupBy(band bucket) — candidate pairs only ever
+  materialize within a bucket, never a crossJoin,
+- SimHash: banding on hash substrings, same property,
+- cosine: sign-LSH bucketing (see operators/knn.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.functions.hashes import h32_col, minhash_coeffs, minhash_col
+from aef_mosaic_spark.functions.text import fingerprint_col
+
+
+def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                                   r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str,
+                           normalized: bool = False) -> DataFrame:
+    """-> (group_key, n_docs, min_id) for groups with >1 member.
+    normalized=True dedups on the fingerprint (case/punct-insensitive)."""
+    key = fingerprint_col(F.col(text_col)) if normalized else F.md5(F.col(text_col))
+    return (
+        df.select(key.alias("group_key"), F.col(id_col))
+        .groupBy("group_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 16) -> DataFrame:
+    """-> (id, mh0..mh{k-1}) MinHash signature columns over distinct
+    word tokens (shingle=1 word; Broder resemblance sketch)."""
+    toks = distinct_tokens(df, id_col, text_col).withColumn(
+        "h", h32_col(F.col("token"))
+    )
+    aggs = [
+        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 16, bands: int = 4) -> DataFrame:
+    """LSH banding: signature split into `bands` rows of k/bands mins;
+    candidates = pairs agreeing on >=1 full band. -> (id_a, id_b)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    band_cols = [
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.concat_ws(":", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])
+                 .alias("band_val"))
+        for bi in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
+                 .select(id_col, "b.band_idx", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact token-set Jaccard for all pairs (or only `candidates`):
+    -> (id_a, id_b, jaccard). inter from a token equi-join; union =
+    |A| + |B| - inter. No crossJoin: pairs materialize per token."""
+    toks = distinct_tokens(df, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "token")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            threshold: float = 0.7, k: int = 16,
+                            bands: int = 4) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard — the standard
+    two-phase near-dup pipeline. -> (id_a, id_b, jaccard)."""
+    cand = minhash_candidate_pairs(df, id_col, text_col, k, bands)
+    return jaccard_pairs(df, id_col, text_col, threshold, candidates=cand)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 2,
+                        threshold: float = 0.3) -> DataFrame:
+    """Word n-gram (shingle) Jaccard: grams built JVM-side with
+    transform over index sequences; then the same equi-join reduction."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) ),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                         for j in range(n)]),
+        )
+    )
+    gdf = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    sizes = gdf.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = gdf.alias("a"), gdf.alias("b")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash (Charikar) over word tokens: per bit, vote
+    +1/-1 by the bit of the 64-bit token hash (two md5-derived 32-bit
+    halves); sign of the vote -> bit. -> (id, simhash)."""
+    toks = distinct_tokens(df, id_col, text_col)
+    # 63-bit token hash from two md5-derived halves (hi truncated to 31
+    # bits so hi*2^32 + lo stays positive in signed 64-bit — required
+    # for the SQL oracle twin, where overflow is an error)
+    toks = toks.withColumn("h_lo", h32_col(F.col("token"))).withColumn(
+        "h_hi", h32_col(F.concat(F.lit("\x01"), F.col("token"))) % F.lit(2147483648)
+    ).withColumn("h64", F.col("h_hi") * F.lit(4294967296) + F.col("h_lo"))
+    bits = toks.select(
+        F.col(id_col), F.col("h64"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).withColumn(
+        # column-valued shift counts need the SQL form (the PySpark
+        # Column API only takes literal counts)
+        "vote",
+        F.when(F.expr("shiftrightunsigned(h64, CAST(bit AS INT)) & 1") == 1,
+               F.lit(1)).otherwise(F.lit(-1)),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(1L, CAST(bit AS INT)) ELSE 0L END")
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 8, n_bands: int = 4) -> DataFrame:
+    """SimHash near-dups: band the 64-bit simhash into 16-bit keys
+    (complete for hamming < n_bands; good recall above), verify exact
+    Hamming <= max_hamming. -> (id_a, id_b, hamming)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, id_col, text_col)
+    banded = sigs.withColumn(
+        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftrightunsigned(simhash, CAST(band_idx * {width} AS INT))"
+               f" & {mask}"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .cast("int").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; the LSH-bucketed scale
+    variant is operators/knn.ann_cosine_lsh). -> (id_a, id_b, sim)."""
+    from aef_mosaic_spark.operators.knn import cosine_sim
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

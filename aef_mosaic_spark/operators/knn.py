@@ -1,0 +1,154 @@
+"""kNN joins (north rule J10): Hamming over phash, cosine over
+embeddings — exact baselines + LSH-blocked scale paths.
+
+Everything JVM-side: `bit_count(xor)` for Hamming, `aggregate`/
+`zip_with` for dot products, `row_number` windows for top-k. The only
+pandas UDF is the optional brute-force rerank (not needed at test
+scale). Both exact variants have ANSI-SQL twins for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hamming(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def _topk(df: DataFrame, qcol: str, order: list, k: int) -> DataFrame:
+    w = Window.partitionBy(qcol).orderBy(*order)
+    return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_hamming_exact(queries: DataFrame, items: DataFrame, k: int,
+                      q_id: str = "query_id", i_id: str = "item_id") -> DataFrame:
+    """Exact kNN by Hamming distance on 64-bit phash. Broadcast the
+    (small) query set against the (huge) item table — the standard
+    shape for 'find neighbors of these probes in 10^12 rows'.
+    Ties broken by item id for determinism."""
+    q = queries.select(F.col(q_id), F.col("phash").alias("_qh"))
+    i = items.select(F.col(i_id), F.col("phash").alias("_ih"))
+    pairs = F.broadcast(q).crossJoin(i).where(F.col(q_id) != F.col(i_id))
+    pairs = pairs.withColumn("dist", hamming(F.col("_qh"), F.col("_ih")).cast("int"))
+    return _topk(pairs, q_id, [F.col("dist"), F.col(i_id)], k).select(
+        q_id, i_id, "dist", "rank"
+    )
+
+
+def knn_hamming_banded(queries: DataFrame, items: DataFrame, k: int,
+                       q_id: str = "query_id", i_id: str = "item_id",
+                       n_bands: int = 4) -> DataFrame:
+    """Scale path: LSH banding — split the 64-bit hash into `n_bands`
+    16-bit bands; candidates = pairs sharing >=1 band (guaranteed to
+    include every pair with Hamming distance < n_bands, pigeonhole);
+    then exact distance + top-k. Replaces the crossJoin with an
+    equi-join on (band_idx, band_value)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def banded(df, idc, hc):
+        return (
+            df.select(F.col(idc), F.col("phash").alias(hc))
+            .withColumn("band_idx", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))))
+            .withColumn(
+                "band_val",
+                F.expr(f"shiftrightunsigned({hc}, CAST(band_idx * {width} AS INT))"
+                       f" & {mask}"),
+            )
+        )
+
+    q = banded(queries, q_id, "_qh")
+    i = banded(items, i_id, "_ih")
+    cand = (
+        q.join(i, ["band_idx", "band_val"])
+        .where(F.col(q_id) != F.col(i_id))
+        .select(q_id, i_id, "_qh", "_ih")
+        .dropDuplicates([q_id, i_id])
+    )
+    cand = cand.withColumn("dist", hamming(F.col("_qh"), F.col("_ih")).cast("int"))
+    return _topk(cand, q_id, [F.col("dist"), F.col(i_id)], k).select(
+        q_id, i_id, "dist", "rank"
+    )
+
+
+def cosine_sim(a, b):
+    """JVM-side cosine similarity for array<float/double> columns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def knn_cosine_exact(queries: DataFrame, items: DataFrame, k: int,
+                     q_id: str = "query_id", i_id: str = "item_id",
+                     vec: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k, broadcast queries (the correctness
+    baseline; linear in |items|, embarrassingly parallel)."""
+    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"))
+    i = items.select(F.col(i_id), F.col(vec).alias("_iv"))
+    pairs = F.broadcast(q).crossJoin(i).where(F.col(q_id) != F.col(i_id))
+    pairs = pairs.withColumn(
+        "sim", F.round(cosine_sim(F.col("_qv"), F.col("_iv")), 6)
+    )
+    return _topk(pairs, q_id, [F.col("sim").desc(), F.col(i_id)], k).select(
+        q_id, i_id, "sim", "rank"
+    )
+
+
+def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (literal arrays —
+    embeddable in both the Spark plan and the oracle SQL)."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(v), 6) for v in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature as a JVM expression: bit j = (v . plane_j) > 0."""
+    sig = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def ann_cosine_lsh(queries: DataFrame, items: DataFrame, k: int, dim: int,
+                   q_id: str = "query_id", i_id: str = "item_id",
+                   vec: str = "embedding", n_planes: int = 8,
+                   max_sig_hamming: int = 2) -> DataFrame:
+    """Approximate NN via multiprobe sign-LSH: items are bucketed by
+    signature; each query probes every signature within
+    `max_sig_hamming` bit flips of its own (explode of xor masks), and
+    candidates come from a signature EQUI-join — no crossJoin anywhere.
+    Scale path for 10^12 vectors: per-query work ~ probe_count x
+    avg bucket size instead of |items|."""
+    planes = make_planes(dim, n_planes)
+    masks = [0] + [1 << j for j in range(n_planes)]
+    if max_sig_hamming >= 2:
+        masks += [(1 << a) | (1 << b) for a in range(n_planes) for b in range(a + 1, n_planes)]
+    q = queries.select(
+        F.col(q_id), F.col(vec).alias("_qv"),
+        lsh_signature(F.col(vec), planes).alias("_qsig"),
+    ).withColumn(
+        "_probe",
+        F.explode(F.array(*[F.lit(m).cast("long") for m in masks])),
+    ).withColumn("_sig", F.col("_qsig").bitwiseXOR(F.col("_probe")))
+    i = items.select(
+        F.col(i_id), F.col(vec).alias("_iv"),
+        lsh_signature(F.col(vec), planes).alias("_sig"),
+    )
+    cand = (
+        q.join(i, "_sig")
+        .where(F.col(q_id) != F.col(i_id))
+        .dropDuplicates([q_id, i_id])
+    )
+    cand = cand.withColumn("sim", F.round(cosine_sim(F.col("_qv"), F.col("_iv")), 6))
+    return _topk(cand, q_id, [F.col("sim").desc(), F.col(i_id)], k).select(
+        q_id, i_id, "sim", "rank"
+    )

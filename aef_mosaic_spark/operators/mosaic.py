@@ -71,8 +71,10 @@ def with_grid_bounds(df: DataFrame, grid: OutputGrid) -> DataFrame:
                 sub = pdf.loc[m]
                 k = 5  # edge samples per side
                 ts = np.linspace(0.0, 1.0, k)
-                x0 = sub["min_x"].to_numpy(); x1 = sub["max_x"].to_numpy()
-                y0 = sub["min_y"].to_numpy(); y1 = sub["max_y"].to_numpy()
+                x0 = sub["min_x"].to_numpy(np.float64)
+                x1 = sub["max_x"].to_numpy(np.float64)
+                y0 = sub["min_y"].to_numpy(np.float64)
+                y1 = sub["max_y"].to_numpy(np.float64)
                 xs = np.concatenate([
                     x0[:, None] + ts * (x1 - x0)[:, None],
                     x0[:, None] + ts * (x1 - x0)[:, None],

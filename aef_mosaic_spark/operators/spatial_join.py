@@ -1,0 +1,114 @@
+"""Spatial joins re-expressed as cell-key equi-joins (north rule J1/J2).
+
+The reference does filter-refine with an in-memory R-tree
+(/root/reference/src/index/input_index.rs:374-403) — impossible at
+10^12 rows. The scalable decomposition (SURVEY §2.3):
+
+  1. EXPLODE each box to the grid cells covering it (pure JVM
+     `sequence`/`transform`/`explode` — no UDF, Catalyst-visible),
+  2. equi-JOIN on the cell key (Spark picks broadcast/SMJ; AQE splits
+     skewed cells),
+  3. REFINE with the exact predicate (box intersect / containment —
+     cheap codegen'd comparisons),
+  4. dropDuplicates (a pair may meet in several cells; J3).
+
+Optional explicit salting replicates the *build* side S ways and
+scatters the probe side with a deterministic salt — for hot cells
+(dense spatial clusters) beyond what AQE skew-split handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.cells import cell_id_col, covering_cells_col
+
+BOX = ("min_lon", "min_lat", "max_lon", "max_lat")
+
+
+def _boxes_intersect(a: str, b: str):
+    """Theta predicate (reference bounds_intersect, mosaic.rs:105-108):
+    strict on the open edge so touching boxes don't match — same
+    convention as the reference AABB test."""
+    return (
+        (F.col(f"{a}.min_lon") < F.col(f"{b}.max_lon"))
+        & (F.col(f"{a}.max_lon") > F.col(f"{b}.min_lon"))
+        & (F.col(f"{a}.min_lat") < F.col(f"{b}.max_lat"))
+        & (F.col(f"{a}.max_lat") > F.col(f"{b}.min_lat"))
+    )
+
+
+def _point_in_box(p: str, b: str):
+    return (
+        (F.col(f"{p}.lon") >= F.col(f"{b}.min_lon"))
+        & (F.col(f"{p}.lon") < F.col(f"{b}.max_lon"))
+        & (F.col(f"{p}.lat") >= F.col(f"{b}.min_lat"))
+        & (F.col(f"{p}.lat") < F.col(f"{b}.max_lat"))
+    )
+
+
+def _with_cells(df: DataFrame, res: int, is_point: bool) -> DataFrame:
+    if is_point:
+        return df.withColumn("_cell", cell_id_col(F.col("lon"), F.col("lat"), res))
+    return df.withColumn(
+        "_cell",
+        F.explode(
+            covering_cells_col(
+                F.col("min_lon"), F.col("min_lat"),
+                F.col("max_lon"), F.col("max_lat"), res,
+            )
+        ),
+    )
+
+
+def _salted(probe: DataFrame, build: DataFrame, salt: int):
+    """Replicate build side x salt; scatter probe deterministically.
+    Turns one hot cell into `salt` shuffle keys (SURVEY §4 skew row)."""
+    build = build.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    probe = probe.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns if c != "_cell"]),
+                        F.lit(salt)).cast("int")
+    )
+    return probe, build
+
+
+def point_in_box_join(points: DataFrame, boxes: DataFrame, res: int = 12,
+                      salt: int = 0, broadcast_boxes: bool = False) -> DataFrame:
+    """points(id, lon, lat, ...) x boxes(box_id, min/max lon/lat, ...)
+    -> matched pairs. Cell equi-join + exact refine."""
+    if broadcast_boxes:
+        # small dim side: skip cells entirely, one broadcast theta join
+        p, b = points.alias("p"), F.broadcast(boxes).alias("b")
+        return p.join(b, _point_in_box("p", "b"))
+    p = _with_cells(points, res, is_point=True).alias("p")
+    b = _with_cells(boxes, res, is_point=False).alias("b")
+    if salt > 1:
+        p, b = _salted(p, b, salt)
+        p, b = p.alias("p"), b.alias("b")
+        on = (F.col("p._cell") == F.col("b._cell")) & (F.col("p._salt") == F.col("b._salt"))
+    else:
+        on = F.col("p._cell") == F.col("b._cell")
+    out = p.join(b, on & _point_in_box("p", "b"))
+    # a point lives in exactly one cell -> no dedup needed
+    return out.drop("_cell", "_salt")
+
+
+def box_intersect_join(left: DataFrame, right: DataFrame, res: int = 10,
+                       left_keys: list[str] | None = None,
+                       right_keys: list[str] | None = None,
+                       salt: int = 0) -> DataFrame:
+    """Box-box intersection join (J1/J4): both sides cell-exploded,
+    equi-join, exact refine, dedup on the id pair."""
+    left_keys = left_keys or ["id_a"]
+    right_keys = right_keys or ["id_b"]
+    l = _with_cells(left, res, is_point=False).alias("l")
+    r = _with_cells(right, res, is_point=False).alias("r")
+    if salt > 1:
+        l, r = _salted(l, r, salt)
+        l, r = l.alias("l"), r.alias("r")
+        on = (F.col("l._cell") == F.col("r._cell")) & (F.col("l._salt") == F.col("r._salt"))
+    else:
+        on = F.col("l._cell") == F.col("r._cell")
+    out = l.join(r, on & _boxes_intersect("l", "r")).drop("_cell", "_salt")
+    return out.dropDuplicates(left_keys + right_keys)
