@@ -85,11 +85,50 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tokens array<string> distinct, n int)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda t: t != "")
+    )
+    return df.select(F.col(id_col), toks.alias("tokens")) \
+             .withColumn("n", F.size("tokens"))
+
+
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact token-set Jaccard for all pairs (or only `candidates`):
-    -> (id_a, id_b, jaccard). inter from a token equi-join; union =
-    |A| + |B| - inter. No crossJoin: pairs materialize per token."""
+    """Exact token-set Jaccard -> (id_a, id_b, jaccard).
+
+    With `candidates`: join each pair to its two token *arrays* and
+    intersect JVM-side (array_intersect) — per-pair O(|A|+|B|) work,
+    immune to frequent-token blowup (a corpus with a small vocabulary
+    makes every token a hot join key; candidate-scoped verification is
+    the scalable shape). Without candidates: token equi-join
+    reduction (pairs materialize per shared token, never a crossJoin).
+    """
+    if candidates is not None:
+        # intersect on 64-bit token hashes (cheap long equality instead
+        # of string compares; xxhash64 collisions are ~2^-64 per pair);
+        # the per-doc token-set side is tiny relative to the pair set —
+        # broadcast it to keep the verify join shuffle-free
+        ts = token_sets(df, id_col, text_col).withColumn(
+            "hashes", F.transform("tokens", lambda t: F.xxhash64(t))
+        )
+        a = F.broadcast(ts.select(F.col(id_col).alias("id_a"),
+                                  F.col("hashes").alias("_ta"),
+                                  F.col("n").alias("na")))
+        b = F.broadcast(ts.select(F.col(id_col).alias("id_b"),
+                                  F.col("hashes").alias("_tb"),
+                                  F.col("n").alias("nb")))
+        return (
+            candidates.join(a, "id_a").join(b, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     toks = distinct_tokens(df, id_col, text_col)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = toks.alias("a")
@@ -100,8 +139,6 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (

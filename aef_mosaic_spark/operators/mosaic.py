@@ -161,7 +161,8 @@ def assignments(df: DataFrame, grid: OutputGrid) -> DataFrame:
 
 def _reproject_tile_to_chunk(img: np.ndarray, tile_crs: str, tmin_x: float,
                              tmax_y: float, tres: float, grid: OutputGrid,
-                             row_idx: int, col_idx: int):
+                             row_idx: int, col_idx: int,
+                             gbox: tuple[float, float, float, float] | None = None):
     """Inverse-map one chunk window's pixel centers into the source
     tile; nearest-neighbor gather. Returns (y0, x0, patch, mask) of the
     tight valid window, or None.
@@ -169,13 +170,25 @@ def _reproject_tile_to_chunk(img: np.ndarray, tile_crs: str, tmin_x: float,
     Replaces the reference's adaptive-grid approximation
     (reproject.rs:454-628) with exact per-pixel inverse projection —
     affordable because it's one vectorized numpy/trig pass per patch
-    and *more* accurate than the <=0.75 px interpolation budget."""
+    and *more* accurate than the <=0.75 px interpolation budget.
+    `gbox` (tile bounds in grid CRS) pre-clips the target window so
+    the transform only touches pixels the tile can reach, not the
+    whole 256^2 chunk."""
     bands, sh, sw = img.shape
-    # target window = whole chunk, then crop to the valid footprint
     R0 = row_idx * grid.chunk_h
     C0 = col_idx * grid.chunk_w
-    rr = np.arange(grid.chunk_h)
-    cc = np.arange(grid.chunk_w)
+    r_lo, r_hi = 0, grid.chunk_h
+    c_lo, c_hi = 0, grid.chunk_w
+    if gbox is not None:
+        gx0, gy0, gx1, gy1 = gbox
+        c_lo = max(c_lo, int(np.floor((gx0 - grid.bounds[0]) / grid.resolution)) - C0)
+        c_hi = min(c_hi, int(np.ceil((gx1 - grid.bounds[0]) / grid.resolution)) - C0)
+        r_lo = max(r_lo, int(np.floor((grid.bounds[3] - gy1) / grid.resolution)) - R0)
+        r_hi = min(r_hi, int(np.ceil((grid.bounds[3] - gy0) / grid.resolution)) - R0)
+        if r_lo >= r_hi or c_lo >= c_hi:
+            return None
+    rr = np.arange(r_lo, r_hi)
+    cc = np.arange(c_lo, c_hi)
     ty = grid.bounds[3] - (R0 + rr + 0.5) * grid.resolution
     tx = grid.bounds[0] + (C0 + cc + 0.5) * grid.resolution
     TX, TY = np.meshgrid(tx, ty)
@@ -194,7 +207,7 @@ def _reproject_tile_to_chunk(img: np.ndarray, tile_crs: str, tmin_x: float,
     srr = np.clip(sr[y0:y1, x0:x1], 0, sh - 1)
     patch = img[:, srr, scc]  # (bands, ph, pw)
     patch[:, ~v] = 0
-    return y0, x0, patch, v.astype(np.uint8)
+    return y0 + r_lo, x0 + c_lo, patch, v.astype(np.uint8)
 
 
 def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
@@ -215,10 +228,12 @@ def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
                     __import__("hashlib").md5(t.image_id.encode()).digest()[:8],
                     "big", signed=True,
                 )
+                gbox = (t.gx0, t.gy0, t.gx1, t.gy1)
                 for r in range(t.row_min, t.row_max + 1):
                     for c in range(t.col_min, t.col_max + 1):
                         res = _reproject_tile_to_chunk(
-                            img, t.crs, t.min_x, t.max_y, t.resolution, g, r, c
+                            img, t.crs, t.min_x, t.max_y, t.resolution, g, r, c,
+                            gbox=gbox,
                         )
                         if res is None:
                             continue

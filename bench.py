@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the engine's load-bearing paths:
+  mosaic       : deterministic image table -> assign -> reproject ->
+                 mean-composite (tiles mosaicked/sec, the BASELINE metric)
+  spatial_join : point-in-box cell equi-join at sf scale
+                 (images/points spatially joined/sec)
+  knn_cosine   : exact cosine top-k, broadcast probes
+  ann_lsh      : multiprobe sign-LSH ANN (scale path)
+  minhash      : MinHash-LSH near-dup over documents
+  simhash      : banded SimHash near-dup
+  pricing      : TPC-H-Q1-style relational aggregate
+  asof         : union+window merge-asof events x orders
+
+Run `python bench.py --scaling` to produce the N-vs-4N parallelism
+table for BENCH/BASELINE.md instead of the single JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_TILES_PER_SF = 12000  # at sf0.1 -> 1200 synthetic tiles
+
+
+def _build(spark, sf_dir):
+    import __spark_entry__ as E
+    from aef_mosaic_spark import generator
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators import mosaic as M
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n_tiles = max(120, int(N_TILES_PER_SF * sf))
+    grid = OutputGrid(
+        bounds=(499000.0, 4095000.0, 530000.0, 4125000.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+        num_bands=3, chunk_h=256, chunk_w=256,
+    )
+    qs = E.queries()
+
+    def run_mosaic():
+        images = generator.images_df(spark, n_tiles)
+        rows = M.mosaic(images, grid, mode="mean").select("n_tiles").collect()
+        return n_tiles, sum(r.n_tiles for r in rows)
+
+    bench = {
+        "mosaic": run_mosaic,
+        "spatial_join": lambda: (qs["q12_point_in_box_join"](spark, sf_dir).count(), 0),
+        "knn_cosine": lambda: (qs["q16_knn_cosine"](spark, sf_dir).count(), 0),
+        "ann_lsh": lambda: (qs["q17_ann_cosine_lsh"](spark, sf_dir).count(), 0),
+        "minhash": lambda: (qs["q23_minhash_near_dup"](spark, sf_dir).count(), 0),
+        "simhash": lambda: (qs["q26_simhash_near_dup"](spark, sf_dir).count(), 0),
+        "pricing": lambda: (qs["q01_pricing_summary"](spark, sf_dir).count(), 0),
+        "asof": lambda: (qs["q07_asof_join"](spark, sf_dir).count(), 0),
+    }
+    return sf, n_tiles, bench
+
+
+def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None):
+    from aef_mosaic_spark.session import get_spark
+
+    cpus = master.split("[")[1].rstrip("]")
+    sp = shuffle_partitions or (int(cpus) * 2 if cpus.isdigit() else 64)
+    spark = get_spark(app_name=f"bench-{master}", master=master,
+                      extra_conf={"spark.sql.shuffle.partitions": str(sp)})
+    sf, n_tiles, bench = _build(spark, sf_dir)
+    # one warmup action so JVM/python-worker startup isn't billed to q1
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    queries = {}
+    results = {}
+    for name, fn in bench.items():
+        t0 = time.time()
+        results[name] = fn()
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return sf, n_tiles, queries, results
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    if "--scaling" in sys.argv:
+        rows = []
+        for master, sp in (("local[8]", 16), ("local[32]", 64)):
+            sf, n_tiles, queries, _ = run_once(master, sf_dir, sp)
+            total = sum(queries.values())
+            rows.append((master, queries, total, n_tiles))
+            print(f"{master}: total={total:.2f}s  " +
+                  " ".join(f"{k}={v:.2f}" for k, v in queries.items()),
+                  file=sys.stderr)
+        t8, t32 = rows[0][2], rows[1][2]
+        out = {
+            "sf": sf,
+            "local8_sec": round(t8, 2),
+            "local32_sec": round(t32, 2),
+            "speedup": round(t8 / t32, 3),
+            "scaling_efficiency": round(t8 / t32 / 4.0, 3),
+            "queries_local8": rows[0][1],
+            "queries_local32": rows[1][1],
+            "mosaic_tiles": rows[0][3],
+        }
+        print(json.dumps(out))
+        return
+
+    sf, n_tiles, queries, results = run_once(f"local[{cpus}]", sf_dir)
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "throughput": {
+            "tiles_mosaicked_per_sec": round(n_tiles / queries["mosaic"], 2),
+            "points_joined_per_sec": round(
+                results["spatial_join"][0] and
+                _points_count(sf_dir) / queries["spatial_join"], 2),
+        },
+    }))
+
+
+def _points_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+
+
+if __name__ == "__main__":
+    main()

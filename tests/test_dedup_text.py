@@ -1,0 +1,132 @@
+"""Dedup + text-analysis operators vs small python oracles."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.functions import text as T
+from aef_mosaic_spark.operators import dedup as D
+
+DOCS = pd.DataFrame({
+    "doc_id": list(range(8)),
+    "text": [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",      # exact dup of 0
+        "the quick brown fox leaps over the lazy dog",      # near dup of 0
+        "el rapido zorro marron salta sobre el perro que duerme",
+        "le renard brun rapide saute sur le chien et dort dans les bois",
+        "der schnelle braune fuchs springt und der hund mit von",
+        "completely different text about spark shuffle partitions",
+        "The Quick  Brown fox jumps over the lazy dog!",     # fingerprint dup of 0
+    ],
+})
+
+
+def _sdf(spark):
+    return spark.createDataFrame(DOCS)
+
+
+def test_exact_duplicate_groups(spark):
+    rows = D.exact_duplicate_groups(_sdf(spark), "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 2 and rows[0].min_id == 0
+
+
+def test_fingerprint_duplicate_groups(spark):
+    rows = D.exact_duplicate_groups(_sdf(spark), "doc_id", "text",
+                                    normalized=True).collect()
+    groups = {r.min_id: r.n_docs for r in rows}
+    assert groups == {0: 3}  # docs 0, 1, 7 normalize to the same text
+
+
+def test_jaccard_pairs_exact_values(spark):
+    rows = D.jaccard_pairs(_sdf(spark), "doc_id", "text", threshold=0.5).collect()
+    vals = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert vals[(0, 1)] == 1.0
+    # 0 vs 2: tokens {the,quick,brown,fox,jumps/leaps,over,lazy,dog}
+    # 8 distinct each, 7 shared -> 7/9
+    assert abs(vals[(0, 2)] - round(7 / 9, 6)) < 1e-9
+
+
+def test_minhash_near_duplicates_finds_dups(spark):
+    rows = D.minhash_near_duplicates(_sdf(spark), "doc_id", "text",
+                                     threshold=0.7).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(6 in p for p in pairs)
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    sigs = D.minhash_signatures(_sdf(spark), "doc_id", "text", k=8).collect()
+    by_id = {r.doc_id: tuple(r)[1:] for r in sigs}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[6]
+
+
+def test_simhash_properties(spark):
+    rows = D.simhash(_sdf(spark), "doc_id", "text").collect()
+    h = {r.doc_id: r.simhash for r in rows}
+    assert h[0] == h[1]  # identical token sets
+    d_near = bin(h[0] ^ h[2]).count("1")
+    d_far = bin(h[0] ^ h[6]).count("1")
+    assert d_near < d_far
+    assert all(v >= 0 for v in h.values())  # 63-bit, stays positive
+
+
+def test_simhash_near_duplicates(spark):
+    rows = D.simhash_near_duplicates(_sdf(spark), "doc_id", "text",
+                                     max_hamming=10).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard(spark):
+    rows = D.ngram_jaccard_pairs(_sdf(spark), "doc_id", "text",
+                                 n=2, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 6) not in pairs
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(5, 16)
+    vecs = np.vstack([base, base[0] + rng.randn(16) * 0.01])
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(6)),
+        "embedding": [v.tolist() for v in vecs],
+    }))
+    rows = D.embedding_near_duplicates(df, "vec_id", "embedding",
+                                       threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(0, 5)}
+
+
+def test_lang_id(spark):
+    rows = _sdf(spark).select(
+        "doc_id", T.lang_id_col(F.col("text")).alias("lang")).collect()
+    langs = {r.doc_id: r.lang for r in rows}
+    assert langs[0] == "en"
+    assert langs[3] == "es"
+    assert langs[4] == "fr"
+    assert langs[5] == "de"
+    assert langs[6] == "und"  # no markers ('about' etc. not in lexicon)
+
+
+def test_token_count_and_quality(spark):
+    rows = _sdf(spark).select(
+        "doc_id",
+        T.token_count_col(F.col("text")).alias("n"),
+        T.quality_score_col(F.col("text")).alias("q"),
+    ).collect()
+    n = {r.doc_id: r.n for r in rows}
+    assert n[0] == 9
+    q = {r.doc_id: r.q for r in rows}
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    rows = _sdf(spark).select(
+        "doc_id", T.fingerprint_col(F.col("text")).alias("fp")).collect()
+    fp = {r.doc_id: r.fp for r in rows}
+    assert fp[0] == fp[7]
+    assert fp[0] != fp[2]

@@ -1,0 +1,199 @@
+"""Unit tests for the spatial-join / kNN / PIP operator family against
+tiny brute-force python oracles (independent of the DuckDB harness)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark import cells
+from aef_mosaic_spark.operators import knn as K
+from aef_mosaic_spark.operators import pip as P
+from aef_mosaic_spark.operators import spatial_join as S
+
+
+def _points_pdf(n=200):
+    rng = np.random.RandomState(1)
+    return pd.DataFrame({
+        "point_id": np.arange(n),
+        "lon": rng.uniform(-20, 20, n).round(4),
+        "lat": rng.uniform(-20, 20, n).round(4),
+    })
+
+
+def _boxes_pdf(n=40):
+    rng = np.random.RandomState(2)
+    lo = rng.uniform(-20, 18, (n, 2)).round(4)
+    return pd.DataFrame({
+        "box_id": np.arange(n),
+        "min_lon": lo[:, 0],
+        "min_lat": lo[:, 1],
+        "max_lon": (lo[:, 0] + rng.uniform(0.5, 4, n)).round(4),
+        "max_lat": (lo[:, 1] + rng.uniform(0.5, 4, n)).round(4),
+    })
+
+
+def _pib_oracle(pts, boxes):
+    out = set()
+    for p in pts.itertuples(index=False):
+        for b in boxes.itertuples(index=False):
+            if (b.min_lon <= p.lon < b.max_lon) and (b.min_lat <= p.lat < b.max_lat):
+                out.add((p.point_id, b.box_id))
+    return out
+
+
+@pytest.mark.parametrize("kwargs", [{}, {"salt": 4}, {"broadcast_boxes": True}])
+def test_point_in_box_join_variants(spark, kwargs):
+    pts, boxes = _points_pdf(), _boxes_pdf()
+    got = {
+        (r.point_id, r.box_id)
+        for r in S.point_in_box_join(
+            spark.createDataFrame(pts), spark.createDataFrame(boxes),
+            res=8, **kwargs,
+        ).select("point_id", "box_id").collect()
+    }
+    assert got == _pib_oracle(pts, boxes)
+
+
+def test_box_intersect_join(spark):
+    a = _boxes_pdf(30).rename(columns={"box_id": "id_a"})
+    b = _boxes_pdf(25).rename(columns={"box_id": "id_b"})
+    b[["min_lon", "max_lon"]] = b[["min_lon", "max_lon"]] + 1.0
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.box_intersect_join(
+            spark.createDataFrame(a), spark.createDataFrame(b), res=7,
+        ).select("id_a", "id_b").collect()
+    }
+    want = set()
+    for x in a.itertuples(index=False):
+        for y in b.itertuples(index=False):
+            if (x.min_lon < y.max_lon and x.max_lon > y.min_lon
+                    and x.min_lat < y.max_lat and x.max_lat > y.min_lat):
+                want.add((x.id_a, y.id_b))
+    assert got == want
+
+
+def test_point_in_polygon_join_concave(spark):
+    # concave "L" polygon: ray-casting must reject the notch
+    poly = pd.DataFrame([{
+        "poly_id": 1,
+        "xs": [0.0, 4.0, 4.0, 2.0, 2.0, 0.0],
+        "ys": [0.0, 0.0, 2.0, 2.0, 4.0, 4.0],
+        "min_lon": 0.0, "min_lat": 0.0, "max_lon": 4.0, "max_lat": 4.0,
+    }])
+    pts = pd.DataFrame({
+        "point_id": [1, 2, 3, 4],
+        "lon": [1.0, 3.0, 3.0, 1.0],
+        "lat": [1.0, 1.0, 3.0, 3.0],  # (3,3) is in the notch -> outside
+    })
+    got = {
+        r.point_id
+        for r in P.point_in_polygon_join(
+            spark.createDataFrame(pts), spark.createDataFrame(poly), res=5,
+        ).collect()
+    }
+    assert got == {1, 2, 4}
+
+
+def test_knn_hamming_exact_vs_bruteforce(spark):
+    rng = np.random.RandomState(3)
+    hashes = rng.randint(0, 2**62, 100, dtype=np.int64)
+    items = pd.DataFrame({"item_id": [f"i{j:03d}" for j in range(100)],
+                          "phash": hashes})
+    qs = items.iloc[:5].rename(columns={"item_id": "query_id"})
+    got = K.knn_hamming_exact(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=3
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.item_id, r.dist))
+    for qi in range(5):
+        qid = f"i{qi:03d}"
+        dists = sorted(
+            (bin(int(hashes[qi]) ^ int(h)).count("1"), items.item_id[j])
+            for j, h in enumerate(hashes) if items.item_id[j] != qid
+        )[:3]
+        want = [(rk + 1, iid, d) for rk, (d, iid) in enumerate(dists)]
+        assert sorted(by_q[qid]) == want
+
+
+def test_knn_cosine_exact_vs_numpy(spark):
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(60, 8).round(4)
+    items = pd.DataFrame({"item_id": np.arange(60),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[:3].rename(columns={"item_id": "query_id"})
+    got = K.knn_cosine_exact(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=4
+    ).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qi in range(3):
+        want_order = [
+            int(j) for j in np.lexsort((np.arange(60), -sims[qi].round(6)))
+            if j != qi
+        ][:4]
+        got_order = [r.item_id for r in sorted(
+            (r for r in got if r.query_id == qi), key=lambda r: r.rank)]
+        assert got_order == want_order
+
+
+def test_ann_lsh_recall(spark):
+    # clustered vectors: ANN must find the true NN for most queries
+    rng = np.random.RandomState(5)
+    centers = rng.randn(10, 16) * 3
+    vecs = np.vstack([c + rng.randn(20, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(200),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::40].rename(columns={"item_id": "query_id"})
+    exact = K.knn_cosine_exact(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1).collect()
+    ann = K.ann_cosine_lsh(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1,
+        dim=16, n_planes=8, max_sig_hamming=2).collect()
+    exact_nn = {r.query_id: r.item_id for r in exact}
+    ann_nn = {r.query_id: r.item_id for r in ann}
+    hits = sum(ann_nn.get(k) == v for k, v in exact_nn.items())
+    assert hits >= len(exact_nn) * 0.8
+
+
+def test_cells_consistency_np_col_sql(spark):
+    import duckdb
+    pts = _points_pdf(100)
+    want = cells.cell_id_np(pts.lon.to_numpy(), pts.lat.to_numpy(), 12)
+    got_col = (
+        spark.createDataFrame(pts)
+        .select(cells.cell_id_col(F.col("lon"), F.col("lat"), 12).alias("c"))
+        .toPandas()["c"].to_numpy()
+    )
+    con = duckdb.connect()
+    con.register("pts", pts)
+    got_sql = con.sql(
+        f"SELECT {cells.cell_id_sql('lon', 'lat', 12)} AS c FROM pts"
+    ).fetchnumpy()["c"]
+    assert np.array_equal(np.sort(want), np.sort(got_col))
+    assert np.array_equal(np.sort(want), np.sort(got_sql.astype(np.int64)))
+
+
+def test_cell_ring_and_parent():
+    c = int(cells.cell_id_np(np.array([10.0]), np.array([20.0]), 10)[0])
+    ring = cells.cell_ring(c, 1)
+    assert len(ring) == 9 and c in ring
+    par = cells.cell_parent(np.array([c]), 8)[0]
+    b = cells.cell_bounds(int(par))
+    assert b[0] <= 10.0 <= b[2] and b[1] <= 20.0 <= b[3]
+
+
+def test_covering_cells_col_matches_np(spark):
+    boxes = _boxes_pdf(20)
+    sdf = spark.createDataFrame(boxes).select(
+        "box_id",
+        cells.covering_cells_col(F.col("min_lon"), F.col("min_lat"),
+                                 F.col("max_lon"), F.col("max_lat"), 8).alias("cc"),
+    ).toPandas()
+    for row in sdf.itertuples(index=False):
+        b = boxes[boxes.box_id == row.box_id].iloc[0]
+        want = set(cells.cells_covering_bbox(
+            (b.min_lon, b.min_lat, b.max_lon, b.max_lat), 8).tolist())
+        assert set(row.cc) == want, row.box_id

@@ -1,0 +1,80 @@
+"""Structured Streaming: watermarked windows over the events stream
+match the batch equivalents; incremental (streamed) mosaic ingestion
+is bit-identical to the one-shot batch mosaic."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark import generator
+from aef_mosaic_spark.grid import OutputGrid
+from aef_mosaic_spark.operators import mosaic as M
+from aef_mosaic_spark.streaming import events as SE
+from aef_mosaic_spark.streaming import ingest as SI
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    # split events into 3 files so the stream has multiple microbatches
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.repartition(3).write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def test_tumbling_counts_match_batch(spark, event_dir):
+    stream = SE.read_event_stream(spark, event_dir)
+    q = SE.run_to_memory(SE.tumbling_counts(stream), "tumbling_t")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    ev = spark.read.parquet(event_dir)
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .collect()
+    }
+    assert got == want
+    q.stop()
+
+
+def test_session_windows_run(spark, event_dir):
+    stream = SE.read_event_stream(spark, event_dir)
+    q = SE.run_to_memory(SE.session_windows(stream), "sessions_t")
+    rows = spark.sql("SELECT * FROM sessions_t").collect()
+    assert rows and all(r.n_events > 0 for r in rows)
+    assert all(r.session_end >= r.session_start for r in rows)
+    q.stop()
+
+
+def test_incremental_mosaic_matches_batch(spark, tmp_path):
+    grid = OutputGrid(
+        bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+        num_bands=3, chunk_h=256, chunk_w=256,
+    )
+    pdf = generator.images_pdf(30)
+    images = spark.createDataFrame(pdf, schema=generator.IMAGE_SCHEMA)
+    # batch reference
+    want = {
+        (r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+        for r in M.mosaic(images, grid, mode="mean").collect()
+    }
+    # stream the same tiles in 3 files -> patches table -> compact
+    in_dir = str(tmp_path / "in")
+    images.repartition(3).write.parquet(in_dir)
+    stream = SI.read_image_stream(spark, in_dir)
+    SI.stream_patches_to_table(stream, grid, str(tmp_path / "patches"),
+                               str(tmp_path / "ckpt"))
+    got = {
+        (r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+        for r in SI.compact_chunks(spark, str(tmp_path / "patches"), grid).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
