@@ -483,6 +483,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.assignments(images, _flagship_grid())
     q["q32_image_assignments"] = q32_image_assignments
 
+    # -------------- remaining relational/scalar operators --------------
+    def q33_global_bounds(spark, sf):
+        # A2 (reference bounds_wgs84, input_index.rs:421-439)
+        return _boxes(spark, sf).agg(
+            F.min("min_lon").alias("w"), F.min("min_lat").alias("s"),
+            F.max("max_lon").alias("e"), F.max("max_lat").alias("n"))
+    q["q33_global_bounds"] = q33_global_bounds
+
+    def q34_distinct_years(spark, sf):
+        # A3 (unique_years, input_index.rs:492-498)
+        return (_boxes(spark, sf).select(F.col("year").cast("bigint").alias("year"))
+                .distinct().orderBy("year"))
+    q["q34_distinct_years"] = q34_distinct_years
+
+    def q35_coverage_stats(spark, sf):
+        # A4 (coverage_stats, spatial_lookup.rs:92-122) over q18's grid
+        a = q["q18_chunk_assign"](spark, sf)
+        per = a.groupBy("time_idx", "row_idx", "col_idx").agg(
+            F.count(F.lit(1)).alias("n_tiles"))
+        return per.agg(
+            F.count(F.lit(1)).alias("chunks_with_data"),
+            F.max("n_tiles").alias("max_tiles_per_chunk"),
+            F.round(F.avg("n_tiles"), 6).alias("avg_tiles_per_chunk"))
+    q["q35_coverage_stats"] = q35_coverage_stats
+
+    def q36_chunk_key(spark, sf):
+        # X9 chunk-key string (checkpoint.rs:279-281)
+        a = q["q18_chunk_assign"](spark, sf)
+        return a.select(
+            "box_id",
+            F.concat_ws(":", "time_idx", "row_idx", "col_idx").alias("chunk_key"))
+    q["q36_chunk_key"] = q36_chunk_key
+
+    def q37_intersection_bounds(spark, sf):
+        # J5 intersect_bounds via greatest/least (crs.rs:222-233)
+        a = _boxes(spark, sf).select(
+            F.col("box_id").alias("id_a"), F.col("min_lon").alias("a0"),
+            F.col("min_lat").alias("a1"), F.col("max_lon").alias("a2"),
+            F.col("max_lat").alias("a3"))
+        b = _boxes2(spark, sf).select(
+            F.col("box_id").alias("id_b"), F.col("min_lon").alias("b0"),
+            F.col("min_lat").alias("b1"), F.col("max_lon").alias("b2"),
+            F.col("max_lat").alias("b3"))
+        pairs = S.box_intersect_join(
+            _boxes(spark, sf).withColumnRenamed("box_id", "id_a"),
+            _boxes2(spark, sf).withColumnRenamed("box_id", "id_b"),
+            res=9).select("id_a", "id_b")
+        return (pairs.join(a, "id_a").join(b, "id_b").select(
+            "id_a", "id_b",
+            F.greatest("a0", "b0").alias("ix0"),
+            F.greatest("a1", "b1").alias("iy0"),
+            F.least("a2", "b2").alias("ix1"),
+            F.least("a3", "b3").alias("iy1")))
+    q["q37_intersection_bounds"] = q37_intersection_bounds
+
+    def q38_normalize_index(spark, sf):
+        # S3 synonym normalization (input_index.rs:215-318): feed a
+        # table with alias column names + missing optionals
+        from aef_mosaic_spark.operators.normalize import normalize_index
+        raw = _pq(spark, sf, "supplier").selectExpr(
+            "s_suppkey AS fid",
+            "concat('s3://bucket/', s_suppkey, '.tif') AS uri",
+            "(s_suppkey * 23) % 3400 / 10e0 - 170e0 AS xmin",
+            "(s_suppkey * 29) % 1600 / 10e0 - 80e0  AS ymin",
+            "(s_suppkey * 23) % 3400 / 10e0 - 169e0 AS xmax",
+            "(s_suppkey * 29) % 1600 / 10e0 - 79e0  AS ymax",
+            "'EPSG:4326' AS srs",
+        )
+        n = normalize_index(raw)
+        return n.select("tile_id", "path", "min_x", "min_y", "max_x", "max_y",
+                        "crs", "resolution", "year")
+    q["q38_normalize_index"] = q38_normalize_index
+
+    def q39_hilbert_order(spark, sf):
+        # O1/X7 hilbert locality key (output_grid.rs:15-48); rows-only
+        # (not SQL-expressible) — deterministic values over chunk ids
+        import pandas as pd
+
+        from aef_mosaic_spark.grid import hilbert_d
+        a = q["q18_chunk_assign"](spark, sf).select("row_idx", "col_idx").distinct()
+
+        def _h(it):
+            for pdf in it:
+                pdf["hilbert"] = hilbert_d(pdf["col_idx"].to_numpy(),
+                                           pdf["row_idx"].to_numpy(), 8)
+                yield pdf
+
+        return a.mapInPandas(_h, schema="row_idx long, col_idx long, hilbert long")
+    q["q39_hilbert_order"] = q39_hilbert_order
+
     return q
 
 
@@ -763,6 +853,54 @@ def oracle_sql() -> dict[str, str]:
            {stopword_ratio_sql('text')} AS stopword_ratio,
            {quality_score_sql('text')} AS quality
     FROM documents
+    """
+
+    o["q33_global_bounds"] = f"""
+    SELECT min(min_lon) AS w, min(min_lat) AS s,
+           max(max_lon) AS e, max(max_lat) AS n FROM ({BOX_SQL})
+    """
+
+    o["q34_distinct_years"] = f"""
+    SELECT DISTINCT year FROM ({BOX_SQL}) ORDER BY year
+    """
+
+    o["q35_coverage_stats"] = f"""
+    WITH a AS ({_chunk_assign_sql()}),
+    per AS (SELECT time_idx, row_idx, col_idx, count(*) AS n_tiles
+            FROM a GROUP BY 1, 2, 3)
+    SELECT count(*) AS chunks_with_data,
+           max(n_tiles) AS max_tiles_per_chunk,
+           round(avg(n_tiles), 6) AS avg_tiles_per_chunk
+    FROM per
+    """
+
+    o["q36_chunk_key"] = f"""
+    SELECT box_id, time_idx || ':' || row_idx || ':' || col_idx AS chunk_key
+    FROM ({_chunk_assign_sql()})
+    """
+
+    o["q37_intersection_bounds"] = f"""
+    SELECT a.box_id AS id_a, b.box_id AS id_b,
+           greatest(a.min_lon, b.min_lon) AS ix0,
+           greatest(a.min_lat, b.min_lat) AS iy0,
+           least(a.max_lon, b.max_lon) AS ix1,
+           least(a.max_lat, b.max_lat) AS iy1
+    FROM ({BOX_SQL}) a JOIN ({BOX2_SQL}) b
+      ON a.min_lon < b.max_lon AND a.max_lon > b.min_lon
+     AND a.min_lat < b.max_lat AND a.max_lat > b.min_lat
+    """
+
+    o["q38_normalize_index"] = """
+    SELECT s_suppkey::VARCHAR AS tile_id,
+           's3://bucket/' || s_suppkey || '.tif' AS path,
+           (s_suppkey * 23) % 3400 / 10e0 - 170e0 AS min_x,
+           (s_suppkey * 29) % 1600 / 10e0 - 80e0  AS min_y,
+           (s_suppkey * 23) % 3400 / 10e0 - 169e0 AS max_x,
+           (s_suppkey * 29) % 1600 / 10e0 - 79e0  AS max_y,
+           'EPSG:4326' AS crs,
+           10.0e0 AS resolution,
+           2024 AS year
+    FROM supplier
     """
 
     return o

@@ -52,52 +52,75 @@ CHUNK_SCHEMA = (
 )
 
 
-def with_grid_bounds(df: DataFrame, grid: OutputGrid) -> DataFrame:
-    """Add tile bounds in the grid CRS (gx0, gy0, gx1, gy1).
+def _grid_bounds_np(pdf: pd.DataFrame, dst: str):
+    """Vectorized edge-densified bounds transform for a whole Arrow
+    batch: one trig pass per (src_crs -> dst) group, not per row
+    (reference src/crs.rs:159-217). Returns (gx0, gy0, gx1, gy1)."""
+    n = len(pdf)
+    gx0 = np.empty(n); gy0 = np.empty(n)
+    gx1 = np.empty(n); gy1 = np.empty(n)
+    for crs in pdf["crs"].unique():
+        m = (pdf["crs"] == crs).to_numpy()
+        sub = pdf.loc[m]
+        k = 5  # edge samples per side
+        ts = np.linspace(0.0, 1.0, k)
+        x0 = sub["min_x"].to_numpy(np.float64)
+        x1 = sub["max_x"].to_numpy(np.float64)
+        y0 = sub["min_y"].to_numpy(np.float64)
+        y1 = sub["max_y"].to_numpy(np.float64)
+        xs = np.concatenate([
+            x0[:, None] + ts * (x1 - x0)[:, None],
+            x0[:, None] + ts * (x1 - x0)[:, None],
+            np.repeat(x0[:, None], k, 1),
+            np.repeat(x1[:, None], k, 1),
+        ], axis=1)
+        ys = np.concatenate([
+            np.repeat(y0[:, None], k, 1),
+            np.repeat(y1[:, None], k, 1),
+            y0[:, None] + ts * (y1 - y0)[:, None],
+            y0[:, None] + ts * (y1 - y0)[:, None],
+        ], axis=1)
+        tx, ty = proj.transform_points(xs.ravel(), ys.ravel(), crs, dst)
+        tx = tx.reshape(xs.shape); ty = ty.reshape(ys.shape)
+        gx0[m] = tx.min(axis=1); gx1[m] = tx.max(axis=1)
+        gy0[m] = ty.min(axis=1); gy1[m] = ty.max(axis=1)
+    return gx0, gy0, gx1, gy1
 
-    Edge-densified bounds transform (reference src/crs.rs:159-217)
-    vectorized across the whole Arrow batch: one trig pass per
-    (src_crs -> grid_crs) group, not per row.
-    """
+
+def wgs84_prefilter(images: DataFrame, grid: OutputGrid) -> DataFrame:
+    """Pushed-down approximate prefilter: year in grid.years AND the
+    tile's WGS84 bbox (table columns) overlaps the grid extent
+    transformed to WGS84 (superset of the exact grid-CRS test — the
+    exact ranges decide downstream). These are plain Column predicates,
+    so they reach the Parquet scan (PushedFilters)."""
+    gx1 = grid.bounds[0] + grid.width * grid.resolution
+    gy0 = grid.bounds[3] - grid.height * grid.resolution
+    wb = proj.transform_bounds((grid.bounds[0], gy0, gx1, grid.bounds[3]),
+                               grid.crs, "EPSG:4326", densify=21)
+    pad = 0.1  # degrees of slack for projection curvature
+    return images.where(
+        F.col("year").isin(list(grid.years))
+        & (F.col("min_lon") < wb[2] + pad) & (F.col("max_lon") > wb[0] - pad)
+        & (F.col("min_lat") < wb[3] + pad) & (F.col("max_lat") > wb[1] - pad)
+    )
+
+
+def with_grid_bounds(df: DataFrame, grid: OutputGrid) -> DataFrame:
+    """Add tile bounds in the grid CRS (gx0, gy0, gx1, gy1) as a
+    pass-through mapInPandas projection — NO join back (a join would
+    shuffle the image bytes and recompute the scan branch twice)."""
     dst = grid.crs
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += ", gx0 double, gy0 double, gx1 double, gy1 double"
 
     def _tx(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pdf[["image_id"]].copy()
-            gx0 = np.empty(len(pdf)); gy0 = np.empty(len(pdf))
-            gx1 = np.empty(len(pdf)); gy1 = np.empty(len(pdf))
-            for crs in pdf["crs"].unique():
-                m = (pdf["crs"] == crs).to_numpy()
-                sub = pdf.loc[m]
-                k = 5  # edge samples per side
-                ts = np.linspace(0.0, 1.0, k)
-                x0 = sub["min_x"].to_numpy(np.float64)
-                x1 = sub["max_x"].to_numpy(np.float64)
-                y0 = sub["min_y"].to_numpy(np.float64)
-                y1 = sub["max_y"].to_numpy(np.float64)
-                xs = np.concatenate([
-                    x0[:, None] + ts * (x1 - x0)[:, None],
-                    x0[:, None] + ts * (x1 - x0)[:, None],
-                    np.repeat(x0[:, None], k, 1),
-                    np.repeat(x1[:, None], k, 1),
-                ], axis=1)
-                ys = np.concatenate([
-                    np.repeat(y0[:, None], k, 1),
-                    np.repeat(y1[:, None], k, 1),
-                    y0[:, None] + ts * (y1 - y0)[:, None],
-                    y0[:, None] + ts * (y1 - y0)[:, None],
-                ], axis=1)
-                tx, ty = proj.transform_points(xs.ravel(), ys.ravel(), crs, dst)
-                tx = tx.reshape(xs.shape); ty = ty.reshape(ys.shape)
-                gx0[m] = tx.min(axis=1); gx1[m] = tx.max(axis=1)
-                gy0[m] = ty.min(axis=1); gy1[m] = ty.max(axis=1)
+            gx0, gy0, gx1, gy1 = _grid_bounds_np(pdf, dst)
+            out = pdf.copy()
             out["gx0"], out["gy0"], out["gx1"], out["gy1"] = gx0, gy0, gx1, gy1
             yield out
 
-    bounds = df.select("image_id", "crs", "min_x", "min_y", "max_x", "max_y").mapInPandas(
-        _tx, schema="image_id string, gx0 double, gy0 double, gx1 double, gy1 double"
-    )
-    return df.join(bounds, "image_id")
+    return df.mapInPandas(_tx, schema=schema)
 
 
 def with_chunk_ranges(df: DataFrame, grid: OutputGrid) -> DataFrame:
@@ -147,8 +170,10 @@ def with_chunk_ranges(df: DataFrame, grid: OutputGrid) -> DataFrame:
 def assignments(df: DataFrame, grid: OutputGrid) -> DataFrame:
     """(image_id, time_idx, row_idx, col_idx) — the join-output
     tile/cell assignment table (golden_assignments fixture; J2+J3).
-    Pure JVM explode of `sequence` ranges, no UDF."""
-    ranged = with_chunk_ranges(with_grid_bounds(df, grid), grid)
+    Pure JVM explode of `sequence` ranges; bytes are pruned before the
+    bounds UDF so only metadata crosses the Python boundary."""
+    meta = df.select("image_id", "crs", "min_x", "min_y", "max_x", "max_y", "year")
+    ranged = with_chunk_ranges(with_grid_bounds(meta, grid), grid)
     return (
         ranged.select(
             "image_id", "time_idx",
@@ -327,7 +352,71 @@ def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -
     )
 
 
+def tiles_to_patches(images: DataFrame, grid: OutputGrid) -> DataFrame:
+    """The FUSED fast path: WGS84+year prefilter (pushed to the scan)
+    -> ONE mapInPandas doing bounds transform, exact chunk ranges,
+    decode-once, and patch reprojection. Zero shuffles and zero branch
+    recomputation before the patch exchange — this is the stage whose
+    throughput scales linearly with cores (see BENCH/BASELINE.md)."""
+    import hashlib
+
+    nb = grid.num_bands
+    gd = grid.to_dict()
+    gx0g, _, _, gy1g = grid.bounds
+    gx1g = gx0g + grid.width * grid.resolution
+    gy0g = gy1g - grid.height * grid.resolution
+    cw = grid.chunk_w * grid.resolution
+    ch = grid.chunk_h * grid.resolution
+    t_for_year = {y: i for i, y in enumerate(grid.years)}
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = OutputGrid.from_dict(gd)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            gx0, gy0, gx1, gy1 = _grid_bounds_np(pdf, g.crs)
+            col_min = np.maximum(np.floor((gx0 - gx0g) / cw), 0).astype(int)
+            col_max = np.minimum(np.ceil((gx1 - gx0g) / cw) - 1,
+                                 g.chunk_cols - 1).astype(int)
+            row_min = np.maximum(np.floor((gy1g - gy1) / ch), 0).astype(int)
+            row_max = np.minimum(np.ceil((gy1g - gy0) / ch) - 1,
+                                 g.chunk_rows - 1).astype(int)
+            ok = ((gx0 < gx1g) & (gx1 > gx0g) & (gy0 < gy1g) & (gy1 > gy0g)
+                  & (col_min <= col_max) & (row_min <= row_max))
+            rows: list[dict] = []
+            for i, t in enumerate(pdf.itertuples(index=False)):
+                if not ok[i] or t.year not in t_for_year:
+                    continue
+                img = codecs.decode(t.bytes, t.fmt, t.w, t.h)[:nb]
+                sort_key = int.from_bytes(
+                    hashlib.md5(t.image_id.encode()).digest()[:8], "big", signed=True)
+                gbox = (gx0[i], gy0[i], gx1[i], gy1[i])
+                ti = t_for_year[t.year]
+                for r in range(row_min[i], row_max[i] + 1):
+                    for c in range(col_min[i], col_max[i] + 1):
+                        res = _reproject_tile_to_chunk(
+                            img, t.crs, t.min_x, t.max_y, t.resolution, g, r, c,
+                            gbox=gbox)
+                        if res is None:
+                            continue
+                        y0, x0, patch, mask = res
+                        rows.append({
+                            "time_idx": ti, "row_idx": r, "col_idx": c,
+                            "y0": y0, "x0": x0,
+                            "ph": patch.shape[1], "pw": patch.shape[2],
+                            "patch": patch.astype(np.uint8).tobytes(),
+                            "mask": np.packbits(mask.ravel()).tobytes(),
+                            "sort_key": sort_key, "weight": 1.0,
+                            "image_id": t.image_id,
+                        })
+            yield pd.DataFrame(
+                rows,
+                columns=["time_idx", "row_idx", "col_idx", "y0", "x0", "ph", "pw",
+                         "patch", "mask", "sort_key", "weight", "image_id"])
+
+    return wgs84_prefilter(images, grid).mapInPandas(_gen, schema=PATCH_SCHEMA)
+
+
 def mosaic(images: DataFrame, grid: OutputGrid, mode: str = "mean") -> DataFrame:
     """images -> chunk DataFrame (the full flagship DAG, lazily)."""
-    ranged = with_chunk_ranges(with_grid_bounds(images, grid), grid)
-    return composite_chunks(reproject_patches(ranged, grid), grid, mode=mode)
+    return composite_chunks(tiles_to_patches(images, grid), grid, mode=mode)

@@ -44,14 +44,13 @@ class MosaicJob:
     def ranged_tiles(self, images: DataFrame) -> DataFrame:
         return M.with_chunk_ranges(M.with_grid_bounds(images, self.grid), self.grid)
 
-    def pending_tiles(self, spark: SparkSession, images: DataFrame,
-                      table: Icelite, resume: bool) -> tuple[DataFrame, int]:
+    def pending_tiles(self, images: DataFrame, done: DataFrame) -> DataFrame:
         """Prune completed chunks (reference src/lib.rs:249-264, F4/J9).
 
         Fully distributed: explode per-tile chunk keys -> anti-join the
         committed keys -> regroup to a per-tile *remaining chunk list*
         so fully-completed tiles are never decoded again.
-        Returns (tiles with `todo` array column, n_completed)."""
+        Returns tiles with a `todo` array column."""
         ranged = self.ranged_tiles(images)
         keys = (
             ranged.select(
@@ -60,21 +59,11 @@ class MosaicJob:
                 F.sequence("col_min", "col_max").alias("cols"),
             ).select("image_id", "time_idx", "row_idx", F.explode("cols").alias("col_idx"))
         )
-        n_completed = 0
-        if resume and table.exists():
-            props = table.properties()
-            if props.get("config_hash") != self.hash:
-                raise ValueError(
-                    "resume refused: config_hash mismatch "
-                    f"({props.get('config_hash')} != {self.hash})"
-                )
-            done = table.completed_keys(spark, KEYS)
-            n_completed = done.count()
-            keys = keys.join(done, on=KEYS, how="left_anti")
+        keys = keys.join(done, on=KEYS, how="left_anti")
         todo = keys.groupBy("image_id").agg(
             F.collect_set(F.struct(*KEYS)).alias("todo")
         )
-        return ranged.join(todo, "image_id"), n_completed
+        return ranged.join(todo, "image_id")
 
     # ------------------------------------------------------------- run
     def run(self, spark: SparkSession, images: DataFrame, output_path: str,
@@ -85,21 +74,40 @@ class MosaicJob:
         if not resume and table.exists():
             raise FileExistsError(f"{output_path} exists; pass resume=True")
         t0 = time.time()
-        tiles, n_completed = self.pending_tiles(spark, images, table, resume)
+
+        n_completed = 0
+        done = None
+        if resume and table.exists():
+            props = table.properties()
+            if props.get("config_hash") != self.hash:
+                raise ValueError(
+                    "resume refused: config_hash mismatch "
+                    f"({props.get('config_hash')} != {self.hash})"
+                )
+            done = table.completed_keys(spark, KEYS)
+            n_completed = done.count()
 
         obs_tiles = Observation("tiles")
-        tiles = tiles.observe(
-            obs_tiles,
-            F.count(F.lit(1)).alias("n_tiles"),
-            F.sum(F.length("bytes")).alias("tile_bytes"),
-        )
-        patches = M.reproject_patches(tiles, self.grid)
-        # keep only still-pending chunks (a tile may straddle done/undone)
-        patches = patches.join(
-            tiles.select(F.explode("todo").alias("k"))
-                 .select("k.time_idx", "k.row_idx", "k.col_idx").distinct(),
-            on=KEYS, how="left_semi",
-        )
+        if n_completed == 0:
+            # fresh run: fused zero-shuffle path (scan -> one
+            # mapInPandas -> patch exchange)
+            pre = M.wgs84_prefilter(images, self.grid).observe(
+                obs_tiles,
+                F.count(F.lit(1)).alias("n_tiles"),
+                F.sum(F.length("bytes")).alias("tile_bytes"),
+            )
+            patches = M.tiles_to_patches(pre, self.grid)
+        else:
+            # resume: per-tile remaining-work lists via anti-join
+            tiles = self.pending_tiles(images, done).observe(
+                obs_tiles,
+                F.count(F.lit(1)).alias("n_tiles"),
+                F.sum(F.length("bytes")).alias("tile_bytes"),
+            )
+            patches = M.reproject_patches(tiles, self.grid)
+            # keep only still-pending chunks (a tile may straddle
+            # done/undone)
+            patches = patches.join(done, on=KEYS, how="left_anti")
         obs_patches = Observation("patches")
         patches = patches.observe(
             obs_patches,

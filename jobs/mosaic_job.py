@@ -1,0 +1,101 @@
+"""spark-submit entry point for the mosaic pipeline (north rule: the
+whole job runs via `spark-submit --py-files dist/engine.zip` at two
+cluster sizes).
+
+  spark-submit --master local[8]  --py-files dist/engine.zip \\
+      jobs/mosaic_job.py --generate 1200 --output /tmp/out --resume
+
+On a real cluster the same invocation takes --master yarn/k8s and the
+images come from an existing table (--images-dir) instead of the
+deterministic generator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images-dir", help="parquet dir of the image+caption table")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate N deterministic synthetic tiles instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", default="mean", choices=["mean", "last", "weighted"])
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--analyze", action="store_true", help="plan-only report")
+    ap.add_argument("--bounds", default="499000,4095000,530000,4125000")
+    ap.add_argument("--crs", default="EPSG:32610")
+    ap.add_argument("--resolution", type=float, default=10.0)
+    ap.add_argument("--years", default="2023,2024")
+    ap.add_argument("--shuffle-partitions", type=int, default=0)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the python-worker warmup before timing")
+    args = ap.parse_args(argv)
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.plans.pipeline import MosaicJob
+
+    builder = SparkSession.builder.appName("aef-mosaic-run")
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions",
+                                 str(args.shuffle_partitions))
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+
+    grid = OutputGrid(
+        bounds=tuple(float(v) for v in args.bounds.split(",")),
+        crs=args.crs,
+        resolution=args.resolution,
+        years=tuple(int(y) for y in args.years.split(",")),
+        num_bands=3, chunk_h=256, chunk_w=256,
+    )
+    if args.generate:
+        from aef_mosaic_spark.generator import images_df
+
+        images = images_df(spark, args.generate)
+        n_in = args.generate
+    else:
+        images = spark.read.parquet(args.images_dir)
+        n_in = None
+
+    if not args.no_warmup:
+        # spawn + warm the python worker pool (imports numpy/pandas in
+        # every worker) so the measured run reflects steady-state
+        # throughput, not one-time process startup
+        import pandas as pd  # noqa: F401
+
+        def _noop(it):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+
+            from aef_mosaic_spark import codecs, proj  # noqa: F401
+            yield from it
+
+        spark.range(256, numPartitions=256).mapInPandas(
+            _noop, schema="id long").count()
+
+    job = MosaicJob(grid, mode=args.mode)
+    if args.analyze:
+        print(json.dumps(job.analyze(spark, images)))
+        return 0
+    t0 = time.time()
+    metrics = job.run(spark, images, args.output, resume=args.resume)
+    metrics["spark_master"] = spark.sparkContext.master
+    metrics["n_input"] = n_in
+    metrics["wall_total_s"] = round(time.time() - t0, 3)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
