@@ -29,6 +29,10 @@ _DEFAULT_CONF = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    # single BLAS thread per python worker (see get_spark docstring)
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 
@@ -44,6 +48,11 @@ def get_spark(
     levels (local[8] vs local[32]) for the scaling-efficiency
     protocol in BASELINE.md.
     """
+    # one numpy/BLAS thread per python worker: Spark supplies the
+    # process-level parallelism; nested OpenBLAS/MKL threads (numpy
+    # einsum in the codecs) oversubscribe cores and *reduce* throughput
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
