@@ -203,6 +203,14 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+def signed_square(x: np.ndarray) -> np.ndarray:
+    """Quantization metadata formula of the reference Zarr attrs
+    (zarr_writer.rs:190-198): int8 value -> float via
+    (x/127.5)^2 * sign(x). Provided for float views of stored chunks."""
+    xf = np.asarray(x, dtype=np.float64)
+    return (xf / 127.5) ** 2 * np.sign(xf)
+
+
 def phash64(img: np.ndarray) -> int:
     """64-bit perceptual hash: mean-pool to 32x32, 2-D DCT, top-left 8x8
     (skip DC), median threshold -> sign bits. Deterministic; supports

@@ -30,6 +30,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -267,8 +268,10 @@ def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
                             "time_idx": int(t.time_idx), "row_idx": r, "col_idx": c,
                             "y0": y0, "x0": x0,
                             "ph": patch.shape[1], "pw": patch.shape[2],
-                            "patch": patch.astype(np.uint8).tobytes(),
-                            "mask": np.packbits(mask.ravel()).tobytes(),
+                            "patch": zlib.compress(
+                                patch.astype(np.uint8).tobytes(), 1),
+                            "mask": zlib.compress(
+                                np.packbits(mask.ravel()).tobytes(), 1),
                             "sort_key": sort_key, "weight": 1.0,
                             "image_id": t.image_id,
                         })
@@ -315,9 +318,10 @@ def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -
             pdf = pdf.sort_values("sort_key", kind="stable")
         n_tiles = pdf["image_id"].nunique()
         for p in pdf.itertuples(index=False):
-            patch = np.frombuffer(p.patch, np.uint8).reshape(nb, p.ph, p.pw)
+            patch = np.frombuffer(zlib.decompress(p.patch), np.uint8
+                                  ).reshape(nb, p.ph, p.pw)
             mask = np.unpackbits(
-                np.frombuffer(p.mask, np.uint8), count=p.ph * p.pw
+                np.frombuffer(zlib.decompress(p.mask), np.uint8), count=p.ph * p.pw
             ).reshape(p.ph, p.pw).astype(bool)
             ys, xs = slice(p.y0, p.y0 + p.ph), slice(p.x0, p.x0 + p.pw)
             if mode == "mean":
@@ -350,6 +354,137 @@ def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -
     return patches.groupBy("time_idx", "row_idx", "col_idx").applyInPandas(
         _fin, schema=CHUNK_SCHEMA
     )
+
+
+PARTIAL_SCHEMA = (
+    "time_idx int, row_idx int, col_idx int, y0 int, x0 int, ph int, pw int, "
+    "a binary, b binary, n_tiles int"
+)
+
+
+def composite_chunks_salted(patches: DataFrame, grid: OutputGrid,
+                            mode: str = "mean", salt: int = 8) -> DataFrame:
+    """Two-level compositor for skewed chunks (a dense spatial cluster
+    puts thousands of patches in ONE chunk group, which a single-level
+    groupBy cannot split — the agg-side analog of join skew).
+
+    Level 1: groupBy(chunk, salt(image_id)) -> per-salt PARTIAL state
+    (bbox-cropped running sums / argmax canvas), so the hot group's
+    work spreads over `salt` tasks. Level 2: groupBy(chunk) merges the
+    <=salt partials and finalizes. Exact same results as
+    composite_chunks for every mode (associative states; last-on-top
+    merges by per-pixel max sort_key)."""
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+
+    def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        t, r, c = (int(pdf.iloc[0][k]) for k in ("time_idx", "row_idx", "col_idx"))
+        if mode == "mean":
+            acc = np.zeros((nb, chh, chw), np.int32)
+            cnt = np.zeros((chh, chw), np.int32)
+        elif mode == "weighted":
+            acc = np.zeros((nb, chh, chw), np.float64)
+            cnt = np.zeros((chh, chw), np.float64)
+        else:
+            canvas = np.zeros((nb, chh, chw), np.uint8)
+            best = np.full((chh, chw), np.iinfo(np.int64).min, np.int64)
+        for p in pdf.itertuples(index=False):
+            patch = np.frombuffer(zlib.decompress(p.patch), np.uint8
+                                  ).reshape(nb, p.ph, p.pw)
+            mask = np.unpackbits(np.frombuffer(zlib.decompress(p.mask), np.uint8),
+                                 count=p.ph * p.pw).reshape(p.ph, p.pw).astype(bool)
+            ys, xs = slice(p.y0, p.y0 + p.ph), slice(p.x0, p.x0 + p.pw)
+            if mode == "mean":
+                acc[:, ys, xs] += patch * mask
+                cnt[ys, xs] += mask
+            elif mode == "weighted":
+                acc[:, ys, xs] += patch * (mask * p.weight)
+                cnt[ys, xs] += mask * p.weight
+            else:
+                sub_b = best[ys, xs]
+                take = mask & (p.sort_key > sub_b)
+                sub_c = canvas[:, ys, xs]
+                sub_c[:, take] = patch[:, take]
+                canvas[:, ys, xs] = sub_c
+                sub_b[take] = p.sort_key
+                best[ys, xs] = sub_b
+        touched = cnt > 0 if mode in ("mean", "weighted") else \
+            best > np.iinfo(np.int64).min
+        if not touched.any():
+            return pd.DataFrame(columns=[f.split()[0] for f in
+                                         PARTIAL_SCHEMA.split(", ")])
+        ys, xs = np.where(touched)
+        y0, y1 = int(ys.min()), int(ys.max()) + 1
+        x0, x1 = int(xs.min()), int(xs.max()) + 1
+        if mode in ("mean", "weighted"):
+            a = zlib.compress(np.ascontiguousarray(acc[:, y0:y1, x0:x1]).tobytes(), 1)
+            b = zlib.compress(np.ascontiguousarray(cnt[y0:y1, x0:x1]).tobytes(), 1)
+        else:
+            a = zlib.compress(np.ascontiguousarray(canvas[:, y0:y1, x0:x1]).tobytes(), 1)
+            b = zlib.compress(np.ascontiguousarray(best[y0:y1, x0:x1]).tobytes(), 1)
+        return pd.DataFrame([{
+            "time_idx": t, "row_idx": r, "col_idx": c,
+            "y0": y0, "x0": x0, "ph": y1 - y0, "pw": x1 - x0,
+            "a": a, "b": b, "n_tiles": int(pdf["image_id"].nunique()),
+        }])
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        t, r, c = (int(pdf.iloc[0][k]) for k in ("time_idx", "row_idx", "col_idx"))
+        if mode == "mean":
+            acc = np.zeros((nb, chh, chw), np.int64)
+            cnt = np.zeros((chh, chw), np.int64)
+        elif mode == "weighted":
+            acc = np.zeros((nb, chh, chw), np.float64)
+            cnt = np.zeros((chh, chw), np.float64)
+        else:
+            canvas = np.zeros((nb, chh, chw), np.uint8)
+            best = np.full((chh, chw), np.iinfo(np.int64).min, np.int64)
+        n_tiles = 0
+        for p in pdf.itertuples(index=False):
+            ys, xs = slice(p.y0, p.y0 + p.ph), slice(p.x0, p.x0 + p.pw)
+            n_tiles += p.n_tiles  # salts partition image_ids disjointly
+            if mode == "mean":
+                acc[:, ys, xs] += np.frombuffer(zlib.decompress(p.a), np.int32
+                                                ).reshape(nb, p.ph, p.pw)
+                cnt[ys, xs] += np.frombuffer(zlib.decompress(p.b), np.int32
+                                             ).reshape(p.ph, p.pw)
+            elif mode == "weighted":
+                acc[:, ys, xs] += np.frombuffer(zlib.decompress(p.a), np.float64
+                                                ).reshape(nb, p.ph, p.pw)
+                cnt[ys, xs] += np.frombuffer(zlib.decompress(p.b), np.float64
+                                             ).reshape(p.ph, p.pw)
+            else:
+                pc = np.frombuffer(zlib.decompress(p.a), np.uint8
+                                   ).reshape(nb, p.ph, p.pw)
+                pb = np.frombuffer(zlib.decompress(p.b), np.int64
+                                   ).reshape(p.ph, p.pw)
+                sub_b = best[ys, xs]
+                take = pb > sub_b
+                sub_c = canvas[:, ys, xs]
+                sub_c[:, take] = pc[:, take]
+                canvas[:, ys, xs] = sub_c
+                sub_b[take] = pb[take]
+                best[ys, xs] = sub_b
+        if mode == "mean":
+            canvas = np.where(cnt > 0, _finalize_mean(acc, cnt), 0).astype(np.uint8)
+            valid = int((cnt > 0).sum())
+        elif mode == "weighted":
+            canvas = np.where(cnt > 0, np.rint(acc / np.maximum(cnt, 1e-12)), 0
+                              ).astype(np.uint8)
+            valid = int((cnt > 0).sum())
+        else:
+            valid = int((best > np.iinfo(np.int64).min).sum())
+        return pd.DataFrame([{
+            "time_idx": t, "row_idx": r, "col_idx": c,
+            "chunk": canvas.tobytes(), "n_tiles": n_tiles,
+            "valid_px": valid, "bands": nb, "chunk_h": chh, "chunk_w": chw,
+        }])
+
+    salted = patches.withColumn(
+        "_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)).cast("int"))
+    partials = salted.groupBy("time_idx", "row_idx", "col_idx", "_salt") \
+                     .applyInPandas(_partial, schema=PARTIAL_SCHEMA)
+    return partials.groupBy("time_idx", "row_idx", "col_idx").applyInPandas(
+        _merge, schema=CHUNK_SCHEMA)
 
 
 def tiles_to_patches(images: DataFrame, grid: OutputGrid) -> DataFrame:
@@ -404,8 +539,10 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid) -> DataFrame:
                             "time_idx": ti, "row_idx": r, "col_idx": c,
                             "y0": y0, "x0": x0,
                             "ph": patch.shape[1], "pw": patch.shape[2],
-                            "patch": patch.astype(np.uint8).tobytes(),
-                            "mask": np.packbits(mask.ravel()).tobytes(),
+                            "patch": zlib.compress(
+                                patch.astype(np.uint8).tobytes(), 1),
+                            "mask": zlib.compress(
+                                np.packbits(mask.ravel()).tobytes(), 1),
                             "sort_key": sort_key, "weight": 1.0,
                             "image_id": t.image_id,
                         })

@@ -35,10 +35,30 @@ def config_hash(grid: OutputGrid, mode: str) -> str:
 
 
 class MosaicJob:
-    def __init__(self, grid: OutputGrid, mode: str = "mean"):
+    def __init__(self, grid: OutputGrid, mode: str = "mean",
+                 cluster_output: bool = False, composite_salt: int = 0):
         self.grid = grid
         self.mode = mode
+        self.cluster_output = cluster_output
+        # >1 enables the two-level skew-splitting compositor (bit-exact)
+        self.composite_salt = composite_salt
         self.hash = config_hash(grid, mode)
+
+    def _with_hilbert(self, chunks: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        from aef_mosaic_spark.grid import hilbert_d, hilbert_order_for
+        order = hilbert_order_for(max(self.grid.chunk_rows, self.grid.chunk_cols))
+
+        def _h(it):
+            for pdf in it:
+                pdf["hilbert"] = hilbert_d(pdf["col_idx"].to_numpy(),
+                                           pdf["row_idx"].to_numpy(), order)
+                yield pdf
+
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in chunks.schema.fields) + ", hilbert long"
+        return chunks.mapInPandas(_h, schema=schema)
 
     # ------------------------------------------------------------ plan
     def ranged_tiles(self, images: DataFrame) -> DataFrame:
@@ -114,7 +134,19 @@ class MosaicJob:
             F.count(F.lit(1)).alias("n_patches"),
             F.sum(F.length("patch")).alias("patch_bytes"),
         )
-        chunks = M.composite_chunks(patches, self.grid, mode=self.mode)
+        if self.composite_salt > 1:
+            chunks = M.composite_chunks_salted(patches, self.grid,
+                                               mode=self.mode,
+                                               salt=self.composite_salt)
+        else:
+            chunks = M.composite_chunks(patches, self.grid, mode=self.mode)
+        if self.cluster_output:
+            # Hilbert clustering of chunk rows within the sink
+            # (reference O1, output_grid.rs:221-244): spatially adjacent
+            # chunks land in the same files -> better compression and
+            # locality for windowed readers
+            chunks = self._with_hilbert(chunks).repartitionByRange(
+                "time_idx", "hilbert").drop("hilbert")
 
         snap_id = table.append(
             chunks,
@@ -127,6 +159,8 @@ class MosaicJob:
             summary={"operation": "mosaic", "resumed": resume,
                      "previously_completed": n_completed},
         )
+        if snap_id == 1:
+            self._write_coordinate_tables(spark, output_path)
         wall = time.time() - t0
 
         def _get(obs: Observation, keys: list[str]) -> dict:
@@ -159,6 +193,26 @@ class MosaicJob:
         with open(os.path.join(output_path, f"metrics-{snap_id}.json"), "w") as f:
             json.dump(metrics, f, indent=1)
         return metrics
+
+    def _write_coordinate_tables(self, spark: SparkSession, output_path: str):
+        """Dimension/coordinate tables for xarray-style consumers
+        (reference S11: create_coordinate_arrays, zarr_writer.rs:406-487):
+        pixel-center x/y per column/row, years, band indices."""
+        g = self.grid
+        import numpy as np
+
+        xs = g.bounds[0] + (np.arange(g.width) + 0.5) * g.resolution
+        ys = g.bounds[3] - (np.arange(g.height) + 0.5) * g.resolution
+        dims = {
+            "x": [(int(i), float(v)) for i, v in enumerate(xs)],
+            "y": [(int(i), float(v)) for i, v in enumerate(ys)],
+            "time": [(i, float(y)) for i, y in enumerate(g.years)],
+            "band": [(b, float(b)) for b in range(g.num_bands)],
+        }
+        base = os.path.join(output_path, "coords")
+        for name, rows in dims.items():
+            spark.createDataFrame(rows, schema=f"idx int, {name} double") \
+                .coalesce(1).write.mode("overwrite").parquet(f"{base}/{name}")
 
     # --------------------------------------------------------- analyze
     def analyze(self, spark: SparkSession, images: DataFrame) -> dict:

@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--shuffle-partitions", type=int, default=0)
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the python-worker warmup before timing")
+    ap.add_argument("--composite-salt", type=int, default=0,
+                    help=">1 enables the two-level skew-splitting compositor")
+    ap.add_argument("--cluster-output", action="store_true",
+                    help="Hilbert-cluster chunk rows in the sink")
     args = ap.parse_args(argv)
 
     from aef_mosaic_spark.grid import OutputGrid
@@ -91,7 +95,8 @@ def main(argv=None):
         spark.range(256, numPartitions=256).mapInPandas(
             _noop, schema="id long").count()
 
-    job = MosaicJob(grid, mode=args.mode)
+    job = MosaicJob(grid, mode=args.mode, cluster_output=args.cluster_output,
+                    composite_salt=args.composite_salt)
     if args.analyze:
         print(json.dumps(job.analyze(spark, images)))
         return 0

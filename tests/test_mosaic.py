@@ -104,3 +104,20 @@ def test_caption_passthrough(spark, images_pdf, images_sdf, grid):
     got = {(r.image_id, r.caption) for r in joined.collect()}
     want_caps = dict(zip(images_pdf.image_id, images_pdf.caption))
     assert all(cap == want_caps[i] for i, cap in got)
+
+
+def test_salted_composite_matches_single_level(spark, images_pdf, images_sdf, grid):
+    # two-level (skew-splitting) compositor is bit-exact vs single-level
+    from aef_mosaic_spark.operators.mosaic import (
+        composite_chunks, composite_chunks_salted, tiles_to_patches)
+    patches = tiles_to_patches(images_sdf, grid)
+    for mode in ("mean", "last", "weighted"):
+        single = {
+            (r.time_idx, r.row_idx, r.col_idx): (bytes(r.chunk), r.n_tiles, r.valid_px)
+            for r in composite_chunks(patches, grid, mode=mode).collect()
+        }
+        salted = {
+            (r.time_idx, r.row_idx, r.col_idx): (bytes(r.chunk), r.n_tiles, r.valid_px)
+            for r in composite_chunks_salted(patches, grid, mode=mode, salt=4).collect()
+        }
+        assert single == salted, mode
