@@ -200,19 +200,24 @@ class MosaicJob:
         pixel-center x/y per column/row, years, band indices."""
         g = self.grid
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as papq
 
         xs = g.bounds[0] + (np.arange(g.width) + 0.5) * g.resolution
         ys = g.bounds[3] - (np.arange(g.height) + 0.5) * g.resolution
         dims = {
-            "x": [(int(i), float(v)) for i, v in enumerate(xs)],
-            "y": [(int(i), float(v)) for i, v in enumerate(ys)],
-            "time": [(i, float(y)) for i, y in enumerate(g.years)],
-            "band": [(b, float(b)) for b in range(g.num_bands)],
+            "x": xs, "y": ys,
+            "time": np.array([float(y) for y in g.years]),
+            "band": np.arange(g.num_bands, dtype=np.float64),
         }
         base = os.path.join(output_path, "coords")
-        for name, rows in dims.items():
-            spark.createDataFrame(rows, schema=f"idx int, {name} double") \
-                .coalesce(1).write.mode("overwrite").parquet(f"{base}/{name}")
+        # tiny driver-side dimension tables: plain pyarrow, no Spark jobs
+        for name, vals in dims.items():
+            os.makedirs(f"{base}/{name}", exist_ok=True)
+            papq.write_table(
+                pa.table({"idx": np.arange(len(vals), dtype=np.int32),
+                          name: vals}),
+                f"{base}/{name}/part-0.parquet")
 
     # --------------------------------------------------------- analyze
     def analyze(self, spark: SparkSession, images: DataFrame) -> dict:
