@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image / audio / video as opaque binary
+columns with typed metadata, processed by Arrow-batched kernels.
+
+The image path is fully real (codecs.py). Audio decode and video
+frame sampling need media libraries that are not in this container,
+so the *kernels* are deterministic stubs behind a clearly-marked
+seam (`_decode_audio_impl` / `_decode_video_frame_impl` raise
+NotImplementedError; the deterministic fake is used when
+``fake=True``), while the Spark-side plumbing — schemas, mapInPandas
+batch shape, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+AUDIO_SCHEMA = ("audio_id string, bytes binary, sample_rate int, "
+                "n_channels int, fmt string, caption string")
+AUDIO_FEATURE_SCHEMA = ("audio_id string, n_samples long, rms double, "
+                        "zero_crossings long, caption string")
+VIDEO_SCHEMA = ("video_id string, bytes binary, w int, h int, fps double, "
+                "n_frames int, fmt string, caption string")
+FRAME_SCHEMA = ("video_id string, frame_idx int, frame binary, w int, h int, "
+                "caption string")
+
+
+def _decode_audio_impl(data: bytes, fmt: str, sample_rate: int,
+                       n_channels: int) -> np.ndarray:
+    """Real audio decode (wav/mp3/flac). No audio libs in this
+    container — STUB."""
+    raise NotImplementedError("audio decode requires soundfile/ffmpeg")
+
+
+def _decode_video_frame_impl(data: bytes, fmt: str, frame_idx: int,
+                             w: int, h: int) -> np.ndarray:
+    """Real video frame decode. No video libs in this container — STUB."""
+    raise NotImplementedError("video decode requires av/ffmpeg")
+
+
+def _fake_audio(data: bytes, n: int = 4096) -> np.ndarray:
+    """Deterministic stand-in: pseudo-waveform derived from the payload
+    hash (so tests exercise real numpy + Arrow paths end-to-end)."""
+    seed = int.from_bytes(hashlib.md5(data).digest()[:4], "big")
+    t = np.arange(n, dtype=np.float64)
+    return np.sin(2 * np.pi * (seed % 400 + 40) / 8000.0 * t) * 0.5
+
+
+def _fake_frame(data: bytes, frame_idx: int, w: int, h: int) -> np.ndarray:
+    seed = int.from_bytes(hashlib.md5(data + bytes([frame_idx % 256])).digest()[:4], "big")
+    base = (seed % 200) + 20
+    return np.full((3, h, w), base, np.uint8)
+
+
+def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched audio feature extraction (RMS, zero crossings)."""
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                wave = (_fake_audio(bytes(t.bytes)) if fake else
+                        _decode_audio_impl(bytes(t.bytes), t.fmt,
+                                           t.sample_rate, t.n_channels))
+                rows.append({
+                    "audio_id": t.audio_id,
+                    "n_samples": len(wave),
+                    "rms": round(float(np.sqrt(np.mean(wave**2))), 6),
+                    "zero_crossings": int((np.diff(np.sign(wave)) != 0).sum()),
+                    "caption": t.caption,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "n_samples", "rms", "zero_crossings", "caption"])
+
+    return df.mapInPandas(_gen, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (1->many), raw
+    RGB planar payloads ready for the image kernels."""
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                for fi in range(0, int(t.n_frames), every_n):
+                    frame = (_fake_frame(bytes(t.bytes), fi, t.w, t.h) if fake
+                             else _decode_video_frame_impl(
+                                 bytes(t.bytes), t.fmt, fi, t.w, t.h))
+                    rows.append({
+                        "video_id": t.video_id, "frame_idx": fi,
+                        "frame": frame.tobytes(), "w": t.w, "h": t.h,
+                        "caption": t.caption,
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_idx", "frame", "w", "h", "caption"])
+
+    return df.mapInPandas(_gen, schema=FRAME_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor, numpy) over the standard
+    image table: decode -> index-map resize -> re-encode raw."""
+    from aef_mosaic_spark import codecs
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                img = codecs.decode(bytes(t.bytes), t.fmt, t.w, t.h)
+                yi = (np.arange(out_h) * t.h // out_h)
+                xi = (np.arange(out_w) * t.w // out_w)
+                small = img[:, yi][:, :, xi]
+                rows.append({
+                    "image_id": t.image_id, "bytes": small.tobytes(),
+                    "w": out_w, "h": out_h, "fmt": "raw",
+                    "caption": t.caption, "phash": codecs.phash64(small),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+
+    return df.mapInPandas(
+        _gen, schema="image_id string, bytes binary, w int, h int, "
+                     "fmt string, caption string, phash long")

@@ -57,6 +57,9 @@ def main(argv=None):
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound per-batch worker memory for wide binary rows (the 10000
+        # default makes ~270MB pandas batches -> allocation churn)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
