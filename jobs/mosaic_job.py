@@ -66,8 +66,12 @@ def main(argv=None):
     )
     spark = builder.getOrCreate()
 
+    bounds = tuple(float(v) for v in args.bounds.split(","))
+    if len(bounds) != 4:
+        ap.error(f"--bounds needs 4 comma-separated values "
+                 f"(min_x,min_y,max_x,max_y), got {len(bounds)}")
     grid = OutputGrid(
-        bounds=tuple(float(v) for v in args.bounds.split(",")),
+        bounds=bounds,
         crs=args.crs,
         resolution=args.resolution,
         years=tuple(int(y) for y in args.years.split(",")),
