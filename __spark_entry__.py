@@ -247,24 +247,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q06_window_rank"] = q06_window_rank
 
     def q07_asof_join(spark, sf):
-        # merge-asof via union + last-non-null window: scalable (one
-        # shuffle on the key, no per-key collect) — SURVEY §2.3 as-of row
-        from pyspark.sql import Window
-        e = _pq(spark, sf, "events").selectExpr(
-            "user_id AS k", "ts AS t", "event_id", "CAST(NULL AS timestamp) AS odate",
-            "1 AS side")
-        o = _pq(spark, sf, "orders").selectExpr(
-            "o_custkey AS k", "o_orderdate AS t", "CAST(NULL AS bigint) AS event_id",
-            "o_orderdate AS odate", "0 AS side")
-        u = e.unionByName(o)
-        w = Window.partitionBy("k").orderBy("t", "side").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)
-        return (
-            u.withColumn("last_odate", F.last("odate", ignorenulls=True).over(w))
-            .where(F.col("side") == 1)
-            .select("event_id", F.col("k").alias("user_id"),
-                    F.date_format("last_odate", "yyyy-MM-dd").alias("asof_order_date"))
-        )
+        # merge-asof operator (union + last-non-null window: one shuffle
+        # on the key, no per-key collect) — SURVEY §2.3 as-of row
+        from aef_mosaic_spark.operators.asof import asof_join
+        e = _pq(spark, sf, "events").select("event_id", "user_id", "ts")
+        o = _pq(spark, sf, "orders").select("o_custkey", "o_orderdate")
+        out = asof_join(e, o, left_on="ts", right_on="o_orderdate",
+                        left_by="user_id", right_by="o_custkey",
+                        value_cols=["o_orderdate"])
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_order_date"))
     q["q07_asof_join"] = q07_asof_join
 
     def q08_sessionize(spark, sf):
@@ -360,7 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = d.where(F.col("doc_id") < 20).selectExpr(
             "doc_id AS query_id", "phash")
         items = d.selectExpr("doc_id AS item_id", "phash")
-        return K.knn_hamming_banded(queries_df, items, k=5)
+        return K.knn_hamming_banded(queries_df, items, k=5, n_bands=8)
     q["q15b_knn_hamming_banded"] = q15b_knn_hamming_banded
 
     def q16_knn_cosine(spark, sf):
@@ -555,6 +548,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return n.select("tile_id", "path", "min_x", "min_y", "max_x", "max_y",
                         "crs", "resolution", "year")
     q["q38_normalize_index"] = q38_normalize_index
+
+    def q40_resize_images(spark, sf):
+        # multimodal: real nearest-neighbor resize over the image table
+        from aef_mosaic_spark.functions.multimodal import resize_images
+        images = generator.images_df(spark, 60)
+        return resize_images(images, 32, 32).select(
+            "image_id", "w", "h", "fmt", "phash",
+            F.md5(F.col("bytes")).alias("bytes_md5"), "caption")
+    q["q40_resize_images"] = q40_resize_images
+
+    def q41_audio_features(spark, sf):
+        # multimodal plumbing: audio table derived from documents
+        # (payload = text bytes), deterministic fake decode kernel
+        from aef_mosaic_spark.functions.multimodal import audio_features
+        d = _pq(spark, sf, "documents").selectExpr(
+            "CAST(doc_id AS STRING) AS audio_id",
+            "CAST(encode(text, 'utf-8') AS BINARY) AS bytes",
+            "8000 AS sample_rate", "1 AS n_channels",
+            "'wav' AS fmt", "text AS caption")
+        return audio_features(d)
+    q["q41_audio_features"] = q41_audio_features
 
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); rows-only

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the numeric cores — beyond
+the reference's example-based suite (SURVEY §5: reference has no
+property testing; these pin the invariants its production bug class
+lived in: round-trips, top-down conventions, containment)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aef_mosaic_spark import cells, proj
+from aef_mosaic_spark.grid import OutputGrid, hilbert_d, hilbert_order_for
+from aef_mosaic_spark.operators.mosaic import _finalize_mean
+
+lon_s = st.floats(-179.9, 179.9, allow_nan=False)
+lat_s = st.floats(-84.0, 84.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=st.floats(-129.9, -120.1), lat=st.floats(1.0, 83.0))
+def test_utm_roundtrip_property(lon, lat):
+    e, n = proj.wgs84_to_utm(np.array([lon]), np.array([lat]), 10, False)
+    lon2, lat2 = proj.utm_to_wgs84(e, n, 10, False)
+    assert abs(lon2[0] - lon) < 1e-7 and abs(lat2[0] - lat) < 1e-7
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_s, lat=lat_s)
+def test_cea_roundtrip_property(lon, lat):
+    x, y = proj.wgs84_to_cea(np.array([lon]), np.array([lat]))
+    lon2, lat2 = proj.cea_to_wgs84(x, y)
+    assert abs(lon2[0] - lon) < 1e-7 and abs(lat2[0] - lat) < 1e-5
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_s, lat=lat_s, res=st.integers(1, 20))
+def test_point_cell_contains_point(lon, lat, res):
+    c = int(cells.cell_id_np(np.array([lon]), np.array([lat]), res)[0])
+    b = cells.cell_bounds(c)
+    # half-ULP slack: a point within float rounding of a cell boundary
+    # may legitimately land on either side
+    eps = 1e-9
+    assert b[0] - eps <= lon <= b[2] + eps
+    assert b[1] - eps <= lat <= b[3] + eps
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon=st.floats(-170, 165), lat=st.floats(-80, 75),
+       w=st.floats(0.01, 5), h=st.floats(0.01, 5), res=st.integers(2, 12))
+def test_covering_contains_point_cells(lon, lat, w, h, res):
+    bbox = (lon, lat, lon + w, lat + h)
+    cover = set(cells.cells_covering_bbox(bbox, res).tolist())
+    # any point strictly inside the bbox maps to a covered cell
+    for fx, fy in ((0.01, 0.01), (0.5, 0.5), (0.99, 0.99), (0.01, 0.99)):
+        px, py = lon + w * fx, lat + h * fy
+        c = int(cells.cell_id_np(np.array([px]), np.array([py]), res)[0])
+        assert c in cover
+
+
+@settings(max_examples=100, deadline=None)
+@given(order=st.integers(1, 8), n=st.integers(1, 50))
+def test_hilbert_injective_sample(order, n):
+    size = 1 << order
+    rng = np.random.RandomState(n)
+    xs = rng.randint(0, size, n)
+    ys = rng.randint(0, size, n)
+    d = hilbert_d(xs, ys, order)
+    seen = {}
+    for x, y, dv in zip(xs, ys, d):
+        key = (int(x), int(y))
+        assert seen.setdefault(key, int(dv)) == int(dv)
+    assert (d >= 0).all() and (d < size * size).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    # integral-meter origins/extents: real grids are axis-aligned to
+    # representable coordinates (AEF: 500000/4096000 at 10 m); with
+    # arbitrary float origins, floor-binning is ULP-ambiguous at chunk
+    # boundaries by construction
+    min_x=st.integers(-1_000_000, 1_000_000),
+    min_y=st.integers(-1_000_000, 1_000_000),
+    w=st.integers(10, 100_000), h=st.integers(10, 100_000),
+    res=st.sampled_from([1.0, 10.0, 30.0]),
+)
+def test_grid_dims_chunk_multiple_and_ranges(min_x, min_y, w, h, res):
+    g = OutputGrid(bounds=(float(min_x), float(min_y),
+                           float(min_x + w), float(min_y + h)),
+                   crs="EPSG:32610", resolution=res, years=(2024,))
+    assert g.width % g.chunk_w == 0 and g.height % g.chunk_h == 0
+    assert g.width >= np.ceil(w / res) and g.height >= np.ceil(h / res)
+    # a box equal to any chunk's bounds maps to exactly that chunk
+    r, c = g.chunk_rows // 2, g.chunk_cols // 2
+    assert g.chunk_ranges_for_bounds(g.chunk_bounds(r, c)) == (r, r, c, c)
+
+
+@settings(max_examples=300, deadline=None)
+@given(vals=st.lists(st.integers(0, 255), min_size=1, max_size=20))
+def test_mean_rounding_half_away(vals):
+    import decimal
+
+    s, c = sum(vals), len(vals)
+    got = int(_finalize_mean(np.array([s]), np.array([c]))[0])
+    want = int((decimal.Decimal(s) / decimal.Decimal(c)).quantize(
+        0, rounding=decimal.ROUND_HALF_UP))
+    assert got == want
+    assert 0 <= got <= 255
+
+
+@settings(max_examples=100, deadline=None)
+@given(order=st.integers(1, 10))
+def test_hilbert_order_for_covers(order):
+    dim = 1 << order
+    assert (1 << hilbert_order_for(dim)) >= dim
