@@ -1,0 +1,106 @@
+"""Windowed reads, path utils, hilbert tile clustering, stateful
+streaming operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark import codecs, generator
+from aef_mosaic_spark.sources import readers as R
+
+
+def test_parse_s3_uri():
+    assert R.parse_s3_uri("s3://b/k/x.tif") == ("b", "k/x.tif")
+    with pytest.raises(ValueError):
+        R.parse_s3_uri("http://b/k")
+
+
+def test_strip_bucket_col(spark):
+    df = spark.createDataFrame([("s3://bucket/a/b.tif",)], ["p"])
+    assert df.select(R.strip_bucket_col(F.col("p")).alias("k")).first().k == "a/b.tif"
+
+
+def test_read_window_matches_numpy_slice(spark):
+    pdf = generator.images_pdf(8)
+    out = {r.image_id: r for r in R.read_window(
+        spark.createDataFrame(pdf, generator.IMAGE_SCHEMA), 10, 5, 40, 30
+    ).collect()}
+    for t in pdf.itertuples(index=False):
+        img = codecs.decode(t.bytes, t.fmt, t.w, t.h)
+        want = img[:, 5:35, 10:50]
+        r = out[t.image_id]
+        got = np.frombuffer(r.bytes, np.uint8).reshape(3, r.h, r.w)
+        assert np.array_equal(got, want)
+
+
+def test_read_window_clamps_and_drops_disjoint(spark):
+    pdf = generator.images_pdf(4)
+    # window beyond every image -> empty result
+    assert R.read_window(
+        spark.createDataFrame(pdf, generator.IMAGE_SCHEMA), 10000, 10000, 5, 5
+    ).count() == 0
+    # partially out of range -> clamped
+    r = R.read_window(
+        spark.createDataFrame(pdf.iloc[:1], generator.IMAGE_SCHEMA), -10, -10, 30, 30
+    ).first()
+    assert (r.x0, r.y0) == (0, 0) and r.w == 20 and r.h == 20
+
+
+def test_order_tiles_hilbert_clusters(spark):
+    images = spark.createDataFrame(generator.images_pdf(60),
+                                   generator.IMAGE_SCHEMA)
+    ordered = R.order_tiles_hilbert(images)
+    assert ordered.count() == 60
+    assert set(ordered.columns) == set(images.columns)
+    # within each partition, consecutive tiles are spatially close on
+    # average compared to random order
+    rows = ordered.select("min_lon", "min_lat").collect()
+    d_ord = np.mean([abs(rows[i].min_lon - rows[i+1].min_lon)
+                     + abs(rows[i].min_lat - rows[i+1].min_lat)
+                     for i in range(len(rows) - 1)])
+    pdf = generator.images_pdf(60)
+    d_rand = np.mean(np.abs(np.diff(pdf.min_lon)) + np.abs(np.diff(pdf.min_lat)))
+    assert d_ord <= d_rand
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    from aef_mosaic_spark.streaming.stateful import streaming_dedup_first_seen
+    # events stream with duplicate ids across microbatches
+    pdf = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 1, 1, 2],
+        "i": [10, 11, 10, 20, 20, 11, 12, 21],
+    })
+    src = str(tmp_path / "in")
+    spark.createDataFrame(pdf, "k long, i long").repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("k long, i long") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (streaming_dedup_first_seen(stream, "k", "i")
+         .writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.k, r.i) for r in spark.sql("SELECT * FROM dedup_t").collect()}
+    assert got == {(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)}
+    q.stop()
+
+
+def test_streaming_running_stats(spark, tmp_path):
+    from aef_mosaic_spark.streaming.stateful import streaming_running_stats
+    pdf = pd.DataFrame({"k": [1, 1, 2, 1, 2], "v": [1.0, 2.0, 5.0, 3.0, 7.0]})
+    src = str(tmp_path / "in")
+    spark.createDataFrame(pdf, "k long, v double").repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("k long, v double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (streaming_running_stats(stream, "k", "v")
+         .writeStream.format("memory").queryName("stats_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stats_t").collect()
+    # final (largest-n) state per key must equal the batch totals
+    final = {}
+    for r in rows:
+        if r.k not in final or r.n > final[r.k].n:
+            final[r.k] = r
+    assert final[1].n == 3 and final[1].total == 6.0 and final[1].mx == 3.0
+    assert final[2].n == 2 and final[2].total == 12.0 and final[2].mx == 7.0
+    q.stop()
