@@ -155,6 +155,6 @@ def images_df(spark, n: int):
             yield images_pdf(n, pdf["id"].to_numpy())
 
     return (
-        spark.range(0, n, 1, numPartitions=max(2, min(64, n // 64 + 1)))
+        spark.range(0, n, 1, numPartitions=max(2, min(1024, n // 128 + 1)))
         .mapInPandas(gen, schema=IMAGE_SCHEMA)
     )

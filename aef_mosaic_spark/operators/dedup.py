@@ -67,21 +67,34 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     candidates = pairs agreeing on >=1 full band. -> (id_a, id_b)."""
     rows = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k)
-    band_cols = [
-        F.struct(F.lit(bi).alias("band_idx"),
-                 F.concat_ws(":", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])
-                 .alias("band_val"))
+    bv = [
+        F.concat_ws(":", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])
+        .alias(f"bv{bi}")
         for bi in range(bands)
     ]
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
-                 .select(id_col, "b.band_idx", "b.band_val")
+    sigs = sigs.select(F.col(id_col), *bv)
+    banded = sigs.withColumn(
+        "band_idx", F.explode(F.array(*[F.lit(i) for i in range(bands)]))
+    ).withColumn(
+        "band_val",
+        F.element_at(F.array(*[F.col(f"bv{i}") for i in range(bands)]),
+                     F.col("band_idx") + 1),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
+    # canonical-band dedup: emit a pair only at its FIRST matching band
+    # (all earlier bands differ) — exactly one row per candidate pair
+    # by construction, replacing a distinct() over the multiply-matched
+    # join output (a near-identical pair matches on every band)
+    first_match = F.lit(True)
+    for j in range(bands - 1):
+        first_match = first_match & (
+            (F.col("a.band_idx") <= j) | (F.col(f"a.bv{j}") != F.col(f"b.bv{j}"))
+        )
     return (
         a.join(b, ["band_idx", "band_val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & first_match)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
 
 

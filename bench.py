@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_TILES_PER_SF = 12000  # at sf0.1 -> 1200 synthetic tiles
+N_TILES_PER_SF = 48000  # at sf0.1 -> 4800 synthetic tiles
 
 
 def _build(spark, sf_dir):
@@ -39,7 +39,7 @@ def _build(spark, sf_dir):
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     n_tiles = max(120, int(N_TILES_PER_SF * sf))
     grid = OutputGrid(
-        bounds=(499000.0, 4095000.0, 530000.0, 4125000.0),
+        bounds=(499000.0, 4095000.0, 560000.0, 4156000.0),
         crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
         num_bands=3, chunk_h=256, chunk_w=256,
     )
@@ -68,8 +68,10 @@ def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None):
 
     cpus = master.split("[")[1].rstrip("]")
     sp = shuffle_partitions or (int(cpus) * 2 if cpus.isdigit() else 64)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark(app_name=f"bench-{master}", master=master,
-                      extra_conf={"spark.sql.shuffle.partitions": str(sp)})
+                      extra_conf={"spark.sql.shuffle.partitions": str(sp),
+                                  "spark.local.dir": "/dev/shm/spark-local"})
     sf, n_tiles, bench = _build(spark, sf_dir)
     # one warmup action so JVM/python-worker startup isn't billed to q1
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
