@@ -50,8 +50,24 @@ def _build(spark, sf_dir):
         rows = M.mosaic(images, grid, mode="mean").select("n_tiles").collect()
         return n_tiles, sum(r.n_tiles for r in rows)
 
+    # parquet-backed variant: tiles pre-materialized (untimed) so the
+    # measurement is scan(pushdown) -> reproject -> composite, the
+    # production shape over an existing image table
+    import tempfile
+
+    pq_dir = os.path.join(tempfile.gettempdir(),
+                          f"bench_images_{n_tiles}")
+    if not os.path.exists(os.path.join(pq_dir, "_SUCCESS")):
+        generator.images_df(spark, n_tiles).write.mode("overwrite").parquet(pq_dir)
+
+    def run_mosaic_scan():
+        images = spark.read.parquet(pq_dir)
+        rows = M.mosaic(images, grid, mode="mean").select("n_tiles").collect()
+        return n_tiles, sum(r.n_tiles for r in rows)
+
     bench = {
         "mosaic": run_mosaic,
+        "mosaic_scan": run_mosaic_scan,
         "spatial_join": lambda: (qs["q12_point_in_box_join"](spark, sf_dir).count(), 0),
         "knn_cosine": lambda: (qs["q16_knn_cosine"](spark, sf_dir).count(), 0),
         "ann_lsh": lambda: (qs["q17_ann_cosine_lsh"](spark, sf_dir).count(), 0),
