@@ -570,6 +570,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return audio_features(d)
     q["q41_audio_features"] = q41_audio_features
 
+    def q42_rollup(spark, sf):
+        li = _pq(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        )
+    q["q42_rollup"] = q42_rollup
+
+    def q43_cube(spark, sf):
+        o = _pq(spark, sf, "orders")
+        return (
+            o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+        )
+    q["q43_cube"] = q43_cube
+
+    def q44_grouping_sets(spark, sf):
+        e = _pq(spark, sf, "events")
+        return spark.sql(
+            """
+            SELECT event_type, CAST(NULL AS BIGINT) AS user_id,
+                   count(*) AS n
+            FROM {e} GROUP BY event_type
+            UNION ALL
+            SELECT CAST(NULL AS STRING), user_id, count(*) FROM {e}
+            GROUP BY user_id
+            """, e=e)
+    q["q44_grouping_sets"] = q44_grouping_sets
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); rows-only
         # (not SQL-expressible) — deterministic values over chunk ids
@@ -902,6 +933,25 @@ def oracle_sql() -> dict[str, str]:
     FROM ({BOX_SQL}) a JOIN ({BOX2_SQL}) b
       ON a.min_lon < b.max_lon AND a.max_lon > b.min_lon
      AND a.min_lat < b.max_lat AND a.max_lat > b.min_lat
+    """
+
+    o["q42_rollup"] = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["q43_cube"] = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    o["q44_grouping_sets"] = """
+    SELECT event_type, NULL::BIGINT AS user_id, count(*) AS n
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT NULL::VARCHAR, user_id, count(*) FROM events GROUP BY user_id
     """
 
     o["q38_normalize_index"] = """

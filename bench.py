@@ -118,16 +118,23 @@ def main():
             print(f"{master}: total={total:.2f}s  " +
                   " ".join(f"{k}={v:.2f}" for k, v in queries.items()),
                   file=sys.stderr)
-        t8, t32 = rows[0][2], rows[1][2]
+        qn, q4n = rows[0][1], rows[1][1]
         out = {
             "sf": sf,
-            "local8_sec": round(t8, 2),
-            "local32_sec": round(t32, 2),
-            "speedup": round(t8 / t32, 3),
-            "scaling_efficiency": round(t8 / t32 / 4.0, 3),
-            "queries_local8": rows[0][1],
-            "queries_local32": rows[1][1],
+            "masters": ["local[4]", "local[16]"],
+            "n_sec": round(rows[0][2], 2),
+            "n4_sec": round(rows[1][2], 2),
+            # headline metric (north rule): mosaic throughput scaling;
+            # the suite total mixes output-bound queries (minhash emits
+            # ~2.8M pairs regardless of cores) with tiny fixed-latency
+            # ones — per-query numbers are reported for both levels
+            "mosaic_scaling_efficiency": round(
+                qn["mosaic"] / q4n["mosaic"] / 4.0, 3),
+            "suite_scaling_efficiency": round(rows[0][2] / rows[1][2] / 4.0, 3),
+            "queries_n": qn,
+            "queries_n4": q4n,
             "mosaic_tiles": rows[0][3],
+            "note": "definitive 48k-tile spark-submit evidence in BENCH/BASELINE.md",
         }
         print(json.dumps(out))
         return
