@@ -95,12 +95,17 @@ def cell_ring(cell: int, k: int = 1) -> list[int]:
 
 def cells_covering_bbox(bounds, res: int) -> np.ndarray:
     """All cell ids whose box intersects [min_lon,min_lat,max_lon,max_lat]."""
+    # INCLUSIVE floor on the max edge: a box whose max lies exactly on
+    # a cell boundary gains one superfluous candidate cell (the exact
+    # refine rejects it), but the covering can never be smaller than
+    # the true box — an exclusive-edge epsilon once dropped real
+    # extent and lost matches (points at lat=0 vs max_lat=5.7e-15)
     min_lon, min_lat, max_lon, max_lat = bounds
     n = _nxy(res)
     ix0 = max(0, int(np.floor((min_lon + 180.0) / 360.0 * n)))
-    ix1 = min(n - 1, int(np.ceil((max_lon + 180.0) / 360.0 * n)) - 1)
+    ix1 = min(n - 1, int(np.floor((max_lon + 180.0) / 360.0 * n)))
     iy0 = max(0, int(np.floor((min_lat + 90.0) / 180.0 * n)))
-    iy1 = min(n - 1, int(np.ceil((max_lat + 90.0) / 180.0 * n)) - 1)
+    iy1 = min(n - 1, int(np.floor((max_lat + 90.0) / 180.0 * n)))
     xs = np.arange(ix0, ix1 + 1, dtype=np.int64)
     ys = np.arange(iy0, iy1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)
@@ -120,8 +125,11 @@ def covering_cells_col(min_lon: Column, min_lat: Column, max_lon: Column,
         return F.least(F.greatest(F.floor((v + F.lit(off)) / span * n), F.lit(0)),
                        F.lit(n - 1)).cast("long")
 
-    ix0, ix1 = idx(min_lon, 180.0, 360.0), idx(max_lon - F.lit(1e-12), 180.0, 360.0)
-    iy0, iy1 = idx(min_lat, 90.0, 180.0), idx(max_lat - F.lit(1e-12), 90.0, 180.0)
+    # INCLUSIVE floor on max edges (must mirror cells_covering_bbox):
+    # the covering is a superset of the box; an exclusive-edge epsilon
+    # once dropped real extent and lost join matches
+    ix0, ix1 = idx(min_lon, 180.0, 360.0), idx(max_lon, 180.0, 360.0)
+    iy0, iy1 = idx(min_lat, 90.0, 180.0), idx(max_lat, 90.0, 180.0)
     base = F.lit(res).cast("long") * F.lit(1 << 56).cast("long")
     return F.flatten(
         F.transform(

@@ -197,3 +197,24 @@ def test_covering_cells_col_matches_np(spark):
         want = set(cells.cells_covering_bbox(
             (b.min_lon, b.min_lat, b.max_lon, b.max_lat), 8).tolist())
         assert set(row.cc) == want, row.box_id
+
+
+def test_covering_superset_tiny_extent_regression(spark):
+    # regression: box with max_lat = 5.66e-15 must still cover the cell
+    # row containing lat=0 points (an exclusive-edge epsilon in the
+    # covering once dropped this row and lost join matches at sf0.1)
+    box = pd.DataFrame([{
+        "box_id": 1, "min_lon": 138.7, "min_lat": -1.0999999999999943,
+        "max_lon": 139.89999999999998, "max_lat": 5.662137425588298e-15,
+    }])
+    pts = pd.DataFrame([{"point_id": 1, "lon": 139.0, "lat": 0.0}])
+    got = S.point_in_box_join(
+        spark.createDataFrame(pts), spark.createDataFrame(box), res=10
+    ).select("point_id", "box_id").collect()
+    assert {(r.point_id, r.box_id) for r in got} == {(1, 1)}
+    # numpy covering agrees
+    cover = set(cells.cells_covering_bbox(
+        (138.7, -1.0999999999999943, 139.89999999999998,
+         5.662137425588298e-15), 10).tolist())
+    c = int(cells.cell_id_np(np.array([139.0]), np.array([0.0]), 10)[0])
+    assert c in cover
