@@ -119,3 +119,27 @@ def test_serde_roundtrip():
 
 def test_nodata_constant():
     assert NODATA == -128  # reference mosaic.rs:20
+
+
+def test_reference_original_bug_scenario():
+    """Reproduces the reference's production-bug regression test
+    (/root/reference/src/index/output_grid.rs:797-853): grid over the
+    SF-area WGS84 box in UTM 10N at 10 m, chunk 1024; pixel (row=838,
+    col=886) must land inside chunk (0,0)'s bounds, and chunk (0,0)
+    must sit at the grid TOP (max_y ~ 4189403, not ~4182887 as in the
+    bottom-up bug)."""
+    from aef_mosaic_spark import proj
+
+    utm = proj.transform_bounds((-122.5, 37.7, -122.3, 37.85),
+                                "EPSG:4326", "EPSG:32610")
+    gr = OutputGrid(bounds=utm, crs="EPSG:32610", resolution=10.0,
+                    years=(2024,), num_bands=64, chunk_h=1024, chunk_w=1024)
+    row, col = 838, 886
+    x, y = gr.pixel_to_crs(np.array([col]), np.array([row]))
+    cb = gr.chunk_bounds(row // 1024, col // 1024)  # chunk (0, 0)
+    assert cb[0] <= x[0] <= cb[2]
+    assert cb[1] <= y[0] <= cb[3]
+    # top-down: chunk (0,0) max_y is the grid top (the bug had ~4182887)
+    assert cb[3] > 4185000.0
+    # world_y of the pixel ~ 4181018 (reference's recorded value)
+    assert abs(y[0] - 4181018) < 2000
