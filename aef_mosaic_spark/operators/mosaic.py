@@ -272,7 +272,8 @@ def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
                                 patch.astype(np.uint8).tobytes(), 1),
                             "mask": zlib.compress(
                                 np.packbits(mask.ravel()).tobytes(), 1),
-                            "sort_key": sort_key, "weight": 1.0,
+                            "sort_key": sort_key,
+                            "weight": float(getattr(t, "weight", 1.0)),
                             "image_id": t.image_id,
                         })
             yield pd.DataFrame(
@@ -543,7 +544,8 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid) -> DataFrame:
                                 patch.astype(np.uint8).tobytes(), 1),
                             "mask": zlib.compress(
                                 np.packbits(mask.ravel()).tobytes(), 1),
-                            "sort_key": sort_key, "weight": 1.0,
+                            "sort_key": sort_key,
+                            "weight": float(getattr(t, "weight", 1.0)),
                             "image_id": t.image_id,
                         })
             yield pd.DataFrame(

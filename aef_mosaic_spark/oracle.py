@@ -44,7 +44,8 @@ def _round_half_away(s: float, c: float) -> int:
     return -int((-s + c // 2) // c)
 
 
-def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean") -> dict:
+def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean",
+                  weights: dict | None = None) -> dict:
     """{(time_idx,row_idx,col_idx): {canvas, n_tiles, valid_px}}.
 
     Naive: full per-time canvases, per-tile scatter of every source
@@ -55,7 +56,10 @@ def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean") ->
     canv_sum = {}
     canv_cnt = {}
     canv_last = {}
+    canv_wsum = {}
+    canv_wcnt = {}
     tiles_per_chunk: dict[tuple, set] = {}
+    weights = weights or {}
 
     def key_order(t):  # deterministic last-on-top order, same as engine
         import hashlib
@@ -93,6 +97,8 @@ def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean") ->
             canv_sum[ti] = np.zeros((nb, grid.height, grid.width), np.int64)
             canv_cnt[ti] = np.zeros((grid.height, grid.width), np.int64)
             canv_last[ti] = np.zeros((nb, grid.height, grid.width), np.int64) - 1
+            canv_wsum[ti] = np.zeros((nb, grid.height, grid.width), np.float64)
+            canv_wcnt[ti] = np.zeros((grid.height, grid.width), np.float64)
         vals = img[:, np.clip(sr, 0, t.h - 1), np.clip(sc, 0, t.w - 1)]
         sub_sum = canv_sum[ti][:, R0:R1, C0:C1]
         sub_cnt = canv_cnt[ti][R0:R1, C0:C1]
@@ -100,6 +106,9 @@ def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean") ->
         sub_sum += vals * valid
         sub_cnt += valid
         sub_last[:, valid] = vals[:, valid]
+        w = float(weights.get(t.image_id, 1.0))
+        canv_wsum[ti][:, R0:R1, C0:C1] += vals * (valid * w)
+        canv_wcnt[ti][R0:R1, C0:C1] += valid * w
         # chunk membership for n_tiles (bbox-level, same as engine)
         for r in range(R0 // grid.chunk_h, (R1 - 1) // grid.chunk_h + 1):
             for c in range(C0 // grid.chunk_w, (C1 - 1) // grid.chunk_w + 1):
@@ -125,6 +134,11 @@ def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean") ->
                 vec = np.vectorize(_round_half_away, otypes=[np.int64])
                 canvas[b][nz] = vec(sb[nz], cnt[nz])
             canvas = canvas.astype(np.uint8)
+        elif mode == "weighted":
+            ws = canv_wsum[ti][:, ys, xs]
+            wc = canv_wcnt[ti][ys, xs]
+            canvas = np.where(wc > 0, np.rint(ws / np.maximum(wc, 1e-12)), 0
+                              ).astype(np.uint8)
         else:  # last
             last = canv_last[ti][:, ys, xs]
             canvas = np.where(last >= 0, last, 0).astype(np.uint8)

@@ -121,3 +121,21 @@ def test_salted_composite_matches_single_level(spark, images_pdf, images_sdf, gr
             for r in composite_chunks_salted(patches, grid, mode=mode, salt=4).collect()
         }
         assert single == salted, mode
+
+
+def test_weighted_mosaic_matches_oracle(spark, images_pdf, grid):
+    # per-tile weights ride a `weight` column; exact parity vs the
+    # oracle's float weighted-blend (R3)
+    wpdf = images_pdf.copy()
+    wpdf["weight"] = [1.0 + (i % 5) for i in range(len(wpdf))]
+    weights = dict(zip(wpdf.image_id, wpdf.weight))
+    sdf = spark.createDataFrame(wpdf)
+    chunks = {
+        (r.time_idx, r.row_idx, r.col_idx): r
+        for r in M.mosaic(sdf, grid, mode="weighted").collect()
+    }
+    want = oracle.oracle_mosaic(wpdf, grid, mode="weighted", weights=weights)
+    assert set(chunks) == set(want)
+    for key, w in want.items():
+        got = np.frombuffer(chunks[key].chunk, np.uint8).reshape(3, 256, 256)
+        assert np.array_equal(got, w["canvas"]), key
