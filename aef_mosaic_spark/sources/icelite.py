@@ -100,7 +100,11 @@ class Icelite:
         change — the resume-safety invariant, SURVEY §7.3d)."""
         parent = self.current_snapshot_id()
         snap_id = (parent or 0) + 1
-        data_dir = os.path.join(self.path, "data", f"snap-{snap_id}")
+        # uuid suffix: a crashed writer's orphan dir can never collide
+        # with a retry (manifests, not directory listings, are the
+        # source of truth; orphans are unreferenced garbage)
+        data_dir = os.path.join(self.path, "data",
+                                f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -163,7 +167,11 @@ class Icelite:
             files = [os.path.join(self.path, e["path"]) for e in man["entries"]]
             if not files:
                 continue
-            base = os.path.join(self.path, "data", f"snap-{man['snapshot_id']}")
+            # basePath = the snapshot data dir (first two segments of
+            # the manifest-relative path), so hive partition columns
+            # are inferred from the remainder
+            snap_dir = os.path.join(*man["entries"][0]["path"].split(os.sep)[:2])
+            base = os.path.join(self.path, snap_dir)
             dfs.append(spark.read.option("basePath", base).parquet(*files))
         if not dfs:
             raise FileNotFoundError(f"icelite table at {self.path} has no data files")

@@ -126,3 +126,16 @@ def test_analyze(spark, grid):
     assert rep["chunks_with_data"] > 0
     assert rep["chunks_with_data"] + rep["empty_chunks"] == rep["total_chunks"]
     assert rep["max_tiles_per_chunk"] >= rep["avg_tiles_per_chunk"] > 0
+
+
+def test_orphan_data_dir_does_not_block_retry(spark, tmp_path):
+    # a crashed writer leaves uncommitted files under data/; a retry
+    # must neither collide with them nor read them (verified live with
+    # kill -9 of spark-submit mid-write; see BENCH/BASELINE.md)
+    t = Icelite(str(tmp_path / "t"))
+    orphan = tmp_path / "t" / "data" / "snap-1-deadbeef" / "p=0"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000.parquet").write_bytes(b"garbage from a crashed run")
+    t.append(spark.range(7))
+    assert t.read(spark).count() == 7  # orphan invisible
+    assert t.current_snapshot_id() == 1
