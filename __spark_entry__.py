@@ -377,6 +377,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", "item_id", "rank")
     q["q17_ann_cosine_lsh"] = q17_ann_cosine_lsh
 
+    def q17b_ann_cosine_ivf(spark, sf):
+        emb = _pq(spark, sf, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>"))
+        queries_df = emb.where(F.col("vec_id") < 20).selectExpr(
+            "vec_id AS query_id", "embedding")
+        items = emb.selectExpr("vec_id AS item_id", "embedding")
+        out = K.ann_cosine_ivf(queries_df, items, k=5, dim=64,
+                               n_lists=16, n_probe=4)
+        return out.select("query_id", "item_id", "rank")
+    q["q17b_ann_cosine_ivf"] = q17b_ann_cosine_ivf
+
     def q18_chunk_assign(spark, sf):
         # J2 analytic tile->chunk inversion over a lon/lat grid, so the
         # floor/explode arithmetic is SQL-checkable end-to-end

@@ -118,6 +118,89 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def _assign_lists(df: DataFrame, vec: str, centroids, out_col: str,
+                  n_probe: int = 1) -> DataFrame:
+    """Add nearest-centroid list id(s) via a vectorized numpy matmul
+    over each Arrow batch (centroids broadcast in the closure)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + f", {out_col} array<int>"
+
+    def _gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec].to_numpy())
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ Cn.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            pdf = pdf.copy()
+            pdf[out_col] = [row.astype(int).tolist() for row in top]
+            yield pdf
+
+    return df.mapInPandas(_gen, schema=schema)
+
+
+def ivf_centroids(items: DataFrame, vec: str, n_lists: int, dim: int,
+                  refine_iters: int = 1) -> list[list[float]]:
+    """Deterministic IVF codebook: seeds = the n_lists items with the
+    smallest xxhash64(id)-style keys (hash-ordered, data-driven but
+    reproducible), then `refine_iters` Lloyd steps computed as
+    DataFrame aggregations (assign -> groupBy(list).avg)."""
+    import numpy as np
+
+    id_col = items.columns[0]
+    seeds = (
+        items.select(vec, F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h").limit(n_lists).collect()
+    )
+    centroids = [list(map(float, r[0])) for r in seeds]
+    for _ in range(refine_iters):
+        assigned = _assign_lists(items.select(vec), vec, centroids, "_l", 1)
+        agg = (
+            assigned.select(F.element_at("_l", 1).alias("_list"), vec)
+            .groupBy("_list")
+            .agg(*[F.avg(F.col(vec)[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new = list(centroids)
+        for r in agg:
+            new[r["_list"]] = [float(r[f"c{i}"]) for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ann_cosine_ivf(queries: DataFrame, items: DataFrame, k: int, dim: int,
+                   q_id: str = "query_id", i_id: str = "item_id",
+                   vec: str = "embedding", n_lists: int = 16,
+                   n_probe: int = 4,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF ANN: items bucketed by nearest centroid (inverted lists);
+    each query probes its n_probe nearest lists; exact cosine + top-k
+    within the probed lists. Per-query work ~ n_probe/n_lists of the
+    corpus — the classic coarse-quantizer scale path beside sign-LSH."""
+    if centroids is None:
+        centroids = ivf_centroids(items.select(i_id, vec), vec, n_lists, dim)
+    i = _assign_lists(items.select(F.col(i_id), F.col(vec).alias("_iv")),
+                      "_iv", centroids, "_il", 1)
+    i = i.select(i_id, "_iv", F.element_at("_il", 1).alias("_list"))
+    q = _assign_lists(queries.select(F.col(q_id), F.col(vec).alias("_qv")),
+                      "_qv", centroids, "_ql", n_probe)
+    q = q.select(q_id, "_qv", F.explode("_ql").alias("_list"))
+    cand = (
+        F.broadcast(q).join(i, "_list")
+        .where(F.col(q_id) != F.col(i_id))
+        .withColumn("sim", F.round(cosine_sim(F.col("_qv"), F.col("_iv")), 6))
+    )
+    return _topk(cand, q_id, [F.col("sim").desc(), F.col(i_id)], k).select(
+        q_id, i_id, "sim", "rank"
+    )
+
+
 def ann_cosine_lsh(queries: DataFrame, items: DataFrame, k: int, dim: int,
                    q_id: str = "query_id", i_id: str = "item_id",
                    vec: str = "embedding", n_planes: int = 8,

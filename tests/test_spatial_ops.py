@@ -218,3 +218,28 @@ def test_covering_superset_tiny_extent_regression(spark):
          5.662137425588298e-15), 10).tolist())
     c = int(cells.cell_id_np(np.array([139.0]), np.array([0.0]), 10)[0])
     assert c in cover
+
+
+def test_ann_ivf_recall(spark):
+    # clustered vectors: IVF with 4-probe must recover the true NN for
+    # most queries (coarse-quantizer scale path)
+    rng = np.random.RandomState(9)
+    centers = rng.randn(8, 16) * 3
+    vecs = np.vstack([c + rng.randn(25, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(200),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::40].rename(columns={"item_id": "query_id"})
+    exact = K.knn_cosine_exact(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1).collect()
+    ivf = K.ann_cosine_ivf(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1,
+        dim=16, n_lists=8, n_probe=3).collect()
+    exact_nn = {r.query_id: r.item_id for r in exact}
+    ivf_nn = {r.query_id: r.item_id for r in ivf}
+    hits = sum(ivf_nn.get(kq) == v for kq, v in exact_nn.items())
+    assert hits >= len(exact_nn) * 0.8
+    # deterministic across invocations
+    ivf2 = K.ann_cosine_ivf(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1,
+        dim=16, n_lists=8, n_probe=3).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
