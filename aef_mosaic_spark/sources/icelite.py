@@ -195,6 +195,61 @@ class Icelite:
                 out.append({**e, "snapshot_id": man["snapshot_id"]})
         return out
 
+    # ----------------------------------------------------- maintenance
+    def compact(self, spark: SparkSession, partition_by: list[str] | None = None,
+                target_files: int | None = None) -> int:
+        """Rewrite all live data into one snapshot (small-file
+        compaction after many incremental appends — e.g. the streaming
+        patch table). Old snapshots stay readable until expired."""
+        df = self.read(spark)
+        if target_files:
+            df = df.coalesce(target_files)
+        return self.overwrite(df, partition_by=partition_by,
+                              properties=self.properties(),
+                              summary={"operation": "compact"})
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest `keep_last` snapshots: their JSONs,
+        manifests not referenced by survivors, and data files no
+        surviving manifest references (physical delete — time travel
+        beyond the horizon is gone, like Iceberg's expire_snapshots)."""
+        sid = self.current_snapshot_id()
+        chain = []
+        while sid:
+            chain.append(sid)
+            sid = self.snapshot(sid)["parent_id"]
+        keep = set(chain[:keep_last])
+        live_manifests: set[str] = set()
+        for s in keep:
+            live_manifests |= set(self.snapshot(s)["manifests"])
+        live_files: set[str] = set()
+        for m in live_manifests:
+            with open(os.path.join(self.meta, m)) as f:
+                live_files |= {e["path"] for e in json.load(f)["entries"]}
+        removed = {"snapshots": 0, "manifests": 0, "data_files": 0}
+        for s in chain[keep_last:]:
+            os.remove(os.path.join(self.meta, f"snap-{s}.json"))
+            removed["snapshots"] += 1
+        for m in glob.glob(os.path.join(self.meta, "manifest-*.json")):
+            if os.path.basename(m) not in live_manifests:
+                os.remove(m)
+                removed["manifests"] += 1
+        for fp in glob.glob(os.path.join(self.path, "data", "**", "*.parquet"),
+                            recursive=True):
+            if os.path.relpath(fp, self.path) not in live_files:
+                os.remove(fp)
+                removed["data_files"] += 1
+        # keep-list parents may be gone: rewrite the oldest kept
+        # snapshot's parent pointer to None
+        if keep:
+            oldest = min(keep)
+            snap = self.snapshot(oldest)
+            if snap["parent_id"] not in keep and snap["parent_id"] is not None:
+                snap["parent_id"] = None
+                with open(os.path.join(self.meta, f"snap-{oldest}.json"), "w") as f:
+                    json.dump(snap, f, indent=1)
+        return removed
+
     def history(self) -> list[dict]:
         out = []
         sid = self.current_snapshot_id()

@@ -139,3 +139,26 @@ def test_orphan_data_dir_does_not_block_retry(spark, tmp_path):
     t.append(spark.range(7))
     assert t.read(spark).count() == 7  # orphan invisible
     assert t.current_snapshot_id() == 1
+
+
+def test_compact_and_expire(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    for i in range(4):  # 4 incremental appends -> many small files
+        t.append(spark.range(i * 10, (i + 1) * 10)
+                 .withColumn("p", (F.col("id") % 2).cast("int")),
+                 partition_by=["p"])
+    assert t.read(spark).count() == 40
+    n_files_before = len(t.data_files())
+    t.compact(spark, partition_by=["p"], target_files=1)
+    assert t.read(spark).count() == 40
+    assert len(t.data_files()) < n_files_before
+    # expire everything but the compacted snapshot
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] >= 4 and removed["data_files"] > 0
+    assert t.read(spark).count() == 40  # live data intact
+    import glob as g
+    live = {e["path"] for e in t.data_files()}
+    on_disk = {os.path.relpath(p, str(tmp_path / "t"))
+               for p in g.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                               recursive=True)}
+    assert on_disk == live  # no dead files remain

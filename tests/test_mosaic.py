@@ -139,3 +139,38 @@ def test_weighted_mosaic_matches_oracle(spark, images_pdf, grid):
     for key, w in want.items():
         got = np.frombuffer(chunks[key].chunk, np.uint8).reshape(3, 256, 256)
         assert np.array_equal(got, w["canvas"]), key
+
+
+def test_lossy_codec_mosaic_psnr_invariant(spark, grid):
+    # BASELINE per-row invariant: decoded-pixel allclose with PSNR>=40
+    # for lossy encodings. Composite the same tiles twice — lossless
+    # (raw) vs lossy (qdct) payloads — and require PSNR>=40 on every
+    # chunk canvas.
+    from aef_mosaic_spark import codecs, generator
+
+    pdf_raw = generator.images_pdf(30)
+    pdf_lossy = pdf_raw.copy()
+    for i in pdf_lossy.index:
+        t = pdf_lossy.loc[i]
+        img = codecs.decode(t["bytes"], t["fmt"], t["w"], t["h"])
+        pdf_lossy.at[i, "bytes"] = codecs.encode(img, "qdct")
+        pdf_lossy.at[i, "fmt"] = "qdct"
+        img_raw = img if t["fmt"] in codecs.LOSSLESS else generator.tile_pixels(
+            int(t["image_id"].split("_")[1]),
+            generator.tile_geometry(int(t["image_id"].split("_")[1]), 30))
+        pdf_raw.at[i, "bytes"] = codecs.encode(img_raw, "raw")
+        pdf_raw.at[i, "fmt"] = "raw"
+
+    a = {(r.time_idx, r.row_idx, r.col_idx):
+         np.frombuffer(r.chunk, np.uint8).astype(np.float64)
+         for r in M.mosaic(spark.createDataFrame(pdf_raw, generator.IMAGE_SCHEMA),
+                           grid, mode="mean").collect()}
+    b = {(r.time_idx, r.row_idx, r.col_idx):
+         np.frombuffer(r.chunk, np.uint8).astype(np.float64)
+         for r in M.mosaic(spark.createDataFrame(pdf_lossy, generator.IMAGE_SCHEMA),
+                           grid, mode="mean").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        mse = np.mean((a[k] - b[k]) ** 2)
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        assert psnr >= 40.0, (k, psnr)
