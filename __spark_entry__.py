@@ -612,6 +612,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             """, e=e)
     q["q44_grouping_sets"] = q44_grouping_sets
 
+    def q45_correlated_exists(spark, sf):
+        # customers with at least one high-value urgent order
+        c = _pq(spark, sf, "customer")
+        o = _pq(spark, sf, "orders").where(
+            (F.col("o_totalprice") > 150000) & (F.col("o_orderpriority") == "1-URGENT"))
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name")
+        )
+    q["q45_correlated_exists"] = q45_correlated_exists
+
+    def q46_date_arith(spark, sf):
+        li = _pq(spark, sf, "lineitem")
+        return (
+            li.groupBy(F.year("l_shipdate").alias("ship_year"),
+                       F.month("l_shipdate").alias("ship_month"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        )
+    q["q46_date_arith"] = q46_date_arith
+
+    def q47_conditional_agg(spark, sf):
+        o = _pq(spark, sf, "orders")
+        return o.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                  .otherwise(0)).alias("n_urgent"),
+            F.round(F.avg(F.when(F.col("o_totalprice") > 100000,
+                                 F.col("o_totalprice"))), 2).alias("avg_big"),
+        )
+    q["q47_conditional_agg"] = q47_conditional_agg
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); rows-only
         # (not SQL-expressible) — deterministic values over chunk ids
@@ -944,6 +976,27 @@ def oracle_sql() -> dict[str, str]:
     FROM ({BOX_SQL}) a JOIN ({BOX2_SQL}) b
       ON a.min_lon < b.max_lon AND a.max_lon > b.min_lon
      AND a.min_lat < b.max_lat AND a.max_lat > b.min_lat
+    """
+
+    o["q45_correlated_exists"] = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 150000
+                  AND o.o_orderpriority = '1-URGENT')
+    """
+
+    o["q46_date_arith"] = """
+    SELECT year(l_shipdate)::INT AS ship_year,
+           month(l_shipdate)::INT AS ship_month,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem GROUP BY 1, 2
+    """
+
+    o["q47_conditional_agg"] = """
+    SELECT o_orderstatus, count(*) AS n,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           round(avg(CASE WHEN o_totalprice > 100000 THEN o_totalprice END), 2) AS avg_big
+    FROM orders GROUP BY o_orderstatus
     """
 
     o["q42_rollup"] = """
