@@ -78,3 +78,45 @@ def test_incremental_mosaic_matches_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k], k
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 2h watermark: an event arriving
+    a day late (far below the advanced watermark) is dropped — its
+    window never materializes in the sink."""
+    import pandas as pd
+
+    d = str(tmp_path / "late_in")
+    base = pd.Timestamp("2024-01-02 10:00:00")
+    batch1 = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": [base, base + pd.Timedelta("30min"), base + pd.Timedelta("2h")],
+        "user_id": [1, 1, 2], "event_type": ["a", "a", "b"],
+        "value": [1.0, 2.0, 3.0], "props": ["{}", "{}", "{}"],
+    })
+    late = pd.DataFrame({  # ~1 day late vs the advanced watermark
+        "event_id": [4, 5],
+        "ts": [pd.Timestamp("2024-01-01 06:00:00"), base + pd.Timedelta("3h")],
+        "user_id": [3, 2], "event_type": ["a", "b"],
+        "value": [9.0, 4.0], "props": ["{}", "{}"],
+    })
+    schema = SE.EVENT_SCHEMA
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(d)
+
+    # explicit batch separation: drain batch1 (advances the watermark
+    # to max(ts) - 2h = 10:00), THEN deliver the late file
+    stream = SE.read_event_stream(spark, d, max_files_per_trigger=10)
+    agg = SE.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("late_t")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(d)
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM late_t").collect()
+    starts = {r.window_start for r in rows}
+    # the late 2024-01-01 06:00 window must be absent
+    assert pd.Timestamp("2024-01-01 06:00:00") not in {
+        pd.Timestamp(s) for s in starts}
+    # finalized on-time windows are present (watermark advanced past them)
+    assert any(pd.Timestamp(s) == base.floor("h") for s in starts)
+    q.stop()
