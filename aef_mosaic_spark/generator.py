@@ -154,7 +154,9 @@ def images_df(spark, n: int):
         for pdf in batches:
             yield images_pdf(n, pdf["id"].to_numpy())
 
+    # ~512 tiles (~1.5 s) per task: large enough to amortize task +
+    # Arrow overhead, small enough to load-balance 1024 ways at scale
     return (
-        spark.range(0, n, 1, numPartitions=max(2, min(1024, n // 128 + 1)))
+        spark.range(0, n, 1, numPartitions=max(2, min(1024, n // 512 + 1)))
         .mapInPandas(gen, schema=IMAGE_SCHEMA)
     )
