@@ -644,6 +644,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q47_conditional_agg"] = q47_conditional_agg
 
+    def q48_dense_rank_topk(spark, sf):
+        from pyspark.sql import Window
+        li = _pq(spark, sf, "lineitem")
+        rev = li.groupBy("l_suppkey", "l_returnflag").agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        w = Window.partitionBy("l_returnflag").orderBy(
+            F.desc("revenue"), F.asc("l_suppkey"))
+        return (rev.withColumn("rnk", F.dense_rank().over(w))
+                .where(F.col("rnk") <= 5)
+                .select("l_returnflag", "l_suppkey", "revenue", "rnk"))
+    q["q48_dense_rank_topk"] = q48_dense_rank_topk
+
+    def q49_percentiles(spark, sf):
+        o = _pq(spark, sf, "orders")
+        return o.groupBy("o_orderstatus").agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    q["q49_percentiles"] = q49_percentiles
+
+    def q50_set_ops(spark, sf):
+        c = _pq(spark, sf, "customer")
+        o = _pq(spark, sf, "orders")
+        buyers = o.select(F.col("o_custkey").alias("k")).distinct()
+        segment = c.where(F.col("c_mktsegment") == "BUILDING") \
+                   .select(F.col("c_custkey").alias("k"))
+        inter = buyers.intersect(segment).withColumn("src", F.lit("both"))
+        only_seg = segment.exceptAll(buyers).withColumn("src", F.lit("no_orders"))
+        return inter.unionByName(only_seg)
+    q["q50_set_ops"] = q50_set_ops
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); rows-only
         # (not SQL-expressible) — deterministic values over chunk ids
@@ -976,6 +1007,36 @@ def oracle_sql() -> dict[str, str]:
     FROM ({BOX_SQL}) a JOIN ({BOX2_SQL}) b
       ON a.min_lon < b.max_lon AND a.max_lon > b.min_lon
      AND a.min_lat < b.max_lat AND a.max_lat > b.min_lat
+    """
+
+    o["q48_dense_rank_topk"] = """
+    SELECT l_returnflag, l_suppkey, revenue, rnk FROM (
+      SELECT l_returnflag, l_suppkey, revenue,
+             dense_rank() OVER (PARTITION BY l_returnflag
+                                ORDER BY revenue DESC, l_suppkey ASC) AS rnk
+      FROM (SELECT l_suppkey, l_returnflag,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem GROUP BY 1, 2))
+    WHERE rnk <= 5
+    """
+
+    o["q49_percentiles"] = """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """
+
+    o["q50_set_ops"] = """
+    SELECT k, 'both' AS src FROM (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    UNION ALL
+    SELECT k, 'no_orders' AS src FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT ALL
+      SELECT DISTINCT o_custkey FROM orders)
     """
 
     o["q45_correlated_exists"] = """
