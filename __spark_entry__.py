@@ -80,6 +80,10 @@ PHASH_SQL = (
     f"{h32_sql('chr(1) || text')})"
 )
 
+_FIXTURE_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures")
+
 
 def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -570,14 +574,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q40_resize_images"] = q40_resize_images
 
     def q41_audio_features(spark, sf):
-        # multimodal plumbing: audio table derived from documents
-        # (payload = text bytes), deterministic fake decode kernel
+        # multimodal plumbing: deterministic sf-independent audio table
+        # (payload = synthesized id strings), fake decode kernel — so
+        # the output is pinned by the committed golden fixture
         from aef_mosaic_spark.functions.multimodal import audio_features
-        d = _pq(spark, sf, "documents").selectExpr(
-            "CAST(doc_id AS STRING) AS audio_id",
-            "CAST(encode(text, 'utf-8') AS BINARY) AS bytes",
+        d = spark.range(500).selectExpr(
+            "CAST(id AS STRING) AS audio_id",
+            "CAST(encode(concat('audio-payload-', id), 'utf-8') AS BINARY) AS bytes",
             "8000 AS sample_rate", "1 AS n_channels",
-            "'wav' AS fmt", "text AS caption")
+            "'wav' AS fmt", "concat('clip ', id) AS caption")
         return audio_features(d)
     q["q41_audio_features"] = q41_audio_features
 
@@ -676,8 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q50_set_ops"] = q50_set_ops
 
     def q39_hilbert_order(spark, sf):
-        # O1/X7 hilbert locality key (output_grid.rs:15-48); rows-only
-        # (not SQL-expressible) — deterministic values over chunk ids
+        # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
+        # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
         import pandas as pd
 
         from aef_mosaic_spark.grid import hilbert_d
@@ -728,9 +733,15 @@ def oracle_sql() -> dict[str, str]:
              CASE WHEN (h64 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
              FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b),
     votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2)
-    SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY doc_id
     """
+    # NOTE every integer sum() in these oracles carries an explicit
+    # ::BIGINT cast: DuckDB types sum(BIGINT) as HUGEINT, which the
+    # driver's Arrow fetch coerces to float64 — corrupting 63-bit
+    # values (simhash) and stringifying counts as "n.0" (round-1
+    # driver mismatches q08/q25/q47 were exactly this).
 
     lang_t = "text"
     o: dict[str, str] = {}
@@ -806,7 +817,8 @@ def oracle_sql() -> dict[str, str]:
     per AS (SELECT user_id, sess_id, count(*) AS n_events
             FROM s GROUP BY 1, 2)
     SELECT user_id, count(*) AS n_sessions,
-           max(n_events) AS max_session_events, sum(n_events) AS n_events
+           max(n_events) AS max_session_events,
+           sum(n_events)::BIGINT AS n_events
     FROM per GROUP BY user_id
     """
 
@@ -1055,7 +1067,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["q47_conditional_agg"] = """
     SELECT o_orderstatus, count(*) AS n,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+             AS n_urgent,
            round(avg(CASE WHEN o_totalprice > 100000 THEN o_totalprice END), 2) AS avg_big
     FROM orders GROUP BY o_orderstatus
     """
@@ -1092,7 +1105,107 @@ def oracle_sql() -> dict[str, str]:
     FROM supplier
     """
 
+    o["q39_hilbert_order"] = _hilbert_sql(
+        f"SELECT DISTINCT row_idx, col_idx FROM ({_chunk_assign_sql()})")
+
+    # q15b: banding + exact-verify is fully SQL-expressible (candidates
+    # = pairs sharing >=1 of 8 8-bit bands; then exact Hamming top-k) —
+    # mirrors knn_hamming_banded(n_bands=8) including tie-breaks
+    o["q15b_knn_hamming_banded"] = f"""
+    WITH d AS (SELECT doc_id, {PHASH_SQL} AS phash FROM documents),
+    banded AS (SELECT doc_id, phash, b.band_idx,
+               (phash >> (b.band_idx * 8)) & 255 AS band_val
+               FROM d, (SELECT unnest(generate_series(0, 7)) AS band_idx) b),
+    cand AS (SELECT DISTINCT q.doc_id AS query_id, i.doc_id AS item_id,
+                    q.phash AS qh, i.phash AS ih
+             FROM banded q JOIN banded i
+               ON q.band_idx = i.band_idx AND q.band_val = i.band_val
+              AND q.doc_id < 20 AND q.doc_id <> i.doc_id)
+    SELECT query_id, item_id, dist, rank FROM (
+      SELECT query_id, item_id, bit_count(xor(qh, ih))::INT AS dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bit_count(xor(qh, ih)), item_id) AS rank
+      FROM cand) WHERE rank <= 5
+    """
+
+    o["q17_ann_cosine_lsh"] = _ann_lsh_sql()
+
+    # pinned-fixture oracles for the deterministic, sf-independent
+    # raster/multimodal queries (reference test style: real numbers
+    # pinned, src/index/output_grid.rs:797-853). Fixtures are produced
+    # by scripts/make_query_fixtures.py and committed; a drift means a
+    # semantics change, exactly like golden_chunks_*.parquet.
+    for _qname in ("q30_mosaic_chunks", "q31_mosaic_last_on_top",
+                   "q32_image_assignments", "q40_resize_images",
+                   "q41_audio_features"):
+        o[_qname] = (f"SELECT * FROM read_parquet("
+                     f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
+
     return o
+
+
+def _ann_lsh_sql() -> str:
+    """SQL twin of knn.ann_cosine_lsh(k=5, dim=64, n_planes=8,
+    max_sig_hamming=2): the SAME plane literals (make_planes seed 42)
+    and probe-mask set are inlined, so signature bits, the multiprobe
+    equi-join, and the exact-cosine verify are mirrored bit-for-bit."""
+    from aef_mosaic_spark.operators.knn import make_planes
+
+    n_planes = 8
+    planes = make_planes(64, n_planes)
+    masks = [0] + [1 << j for j in range(n_planes)]
+    masks += [(1 << a) | (1 << b)
+              for a in range(n_planes) for b in range(a + 1, n_planes)]
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    mask_list = ", ".join(str(m) for m in masks)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
+    probes AS (SELECT vec_id AS query_id, xor(sig, m.mask) AS sig
+               FROM sigs, (SELECT unnest([{mask_list}]) AS mask) m
+               WHERE vec_id < 20),
+    cand AS (SELECT DISTINCT p.query_id, i.vec_id AS item_id
+             FROM probes p JOIN sigs i ON p.sig = i.sig
+              AND p.query_id <> i.vec_id),
+    sims AS (SELECT c.query_id, c.item_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             FROM cand c JOIN e a ON c.query_id = a.vec_id
+                         JOIN e b ON c.item_id = b.vec_id)
+    SELECT query_id, item_id, rank FROM (
+      SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, item_id) AS rank
+      FROM sims) WHERE rank <= 5
+    """
+
+
+def _hilbert_sql(src: str, order: int = 8) -> str:
+    """SQL twin of grid.hilbert_d (standard public xy->d): one CTE per
+    level, carrying (x, y, d) state; `src` must yield row_idx/col_idx.
+    Unrolled because the per-level rotate/reflect is a pure CASE."""
+    parts = [f"h0 AS (SELECT row_idx, col_idx, col_idx AS x, row_idx AS y, "
+             f"0::BIGINT AS d FROM ({src}))"]
+    lvl = 1
+    for s in [1 << (order - 1 - i) for i in range(order)]:
+        parts.append(f"""h{lvl} AS (SELECT row_idx, col_idx,
+      CASE WHEN (y & {s}) = 0
+           THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END)
+           ELSE x END AS x,
+      CASE WHEN (y & {s}) = 0
+           THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END)
+           ELSE y END AS y,
+      d + {s * s}::BIGINT * xor(
+            3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+            CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+    FROM h{lvl - 1})""")
+        lvl += 1
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT row_idx, col_idx, d AS hilbert FROM h{lvl - 1}")
 
 
 def _fp_sql(t: str) -> str:
