@@ -133,6 +133,18 @@ def _quads(spark, sf_dir):
     )
 
 
+def _embeddings_with_dups(spark, sf_dir):
+    """embeddings UNION a deterministically perturbed twin of every
+    vector (vec_id + 1000000, x -> x + 0.08*x*x): true near-dup pairs
+    at cosine ~0.9997 — the regime the bucketed dedup is built for."""
+    e = _pq(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS embedding")
+    pert = e.selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "transform(embedding, x -> x + 0.08 * x * x) AS embedding")
+    return e.unionByName(pert)
+
+
 def _docs_hashed(spark, sf_dir):
     return _pq(spark, sf_dir, "documents").selectExpr(
         "doc_id",
@@ -449,11 +461,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q26_simhash_near_dup"] = q26_simhash_near_dup
 
     def q27_embedding_near_dup(spark, sf):
+        # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
+        # over a table with true near-duplicates: each vector gets a
+        # deterministic perturbed twin (x -> x + 0.08*x*x, sim ~0.9997).
+        # The oracle is the exact all-pairs SQL on the same augmented
+        # table, so the driver checks bucketed == exact end-to-end.
+        aug = _embeddings_with_dups(spark, sf)
+        return D.embedding_near_duplicates(aug, "vec_id", "embedding",
+                                           threshold=0.9, method="lsh")
+    q["q27_embedding_near_dup"] = q27_embedding_near_dup
+
+    def q27b_embedding_near_dup_exact(spark, sf):
+        # all-pairs baseline at a low threshold (0.35) where bucketing
+        # cannot prune near-orthogonal vectors — small-n oracle parity
+        # for the exact kernel itself
         emb = _pq(spark, sf, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>"))
         return D.embedding_near_duplicates(emb, "vec_id", "embedding",
-                                           threshold=0.35)
-    q["q27_embedding_near_dup"] = q27_embedding_near_dup
+                                           threshold=0.35, method="exact")
+    q["q27b_embedding_near_dup_exact"] = q27b_embedding_near_dup_exact
 
     def q28_lang_id(spark, sf):
         d = _pq(spark, sf, "documents")
@@ -961,7 +987,21 @@ def oracle_sql() -> dict[str, str]:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     """
 
+    # exact all-pairs oracle over the SAME augmented table — the
+    # driver gate therefore proves bucketed(LSH) == exact end-to-end
     o["q27_embedding_near_dup"] = """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(v, x -> x + 0.08e0 * x * x) FROM base)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    """
+
+    o["q27b_embedding_near_dup_exact"] = """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
                                         b.embedding::DOUBLE[]), 6) AS sim

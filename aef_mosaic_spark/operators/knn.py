@@ -107,14 +107,19 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec_col, planes: list[list[float]]):
-    """Sign-bit signature as a JVM expression: bit j = (v . plane_j) > 0."""
+    """Sign-bit signature as a JVM expression: bit j = (v . plane_j) > 0.
+    Bits are set with bitwise OR of shiftleft(1L, j) — NOT arithmetic
+    addition — so bit 63 (shiftleft wraps to min-long) is safe under
+    ANSI overflow checking and signatures up to 64 planes work."""
     sig = F.lit(0).cast("long")
+    zero = F.lit(0).cast("long")
     for j, p in enumerate(planes):
         dot = F.aggregate(
             F.zip_with(vec_col, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
             F.lit(0.0), lambda acc, v: acc + v,
         )
-        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), {j})")
+        sig = sig.bitwiseOR(F.when(dot > 0, bit).otherwise(zero))
     return sig
 
 
