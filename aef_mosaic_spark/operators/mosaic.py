@@ -88,15 +88,25 @@ def _grid_bounds_np(pdf: pd.DataFrame, dst: str):
     return gx0, gy0, gx1, gy1
 
 
-def wgs84_prefilter(images: DataFrame, grid: OutputGrid) -> DataFrame:
+def wgs84_prefilter(images: DataFrame, grid: OutputGrid,
+                    row_range: tuple[int, int] | None = None) -> DataFrame:
     """Pushed-down approximate prefilter: year in grid.years AND the
     tile's WGS84 bbox (table columns) overlaps the grid extent
     transformed to WGS84 (superset of the exact grid-CRS test — the
     exact ranges decide downstream). These are plain Column predicates,
-    so they reach the Parquet scan (PushedFilters)."""
+    so they reach the Parquet scan (PushedFilters).
+
+    row_range=(r0, r1) restricts the extent to that inclusive chunk-row
+    band (the incremental-commit work split): the scan then reads only
+    tiles that can touch the band."""
     gx1 = grid.bounds[0] + grid.width * grid.resolution
     gy0 = grid.bounds[3] - grid.height * grid.resolution
-    wb = proj.transform_bounds((grid.bounds[0], gy0, gx1, grid.bounds[3]),
+    gy1 = grid.bounds[3]
+    if row_range is not None:
+        r0, r1 = row_range
+        gy1 = grid.bounds[3] - r0 * grid.chunk_h * grid.resolution
+        gy0 = grid.bounds[3] - (r1 + 1) * grid.chunk_h * grid.resolution
+    wb = proj.transform_bounds((grid.bounds[0], gy0, gx1, gy1),
                                grid.crs, "EPSG:4326", densify=21)
     pad = 0.1  # degrees of slack for projection curvature
     return images.where(
@@ -502,16 +512,23 @@ def composite_chunks_salted(patches: DataFrame, grid: OutputGrid,
         _merge, schema=CHUNK_SCHEMA)
 
 
-def tiles_to_patches(images: DataFrame, grid: OutputGrid) -> DataFrame:
+def tiles_to_patches(images: DataFrame, grid: OutputGrid,
+                     row_range: tuple[int, int] | None = None) -> DataFrame:
     """The FUSED fast path: WGS84+year prefilter (pushed to the scan)
     -> ONE mapInPandas doing bounds transform, exact chunk ranges,
     decode-once, and patch reprojection. Zero shuffles and zero branch
     recomputation before the patch exchange — this is the stage whose
-    throughput scales linearly with cores (see BENCH/BASELINE.md)."""
+    throughput scales linearly with cores (see BENCH/BASELINE.md).
+
+    row_range=(r0, r1): emit only chunks in that inclusive row band
+    (incremental-commit split — the prefilter AND the kernel loop are
+    both clipped, so a band pays only its own kernel cost)."""
     import hashlib
 
     nb = grid.num_bands
     gd = grid.to_dict()
+    band_lo = row_range[0] if row_range is not None else 0
+    band_hi = row_range[1] if row_range is not None else grid.chunk_rows - 1
     gx0g, _, _, gy1g = grid.bounds
     gx1g = gx0g + grid.width * grid.resolution
     gy0g = gy1g - grid.height * grid.resolution
@@ -528,9 +545,9 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid) -> DataFrame:
             col_min = np.maximum(np.floor((gx0 - gx0g) / cw), 0).astype(int)
             col_max = np.minimum(np.ceil((gx1 - gx0g) / cw) - 1,
                                  g.chunk_cols - 1).astype(int)
-            row_min = np.maximum(np.floor((gy1g - gy1) / ch), 0).astype(int)
+            row_min = np.maximum(np.floor((gy1g - gy1) / ch), band_lo).astype(int)
             row_max = np.minimum(np.ceil((gy1g - gy0) / ch) - 1,
-                                 g.chunk_rows - 1).astype(int)
+                                 band_hi).astype(int)
             ok = ((gx0 < gx1g) & (gx1 > gx0g) & (gy0 < gy1g) & (gy1 > gy0g)
                   & (col_min <= col_max) & (row_min <= row_max))
             rows: list[dict] = []
@@ -567,7 +584,8 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid) -> DataFrame:
                 columns=["time_idx", "row_idx", "col_idx", "y0", "x0", "ph", "pw",
                          "patch", "mask", "sort_key", "weight", "image_id"])
 
-    return wgs84_prefilter(images, grid).mapInPandas(_gen, schema=PATCH_SCHEMA)
+    return wgs84_prefilter(images, grid, row_range=row_range).mapInPandas(
+        _gen, schema=PATCH_SCHEMA)
 
 
 def mosaic(images: DataFrame, grid: OutputGrid, mode: str = "mean") -> DataFrame:

@@ -64,7 +64,8 @@ class MosaicJob:
     def ranged_tiles(self, images: DataFrame) -> DataFrame:
         return M.with_chunk_ranges(M.with_grid_bounds(images, self.grid), self.grid)
 
-    def pending_tiles(self, images: DataFrame, done: DataFrame) -> DataFrame:
+    def pending_tiles(self, images: DataFrame, done: DataFrame,
+                      row_range: tuple[int, int] | None = None) -> DataFrame:
         """Prune completed chunks (reference src/lib.rs:249-264, F4/J9).
 
         Fully distributed, and the bytes column is never evaluated
@@ -79,7 +80,10 @@ class MosaicJob:
         """
         meta = images.select("image_id", "crs", "min_x", "min_y",
                              "max_x", "max_y", "year")
-        keys = M.assignments(meta, self.grid).join(done, on=KEYS, how="left_anti")
+        keys = M.assignments(meta, self.grid)
+        if row_range is not None:
+            keys = keys.where(F.col("row_idx").between(*row_range))
+        keys = keys.join(done, on=KEYS, how="left_anti")
         todo = keys.groupBy("image_id").agg(
             F.collect_set(
                 (F.col("row_idx").cast("long") * self.grid.chunk_cols
@@ -91,9 +95,16 @@ class MosaicJob:
 
     # ------------------------------------------------------------- run
     def run(self, spark: SparkSession, images: DataFrame, output_path: str,
-            resume: bool = False) -> dict:
+            resume: bool = False,
+            row_range: tuple[int, int] | None = None) -> dict:
         """Execute and commit one snapshot; returns a metrics dict
-        (reference MetricsSnapshot, src/pipeline/metrics.rs:322-329)."""
+        (reference MetricsSnapshot, src/pipeline/metrics.rs:322-329).
+
+        row_range=(r0, r1) restricts this commit to the inclusive
+        chunk-row band — the unit of incremental checkpointing (see
+        run_incremental). With a band, `previously_completed` counts
+        only that band's committed chunks, and an untouched band takes
+        the fused fresh path even on a resumed table."""
         table = Icelite(output_path)
         if not resume and table.exists():
             raise FileExistsError(f"{output_path} exists; pass resume=True")
@@ -109,23 +120,27 @@ class MosaicJob:
                     f"({props.get('config_hash')} != {self.hash})"
                 )
             done = table.completed_keys(spark, KEYS)
+            if row_range is not None:
+                done = done.where(F.col("row_idx").between(*row_range))
             n_completed = done.count()
 
         obs_tiles = Observation("tiles")
         if n_completed == 0:
-            # fresh run: fused zero-shuffle path (scan -> one
-            # mapInPandas -> patch exchange)
-            pre = M.wgs84_prefilter(images, self.grid).observe(
+            # fresh run (or untouched band): fused zero-shuffle path
+            # (scan -> one mapInPandas -> patch exchange)
+            pre = M.wgs84_prefilter(images, self.grid,
+                                    row_range=row_range).observe(
                 obs_tiles,
                 F.count(F.lit(1)).alias("n_tiles"),
                 F.sum(F.length("bytes")).alias("tile_bytes"),
             )
-            patches = M.tiles_to_patches(pre, self.grid)
+            patches = M.tiles_to_patches(pre, self.grid, row_range=row_range)
         else:
             # resume: per-tile remaining-work lists via anti-join; the
             # patch kernel itself consumes `todo`, so the emitted patch
             # set IS the pending set — no post-hoc anti-join needed
-            tiles = self.pending_tiles(images, done).observe(
+            tiles = self.pending_tiles(images, done,
+                                       row_range=row_range).observe(
                 obs_tiles,
                 F.count(F.lit(1)).alias("n_tiles"),
                 F.sum(F.length("bytes")).alias("tile_bytes"),
@@ -160,7 +175,9 @@ class MosaicJob:
                 "mode": self.mode,
             },
             summary={"operation": "mosaic", "resumed": resume,
-                     "previously_completed": n_completed},
+                     "previously_completed": n_completed,
+                     **({"row_range": list(row_range)}
+                        if row_range is not None else {})},
         )
         if snap_id == 1:
             self._write_coordinate_tables(spark, output_path)
@@ -196,6 +213,55 @@ class MosaicJob:
         with open(os.path.join(output_path, f"metrics-{snap_id}.json"), "w") as f:
             json.dump(metrics, f, indent=1)
         return metrics
+
+    def run_incremental(self, spark: SparkSession, images: DataFrame,
+                        output_path: str, groups: int = 4,
+                        resume: bool = False) -> dict:
+        """Mid-run incremental checkpointing: split the chunk keyspace
+        into `groups` contiguous row bands and commit each band as its
+        own snapshot — a crash loses at most ONE band's work, matching
+        the reference's periodic completed-chunk flush
+        (src/checkpoint.rs:184-239, 60 s cadence) with Spark-shaped
+        granularity (K independent jobs over disjoint chunk rows).
+
+        Correctness: bands partition the CHUNK keyspace, so every chunk
+        is composited from ALL tiles that touch it (tiles straddling a
+        band edge are read in both bands — bounded double-decode at the
+        boundary only). Resume reuses the normal done-keys anti-join
+        per band: completed bands skip at metadata cost, the interrupted
+        band resumes at pending-chunk granularity, untouched bands take
+        the fused fresh path."""
+        rows = self.grid.chunk_rows
+        groups = max(1, min(groups, rows))
+        edges = [round(i * rows / groups) for i in range(groups + 1)]
+        table = Icelite(output_path)
+        if not resume and table.exists():
+            raise FileExistsError(f"{output_path} exists; pass resume=True")
+        t0 = time.time()
+        per_group: list[dict] = []
+        for i in range(groups):
+            r0, r1 = edges[i], edges[i + 1] - 1
+            if r1 < r0:
+                continue
+            m = self.run(spark, images, output_path,
+                         resume=resume or table.exists(),
+                         row_range=(r0, r1))
+            m["group"] = i
+            m["row_range"] = [r0, r1]
+            per_group.append(m)
+        agg = {
+            "snapshot_id": per_group[-1]["snapshot_id"],
+            "wall_s": round(time.time() - t0, 3),
+            "groups": len(per_group),
+            "tiles_in": sum(m["tiles_in"] for m in per_group),
+            "patches": sum(m["patches"] for m in per_group),
+            "chunks_written": sum(m["chunks_written"] for m in per_group),
+            "bytes_written": sum(m["bytes_written"] for m in per_group),
+            "previously_completed": sum(m["previously_completed"]
+                                        for m in per_group),
+            "per_group": per_group,
+        }
+        return agg
 
     def _write_coordinate_tables(self, spark: SparkSession, output_path: str):
         """Dimension/coordinate tables for xarray-style consumers

@@ -181,7 +181,14 @@ class Icelite:
         return out
 
     def completed_keys(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
-        return self.read(spark).select(*key_cols).distinct()
+        """Distinct committed partition keys; an existing-but-empty
+        table (e.g. an incremental band that produced no chunks) is a
+        valid state and yields an empty keys frame, not an error."""
+        try:
+            return self.read(spark).select(*key_cols).distinct()
+        except FileNotFoundError:
+            return spark.createDataFrame(
+                [], ", ".join(f"{c} int" for c in key_cols))
 
     def lineage(self) -> list[dict]:
         """Per-partition lineage: every live file with partition values

@@ -44,6 +44,10 @@ def main(argv=None):
                     help=">1 enables the two-level skew-splitting compositor")
     ap.add_argument("--cluster-output", action="store_true",
                     help="Hilbert-cluster chunk rows in the sink")
+    ap.add_argument("--commit-groups", type=int, default=1,
+                    help=">1 commits the run as K row-band snapshots "
+                         "(incremental checkpointing: a crash loses at "
+                         "most one band)")
     args = ap.parse_args(argv)
 
     from aef_mosaic_spark.grid import OutputGrid
@@ -108,7 +112,12 @@ def main(argv=None):
         print(json.dumps(job.analyze(spark, images)))
         return 0
     t0 = time.time()
-    metrics = job.run(spark, images, args.output, resume=args.resume)
+    if args.commit_groups > 1:
+        metrics = job.run_incremental(spark, images, args.output,
+                                      groups=args.commit_groups,
+                                      resume=args.resume)
+    else:
+        metrics = job.run(spark, images, args.output, resume=args.resume)
     metrics["spark_master"] = spark.sparkContext.master
     metrics["n_input"] = n_in
     metrics["wall_total_s"] = round(time.time() - t0, 3)

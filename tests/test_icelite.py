@@ -186,3 +186,42 @@ def test_resume_reprojects_only_pending_chunks(spark, grid):
     got = {(r.time_idx, r.row_idx, r.col_idx): r["count"] for r in pend}
     want = {k: v for k, v in all_keys.items() if k not in set(done_keys)}
     assert got == want
+
+
+def test_incremental_commits_and_crash_resume(spark, tmp_path, grid):
+    """run_incremental: K row-band snapshots; a crash between bands
+    loses at most one band (reference checkpoint.rs:184-239 periodic
+    flush). Final table must be byte-identical to the single-shot run."""
+    images = spark.createDataFrame(generator.images_pdf(40))
+    job = MosaicJob(grid, mode="mean")
+
+    out_full = str(tmp_path / "full")
+    job.run(spark, images, out_full)
+    full = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(out_full).read(spark).collect()}
+
+    # "crash" after the first band: run only band 0 of 2
+    out_inc = str(tmp_path / "inc")
+    rows = grid.chunk_rows
+    m0 = job.run(spark, images, out_inc, row_range=(0, rows // 2 - 1))
+    assert 0 < m0["chunks_written"] < len(full)
+    t = Icelite(out_inc)
+    assert t.snapshot()["summary"]["row_range"] == [0, rows // 2 - 1]
+
+    # resume the whole incremental run: band 0 re-checks (0 new
+    # chunks), band 1 completes fresh
+    m = job.run_incremental(spark, images, out_inc, groups=2, resume=True)
+    assert m["previously_completed"] == m0["chunks_written"]
+    assert m["chunks_written"] == len(full) - m0["chunks_written"]
+    got = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+           for r in t.read(spark).collect()}
+    assert got == full
+
+    # fresh incremental run end-to-end also matches, with K snapshots
+    out_inc2 = str(tmp_path / "inc2")
+    m2 = job.run_incremental(spark, images, out_inc2, groups=2)
+    assert m2["groups"] == 2 and m2["previously_completed"] == 0
+    got2 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(out_inc2).read(spark).collect()}
+    assert got2 == full
+    assert len(Icelite(out_inc2).history()) == 2
