@@ -362,9 +362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q15_knn_hamming"] = q15_knn_hamming
 
     def q15b_knn_hamming_banded(spark, sf):
-        # LSH-banded variant; k=1 so banding recall is exact for the
-        # nearest neighbor whenever its distance < 16 bands... checked
-        # rows-only (no oracle) since recall is approximate
+        # LSH-banded variant, k=5 over n_bands=8 (8-bit bands):
+        # candidate recall is guaranteed for neighbors with Hamming
+        # distance < 8 (pigeonhole); beyond that the pytest recall
+        # test quantifies it. Oracle = the same banding+verify in SQL,
+        # so the driver checks the banded result itself.
         d = _docs_hashed(spark, sf)
         queries_df = d.where(F.col("doc_id") < 20).selectExpr(
             "doc_id AS query_id", "phash")

@@ -42,10 +42,10 @@ def knn_hamming_banded(queries: DataFrame, items: DataFrame, k: int,
                        q_id: str = "query_id", i_id: str = "item_id",
                        n_bands: int = 4) -> DataFrame:
     """Scale path: LSH banding — split the 64-bit hash into `n_bands`
-    16-bit bands; candidates = pairs sharing >=1 band (guaranteed to
-    include every pair with Hamming distance < n_bands, pigeonhole);
-    then exact distance + top-k. Replaces the crossJoin with an
-    equi-join on (band_idx, band_value)."""
+    bands of 64/n_bands bits; candidates = pairs sharing >=1 band
+    (guaranteed to include every pair with Hamming distance < n_bands,
+    pigeonhole); then exact distance + top-k. Replaces the crossJoin
+    with an equi-join on (band_idx, band_value)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
 

@@ -396,9 +396,14 @@ def composite_chunks_salted(patches: DataFrame, grid: OutputGrid,
     Level 1: groupBy(chunk, salt(image_id)) -> per-salt PARTIAL state
     (bbox-cropped running sums / argmax canvas), so the hot group's
     work spreads over `salt` tasks. Level 2: groupBy(chunk) merges the
-    <=salt partials and finalizes. Exact same results as
-    composite_chunks for every mode (associative states; last-on-top
-    merges by per-pixel max sort_key)."""
+    <=salt partials and finalizes. Bit-exact vs composite_chunks for
+    'mean' (integer accumulators — addition order irrelevant) and
+    'last' (per-pixel max sort_key is order-independent); for
+    'weighted' the float64 sums accumulate per salt before merging, so
+    addition order differs from the single-level path and np.rint at
+    an exact .5 boundary could flip a pixel by 1 (tested equal on the
+    fixture data; treat weighted parity as allclose-within-1, not
+    bitwise)."""
     nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
 
     def _partial(pdf: pd.DataFrame) -> pd.DataFrame:

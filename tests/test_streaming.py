@@ -120,3 +120,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # finalized on-time windows are present (watermark advanced past them)
     assert any(pd.Timestamp(s) == base.floor("h") for s in starts)
     q.stop()
+
+
+def test_stream_sink_is_idempotent_on_batch_id(spark, tmp_path):
+    """A replayed microbatch (crash after snapshot commit, before the
+    stream checkpoint records the batch) must NOT double-append its
+    patch rows — the sink dedups on batch_id (ADVICE r1)."""
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    grid = OutputGrid(
+        bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+        num_bands=3, chunk_h=256, chunk_w=256,
+    )
+    images = spark.createDataFrame(generator.images_pdf(10),
+                                   schema=generator.IMAGE_SCHEMA)
+    table = Icelite(str(tmp_path / "patches"))
+    sink = SI.make_patch_sink(table, grid)
+    sink(images, 0)
+    n1 = table.read(spark).count()
+    assert n1 > 0
+    sink(images, 0)          # replay of batch 0: must be a no-op
+    assert table.read(spark).count() == n1
+    assert len(table.history()) == 1
+    sink(images, 1)          # a genuinely new batch still appends
+    assert table.read(spark).count() == 2 * n1
+    assert SI.applied_batch_ids(table) == {0, 1}
