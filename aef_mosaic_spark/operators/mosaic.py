@@ -198,7 +198,8 @@ def assignments(df: DataFrame, grid: OutputGrid) -> DataFrame:
 def _reproject_tile_to_chunk(img: np.ndarray, tile_crs: str, tmin_x: float,
                              tmax_y: float, tres: float, grid: OutputGrid,
                              row_idx: int, col_idx: int,
-                             gbox: tuple[float, float, float, float] | None = None):
+                             gbox: tuple[float, float, float, float] | None = None,
+                             approx_px: float | None = None):
     """Inverse-map one chunk window's pixel centers into the source
     tile; nearest-neighbor gather. Returns (y0, x0, patch, mask) of the
     tight valid window, or None.
@@ -227,11 +228,20 @@ def _reproject_tile_to_chunk(img: np.ndarray, tile_crs: str, tmin_x: float,
     cc = np.arange(c_lo, c_hi)
     ty = grid.bounds[3] - (R0 + rr + 0.5) * grid.resolution
     tx = grid.bounds[0] + (C0 + cc + 0.5) * grid.resolution
-    TX, TY = np.meshgrid(tx, ty)
-    sx_w, sy_w = proj.transform_points(TX.ravel(), TY.ravel(), grid.crs, tile_crs)
+    shape = (len(ty), len(tx))
+    if approx_px is not None and tile_crs != grid.crs:
+        # opt-in approximate path (reference adaptive grid): budget is
+        # approx_px SOURCE pixels -> err_limit in source CRS units
+        sx_w, sy_w = proj.transform_grid_approx(
+            tx, ty, grid.crs, tile_crs, err_limit=approx_px * tres)
+    else:
+        TX, TY = np.meshgrid(tx, ty)
+        sx_w, sy_w = proj.transform_points(TX.ravel(), TY.ravel(),
+                                           grid.crs, tile_crs)
+        sx_w, sy_w = sx_w.reshape(shape), sy_w.reshape(shape)
     # world -> source pixel index (source rows top-down from tmax_y)
-    sc = np.floor((sx_w - tmin_x) / tres).astype(np.int64).reshape(TX.shape)
-    sr = np.floor((tmax_y - sy_w) / tres).astype(np.int64).reshape(TY.shape)
+    sc = np.floor((sx_w - tmin_x) / tres).astype(np.int64)
+    sr = np.floor((tmax_y - sy_w) / tres).astype(np.int64)
     valid = (sc >= 0) & (sc < sw) & (sr >= 0) & (sr < sh)
     if not valid.any():
         return None
@@ -246,7 +256,8 @@ def _reproject_tile_to_chunk(img: np.ndarray, tile_crs: str, tmin_x: float,
     return y0 + r_lo, x0 + c_lo, patch, v.astype(np.uint8)
 
 
-def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
+def reproject_patches(ranged: DataFrame, grid: OutputGrid,
+                      approx_px: float | None = None) -> DataFrame:
     """mapInPandas: decode each tile ONCE, emit one patch row per
     intersecting chunk. sort_key = stable compositing order for
     last-on-top (reference composites by insertion order; we make it
@@ -283,7 +294,7 @@ def reproject_patches(ranged: DataFrame, grid: OutputGrid) -> DataFrame:
                 for r, c in rcs:
                         res = _reproject_tile_to_chunk(
                             img, t.crs, t.min_x, t.max_y, t.resolution, g, r, c,
-                            gbox=gbox,
+                            gbox=gbox, approx_px=approx_px,
                         )
                         if res is None:
                             continue
@@ -518,7 +529,8 @@ def composite_chunks_salted(patches: DataFrame, grid: OutputGrid,
 
 
 def tiles_to_patches(images: DataFrame, grid: OutputGrid,
-                     row_range: tuple[int, int] | None = None) -> DataFrame:
+                     row_range: tuple[int, int] | None = None,
+                     approx_px: float | None = None) -> DataFrame:
     """The FUSED fast path: WGS84+year prefilter (pushed to the scan)
     -> ONE mapInPandas doing bounds transform, exact chunk ranges,
     decode-once, and patch reprojection. Zero shuffles and zero branch
@@ -568,7 +580,7 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid,
                     for c in range(col_min[i], col_max[i] + 1):
                         res = _reproject_tile_to_chunk(
                             img, t.crs, t.min_x, t.max_y, t.resolution, g, r, c,
-                            gbox=gbox)
+                            gbox=gbox, approx_px=approx_px)
                         if res is None:
                             continue
                         y0, x0, patch, mask = res
@@ -593,6 +605,10 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid,
         _gen, schema=PATCH_SCHEMA)
 
 
-def mosaic(images: DataFrame, grid: OutputGrid, mode: str = "mean") -> DataFrame:
-    """images -> chunk DataFrame (the full flagship DAG, lazily)."""
-    return composite_chunks(tiles_to_patches(images, grid), grid, mode=mode)
+def mosaic(images: DataFrame, grid: OutputGrid, mode: str = "mean",
+           approx_px: float | None = None) -> DataFrame:
+    """images -> chunk DataFrame (the full flagship DAG, lazily).
+    approx_px: opt-in approximate reprojection budget in source pixels
+    (None = exact per-pixel transform, the default)."""
+    return composite_chunks(
+        tiles_to_patches(images, grid, approx_px=approx_px), grid, mode=mode)

@@ -26,23 +26,35 @@ from aef_mosaic_spark.sources.icelite import Icelite
 KEYS = ["time_idx", "row_idx", "col_idx"]
 
 
-def config_hash(grid: OutputGrid, mode: str) -> str:
+def config_hash(grid: OutputGrid, mode: str,
+                approx_px: float | None = None) -> str:
     """SHA-256 over output-affecting config, like the reference's
     checkpoint guard (src/checkpoint.rs:284-306): resuming with a
-    different grid/mode must be refused, not silently mixed."""
-    payload = json.dumps({"grid": grid.to_dict(), "mode": mode}, sort_keys=True)
+    different grid/mode must be refused, not silently mixed.
+    approx_px participates when set (approximate-reprojection output
+    may differ within the budget — mixing it with exact chunks in one
+    table would be silent drift); None keeps round-1 hashes stable."""
+    cfg = {"grid": grid.to_dict(), "mode": mode}
+    if approx_px is not None:
+        cfg["approx_px"] = approx_px
+    payload = json.dumps(cfg, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
 class MosaicJob:
     def __init__(self, grid: OutputGrid, mode: str = "mean",
-                 cluster_output: bool = False, composite_salt: int = 0):
+                 cluster_output: bool = False, composite_salt: int = 0,
+                 approx_px: float | None = None):
         self.grid = grid
         self.mode = mode
         self.cluster_output = cluster_output
         # >1 enables the two-level skew-splitting compositor (bit-exact)
         self.composite_salt = composite_salt
-        self.hash = config_hash(grid, mode)
+        # opt-in approximate reprojection budget in source pixels
+        # (reference default 0.75, src/transform/reproject.rs:23-24);
+        # None = exact per-pixel transform
+        self.approx_px = approx_px
+        self.hash = config_hash(grid, mode, approx_px)
 
     def _with_hilbert(self, chunks: DataFrame) -> DataFrame:
         import pandas as pd
@@ -134,7 +146,8 @@ class MosaicJob:
                 F.count(F.lit(1)).alias("n_tiles"),
                 F.sum(F.length("bytes")).alias("tile_bytes"),
             )
-            patches = M.tiles_to_patches(pre, self.grid, row_range=row_range)
+            patches = M.tiles_to_patches(pre, self.grid, row_range=row_range,
+                                         approx_px=self.approx_px)
         else:
             # resume: per-tile remaining-work lists via anti-join; the
             # patch kernel itself consumes `todo`, so the emitted patch
@@ -145,7 +158,8 @@ class MosaicJob:
                 F.count(F.lit(1)).alias("n_tiles"),
                 F.sum(F.length("bytes")).alias("tile_bytes"),
             )
-            patches = M.reproject_patches(tiles, self.grid)
+            patches = M.reproject_patches(tiles, self.grid,
+                                          approx_px=self.approx_px)
         obs_patches = Observation("patches")
         patches = patches.observe(
             obs_patches,
@@ -289,15 +303,26 @@ class MosaicJob:
                 f"{base}/{name}/part-0.parquet")
 
     # --------------------------------------------------------- analyze
-    def analyze(self, spark: SparkSession, images: DataFrame) -> dict:
+    def analyze(self, spark: SparkSession, images: DataFrame,
+                rate_mb_per_sec: float = 100.0) -> dict:
         """Plan-only coverage/cost report (reference analyze_work,
-        src/main.rs:215-247 + coverage_stats, spatial_lookup.rs:92-122)."""
-        a = M.assignments(images, self.grid)
+        src/main.rs:215-247 + coverage_stats, spatial_lookup.rs:92-122),
+        including the input-bytes/rate ETA model (src/main.rs:243-247):
+        est_seconds = relevant input bytes / rate_mb_per_sec."""
+        meta = images.select("image_id", "crs", "min_x", "min_y",
+                             "max_x", "max_y", "year")
+        a = M.assignments(meta, self.grid)
         per_chunk = a.groupBy(*KEYS).agg(F.count(F.lit(1)).alias("n_tiles"))
         stats = per_chunk.agg(
             F.count(F.lit(1)).alias("chunks_with_data"),
             F.max("n_tiles").alias("max_tiles_per_chunk"),
             F.avg("n_tiles").alias("avg_tiles_per_chunk"),
+        ).collect()[0]
+        # input cost: bytes of tiles that survive the pushed prefilter
+        # (the bytes the workers will actually fetch+decode)
+        in_stats = M.wgs84_prefilter(images, self.grid).agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.coalesce(F.sum(F.length("bytes")), F.lit(0)).alias("in_bytes"),
         ).collect()[0]
         chunk_bytes = self.grid.num_bands * self.grid.chunk_h * self.grid.chunk_w
         total = self.grid.num_chunks
@@ -307,6 +332,10 @@ class MosaicJob:
             "empty_chunks": total - stats.chunks_with_data,
             "max_tiles_per_chunk": stats.max_tiles_per_chunk,
             "avg_tiles_per_chunk": round(stats.avg_tiles_per_chunk, 3),
+            "input_tiles": in_stats.n_tiles,
+            "input_bytes": in_stats.in_bytes,
+            "est_seconds_at_rate": round(
+                in_stats.in_bytes / (rate_mb_per_sec * 1e6), 3),
             "est_output_bytes": chunk_bytes * stats.chunks_with_data,
             "est_output_bytes_compressed": chunk_bytes * stats.chunks_with_data // 3,
         }

@@ -93,11 +93,17 @@ class Icelite:
         return snap_id
 
     def append(self, df: DataFrame, partition_by: list[str] | None = None,
-               properties: dict | None = None, summary: dict | None = None) -> int:
+               properties: dict | None = None, summary: dict | None = None,
+               compression: str = "zstd") -> int:
         """Write df as a new snapshot (parent = current). Data lands in
         a snapshot-private dir first; the snapshot JSON + version hint
         commit makes it visible (a crash mid-write leaves no visible
-        change — the resume-safety invariant, SURVEY §7.3d)."""
+        change — the resume-safety invariant, SURVEY §7.3d).
+
+        compression defaults to zstd, matching the reference's zstd-3
+        chunk store (src/config.rs:427, src/main.rs:237-240) — ~1.9x
+        smaller chunk files than snappy on the fixture mosaics at
+        equal read-back speed (BENCH/BASELINE.md)."""
         parent = self.current_snapshot_id()
         snap_id = (parent or 0) + 1
         # uuid suffix: a crashed writer's orphan dir can never collide
@@ -105,7 +111,7 @@ class Icelite:
         # source of truth; orphans are unreferenced garbage)
         data_dir = os.path.join(self.path, "data",
                                 f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
-        writer = df.write.mode("errorifexists")
+        writer = df.write.mode("errorifexists").option("compression", compression)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)

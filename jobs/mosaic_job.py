@@ -44,6 +44,10 @@ def main(argv=None):
                     help=">1 enables the two-level skew-splitting compositor")
     ap.add_argument("--cluster-output", action="store_true",
                     help="Hilbert-cluster chunk rows in the sink")
+    ap.add_argument("--approx-px", type=float, default=None,
+                    help="opt-in approximate reprojection budget in "
+                         "source pixels (reference uses 0.75); default "
+                         "= exact per-pixel transform")
     ap.add_argument("--commit-groups", type=int, default=1,
                     help=">1 commits the run as K row-band snapshots "
                          "(incremental checkpointing: a crash loses at "
@@ -107,7 +111,8 @@ def main(argv=None):
             _noop, schema="id long").count()
 
     job = MosaicJob(grid, mode=args.mode, cluster_output=args.cluster_output,
-                    composite_salt=args.composite_salt)
+                    composite_salt=args.composite_salt,
+                    approx_px=args.approx_px)
     if args.analyze:
         print(json.dumps(job.analyze(spark, images)))
         return 0

@@ -126,6 +126,9 @@ def test_analyze(spark, grid):
     assert rep["chunks_with_data"] > 0
     assert rep["chunks_with_data"] + rep["empty_chunks"] == rep["total_chunks"]
     assert rep["max_tiles_per_chunk"] >= rep["avg_tiles_per_chunk"] > 0
+    # ETA cost model (reference src/main.rs:243-247)
+    assert rep["input_tiles"] > 0 and rep["input_bytes"] > 0
+    assert rep["est_seconds_at_rate"] == round(rep["input_bytes"] / 1e8, 3)
 
 
 def test_orphan_data_dir_does_not_block_retry(spark, tmp_path):
