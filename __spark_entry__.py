@@ -708,6 +708,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return inter.unionByName(only_seg)
     q["q50_set_ops"] = q50_set_ops
 
+    def q51_min_cost_supplier(spark, sf):
+        # TPC-H q2-like: multi-join (lineitem->supplier->nation->region
+        # + part) with a correlated min-subquery, EUROPE only. The dim
+        # chain is broadcast by Catalyst (supplier/nation/region are
+        # tiny); the min is a groupBy + self-join on the agg result.
+        li = _pq(spark, sf, "lineitem")
+        s = _pq(spark, sf, "supplier")
+        n = _pq(spark, sf, "nation")
+        r = _pq(spark, sf, "region")
+        p = _pq(spark, sf, "part")
+        # quantize with floor(x*100+0.5)/100 — identical double ops in
+        # both engines (round() half-up vs half-even differs at .005
+        # ties, and cost feeds an argmin so a one-cent flip cascades)
+        cost = (li.groupBy("l_partkey", "l_suppkey")
+                .agg((F.floor(F.avg("l_extendedprice") * 100 + 0.5) / 100)
+                     .alias("cost")))
+        sup = (cost.join(s, cost.l_suppkey == s.s_suppkey)
+               .join(n, s.s_nationkey == n.n_nationkey)
+               .join(r, n.n_regionkey == r.r_regionkey)
+               .where(F.col("r_name") == "EUROPE"))
+        mc = sup.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+        return (sup.join(mc, "l_partkey")
+                .where(F.col("cost") == F.col("min_cost"))
+                .join(p, F.col("l_partkey") == p.p_partkey)
+                .select(F.col("p_partkey"), F.col("p_brand"),
+                        F.col("s_name"), F.col("n_name"), F.col("cost")))
+    q["q51_min_cost_supplier"] = q51_min_cost_supplier
+
+    def q52_order_priority_check(spark, sf):
+        # TPC-H q4-like: date-range filter + EXISTS semi-join with a
+        # non-equi component (l_shipdate > o_orderdate)
+        o = _pq(spark, sf, "orders")
+        li = _pq(spark, sf, "lineitem")
+        o = o.where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                    & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        sel = o.join(
+            li, (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate), "left_semi")
+        return (sel.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count"))
+                .orderBy("o_orderpriority"))
+    q["q52_order_priority_check"] = q52_order_priority_check
+
+    def q53_nation_volume(spark, sf):
+        # TPC-H q7-like: two nation-dim joins on opposite sides of the
+        # fact table, bidirectional pair filter, per-year revenue
+        li = _pq(spark, sf, "lineitem")
+        o = _pq(spark, sf, "orders")
+        c = _pq(spark, sf, "customer")
+        s = _pq(spark, sf, "supplier")
+        n = _pq(spark, sf, "nation")
+        cn = n.selectExpr("n_nationkey AS c_nk", "n_name AS cust_nation")
+        sn = n.selectExpr("n_nationkey AS s_nk", "n_name AS supp_nation")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(s, li.l_suppkey == s.s_suppkey)
+             .join(cn, c.c_nationkey == F.col("c_nk"))
+             .join(sn, s.s_nationkey == F.col("s_nk"))
+             .where(((F.col("cust_nation") == "NATION_1")
+                     & (F.col("supp_nation") == "NATION_2"))
+                    | ((F.col("cust_nation") == "NATION_2")
+                       & (F.col("supp_nation") == "NATION_1"))))
+        return (j.groupBy("cust_nation", "supp_nation",
+                          F.year("l_shipdate").alias("l_year"))
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue")))
+    q["q53_nation_volume"] = q53_nation_volume
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1145,6 +1214,46 @@ def oracle_sql() -> dict[str, str]:
            10.0e0 AS resolution,
            2024 AS year
     FROM supplier
+    """
+
+    o["q51_min_cost_supplier"] = """
+    WITH cost AS (SELECT l_partkey, l_suppkey,
+                  floor(avg(l_extendedprice) * 100 + 0.5e0) / 100 AS cost
+                  FROM lineitem GROUP BY 1, 2),
+    sup AS (SELECT l_partkey, s_name, n_name, cost
+            FROM cost JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+    SELECT p_partkey, p_brand, s_name, n_name, cost
+    FROM sup JOIN part ON l_partkey = p_partkey
+    WHERE cost = (SELECT min(cost) FROM sup s2
+                  WHERE s2.l_partkey = sup.l_partkey)
+    """
+
+    o["q52_order_priority_check"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    o["q53_nation_volume"] = """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l_shipdate)::INT AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+       OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
     """
 
     o["q39_hilbert_order"] = _hilbert_sql(
