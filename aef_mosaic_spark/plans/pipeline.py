@@ -108,7 +108,8 @@ class MosaicJob:
     # ------------------------------------------------------------- run
     def run(self, spark: SparkSession, images: DataFrame, output_path: str,
             resume: bool = False,
-            row_range: tuple[int, int] | None = None) -> dict:
+            row_range: tuple[int, int] | None = None,
+            progress_interval_s: float | None = None) -> dict:
         """Execute and commit one snapshot; returns a metrics dict
         (reference MetricsSnapshot, src/pipeline/metrics.rs:322-329).
 
@@ -180,6 +181,11 @@ class MosaicJob:
             chunks = self._with_hilbert(chunks).repartitionByRange(
                 "time_idx", "hilbert").drop("hilbert")
 
+        reporter = None
+        if progress_interval_s:
+            from aef_mosaic_spark.plans.progress import ProgressReporter
+            reporter = ProgressReporter(spark, interval_s=progress_interval_s)
+            reporter.start()
         snap_id = table.append(
             chunks,
             partition_by=["time_idx"],
@@ -193,6 +199,7 @@ class MosaicJob:
                      **({"row_range": list(row_range)}
                         if row_range is not None else {})},
         )
+        stage_seconds = reporter.stop() if reporter else None
         if snap_id == 1:
             self._write_coordinate_tables(spark, output_path)
         wall = time.time() - t0
@@ -223,7 +230,16 @@ class MosaicJob:
             "previously_completed": n_completed,
             "tiles_per_sec": round((tile_m["n_tiles"] or 0) / wall, 2),
             "read_mb_per_sec": round((tile_m["tile_bytes"] or 0) / wall / 1e6, 2),
+            "write_mb_per_sec": round(
+                sum(e["bytes"] for e in lineage
+                    if e["snapshot_id"] == snap_id) / wall / 1e6, 2),
         }
+        if stage_seconds is not None:
+            total = sum(stage_seconds.values()) or 1.0
+            metrics["stage_seconds"] = stage_seconds
+            metrics["stage_pct"] = {
+                str(k): round(100.0 * v / total, 1)
+                for k, v in stage_seconds.items()}
         with open(os.path.join(output_path, f"metrics-{snap_id}.json"), "w") as f:
             json.dump(metrics, f, indent=1)
         return metrics

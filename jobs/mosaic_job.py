@@ -44,6 +44,9 @@ def main(argv=None):
                     help=">1 enables the two-level skew-splitting compositor")
     ap.add_argument("--cluster-output", action="store_true",
                     help="Hilbert-cluster chunk rows in the sink")
+    ap.add_argument("--progress-interval", type=float, default=None,
+                    help="print active-stage task progress every N "
+                         "seconds and report per-stage time in metrics")
     ap.add_argument("--approx-px", type=float, default=None,
                     help="opt-in approximate reprojection budget in "
                          "source pixels (reference uses 0.75); default "
@@ -122,7 +125,8 @@ def main(argv=None):
                                       groups=args.commit_groups,
                                       resume=args.resume)
     else:
-        metrics = job.run(spark, images, args.output, resume=args.resume)
+        metrics = job.run(spark, images, args.output, resume=args.resume,
+                          progress_interval_s=args.progress_interval)
     metrics["spark_master"] = spark.sparkContext.master
     metrics["n_input"] = n_in
     metrics["wall_total_s"] = round(time.time() - t0, 3)

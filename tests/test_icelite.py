@@ -228,3 +228,28 @@ def test_incremental_commits_and_crash_resume(spark, tmp_path, grid):
             for r in Icelite(out_inc2).read(spark).collect()}
     assert got2 == full
     assert len(Icelite(out_inc2).history()) == 2
+
+
+def test_progress_reporter_and_write_rate(spark, tmp_path, grid):
+    """Periodic reporter (reference metrics.rs:204-234) + per-stage
+    time attribution + write MB/s in the metrics dict."""
+    images = spark.createDataFrame(generator.images_pdf(40))
+    lines = []
+    import aef_mosaic_spark.plans.progress as prog
+
+    orig = prog.ProgressReporter.__init__
+
+    def patched(self, spark_, interval_s=10.0, sink=print):
+        orig(self, spark_, interval_s=0.2, sink=lines.append)
+
+    prog.ProgressReporter.__init__ = patched
+    try:
+        m = MosaicJob(grid).run(spark, images, str(tmp_path / "out"),
+                                progress_interval_s=0.2)
+    finally:
+        prog.ProgressReporter.__init__ = orig
+    assert "stage_seconds" in m and "stage_pct" in m
+    assert m["write_mb_per_sec"] > 0
+    # the compositor stage runs >1 s at this size, so the 0.2 s poll
+    # must have caught at least one active stage
+    assert lines and all(ln.startswith("[progress]") for ln in lines)
