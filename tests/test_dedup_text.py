@@ -172,3 +172,15 @@ def test_jaccard_verify_strategies_agree(spark):
                          verify_broadcast=vb).collect()})
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) > 0  # doc 0/1 are exact dups -> jaccard 1.0
+
+
+def test_minhash_fused_equals_two_phase(spark):
+    """The pair-shuffle-free fused plan must reproduce the two-phase
+    result exactly (same candidates via canonical-band dedup, same
+    64-bit token-hash intersection)."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    two = {tuple(r) for r in D.minhash_near_duplicates(
+        d, "doc_id", "text", threshold=0.8, fused=False).collect()}
+    fus = {tuple(r) for r in D.minhash_near_duplicates(
+        d, "doc_id", "text", threshold=0.8, fused=True).collect()}
+    assert fus == two and len(two) > 0
