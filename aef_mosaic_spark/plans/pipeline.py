@@ -132,7 +132,11 @@ class MosaicJob:
                     "resume refused: config_hash mismatch "
                     f"({props.get('config_hash')} != {self.hash})"
                 )
-            done = table.completed_keys(spark, KEYS)
+            # manifest-level file pruning narrows the committed-keys
+            # read to the band's files; the .where is the exact filter
+            done = table.completed_keys(
+                spark, KEYS,
+                filters={"row_idx": tuple(row_range)} if row_range else None)
             if row_range is not None:
                 done = done.where(F.col("row_idx").between(*row_range))
             n_completed = done.count()

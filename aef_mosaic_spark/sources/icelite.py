@@ -33,6 +33,50 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _footer_stats(md) -> dict:
+    """Per-column [min, max] from the parquet footer (int/float/str
+    columns only) — Iceberg-style manifest column stats, so scans can
+    prune whole files without opening them (reference relies on the
+    spatial index for the same purpose, src/index/spatial_lookup.rs)."""
+    stats: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue  # binary/decimal: not comparable as JSON
+            name = col.path_in_schema
+            if name in stats:
+                stats[name][0] = min(stats[name][0], lo)
+                stats[name][1] = max(stats[name][1], hi)
+            else:
+                stats[name] = [lo, hi]
+    return stats
+
+
+def _entry_overlaps(entry: dict, filters: dict) -> bool:
+    """File-level pruning test: hive partition values + footer stats
+    vs inclusive [lo, hi] ranges; unknown columns never prune."""
+    for col, (lo, hi) in filters.items():
+        pv = entry.get("partition", {}).get(col)
+        if pv is not None:
+            try:
+                v = type(lo)(pv)
+            except (TypeError, ValueError):
+                continue
+            if v < lo or v > hi:
+                return False
+            continue
+        st = entry.get("stats", {}).get(col)
+        if st is not None and (st[0] > hi or st[1] < lo):
+            return False
+    return True
+
+
 class Icelite:
     def __init__(self, path: str):
         self.path = path
@@ -130,6 +174,7 @@ class Icelite:
                 "partition": part,
                 "rows": md.num_rows,
                 "bytes": os.path.getsize(fp),
+                "stats": _footer_stats(md),
             })
         manifest_name = f"manifest-{snap_id}.json"
         os.makedirs(self.meta, exist_ok=True)
@@ -159,7 +204,13 @@ class Icelite:
         return self.append(df, partition_by, properties, summary)
 
     # ------------------------------------------------------------ read
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, snapshot_id: int | None = None,
+             filters: dict | None = None) -> DataFrame:
+        """filters={col: (lo, hi)} enables manifest-level file pruning:
+        files whose hive partition value or footer [min, max] stats are
+        disjoint from every requested inclusive range are never opened
+        (Iceberg-style scan planning). Rows are still exactly filtered
+        by the caller's predicates; pruning only skips whole files."""
         s = self.snapshot(snapshot_id)
         if not s or not s["manifests"]:
             raise FileNotFoundError(f"icelite table at {self.path} has no data")
@@ -167,34 +218,55 @@ class Icelite:
         # are inferred), unioned by name — manifests are the file source
         # of truth, never a directory listing of the table root
         dfs = []
+        schema_probe = None
         for m in s["manifests"]:
             with open(os.path.join(self.meta, m)) as f:
                 man = json.load(f)
-            files = [os.path.join(self.path, e["path"]) for e in man["entries"]]
+            entries = man["entries"]
+            if entries and schema_probe is None:
+                schema_probe = man  # any manifest with files, pre-pruning
+            if filters:
+                entries = [e for e in entries if _entry_overlaps(e, filters)]
+            files = [os.path.join(self.path, e["path"]) for e in entries]
             if not files:
                 continue
             # basePath = the snapshot data dir (first two segments of
             # the manifest-relative path), so hive partition columns
             # are inferred from the remainder
-            snap_dir = os.path.join(*man["entries"][0]["path"].split(os.sep)[:2])
+            snap_dir = os.path.join(*entries[0]["path"].split(os.sep)[:2])
             base = os.path.join(self.path, snap_dir)
             dfs.append(spark.read.option("basePath", base).parquet(*files))
         if not dfs:
+            if filters and schema_probe is not None:
+                # everything pruned: empty frame with the table schema
+                e0 = schema_probe["entries"][0]
+                snap_dir = os.path.join(*e0["path"].split(os.sep)[:2])
+                probe = spark.read.option(
+                    "basePath", os.path.join(self.path, snap_dir)
+                ).parquet(os.path.join(self.path, e0["path"]))
+                return probe.limit(0)
             raise FileNotFoundError(f"icelite table at {self.path} has no data files")
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
-    def completed_keys(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
+    def completed_keys(self, spark: SparkSession, key_cols: list[str],
+                       filters: dict | None = None) -> DataFrame:
         """Distinct committed partition keys; an existing-but-empty
         table (e.g. an incremental band that produced no chunks) is a
-        valid state and yields an empty keys frame, not an error."""
+        valid state and yields an empty keys frame, not an error.
+        filters prune manifest files before any read (see read())."""
         try:
-            return self.read(spark).select(*key_cols).distinct()
+            return self.read(spark, filters=filters) \
+                .select(*key_cols).distinct()
         except FileNotFoundError:
             return spark.createDataFrame(
                 [], ", ".join(f"{c} int" for c in key_cols))
+
+    def scan_files(self, filters: dict) -> list[dict]:
+        """Manifest entries a filtered read would open (pruning probe)."""
+        return [e for e in self.data_files() if _entry_overlaps(e, filters)]
 
     def lineage(self) -> list[dict]:
         """Per-partition lineage: every live file with partition values

@@ -253,3 +253,34 @@ def test_progress_reporter_and_write_rate(spark, tmp_path, grid):
     # the compositor stage runs >1 s at this size, so the 0.2 s poll
     # must have caught at least one active stage
     assert lines and all(ln.startswith("[progress]") for ln in lines)
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Iceberg-style scan planning: manifests record per-column
+    [min,max] footer stats; read(filters=...) skips files whose stats
+    (or hive partition value) are disjoint from the range."""
+    t = Icelite(str(tmp_path / "t"))
+    df = spark.range(100).selectExpr(
+        "CAST(id % 4 AS INT) AS p", "CAST(id AS INT) AS row_idx",
+        "id * 2 AS v")
+    t.append(df.repartition("p"), partition_by=["p"])
+    ents = t.data_files()
+    assert all("stats" in e and "row_idx" in e["stats"] for e in ents)
+    # row_idx stats overlap across p-partitions (round-robin ids), so
+    # prune on the partition column value instead:
+    pruned = t.scan_files({"p": (1, 2)})
+    assert 0 < len(pruned) < len(ents)
+    assert {e["partition"]["p"] for e in pruned} == {"1", "2"}
+    got = t.read(spark, filters={"p": (1, 2)})
+    assert got.count() == 50 and set(
+        r.p for r in got.select("p").distinct().collect()) == {1, 2}
+    # stats-based pruning: append a second snapshot with a disjoint
+    # row_idx range, unpartitioned -> only footer stats can prune it
+    t.append(spark.range(1000, 1100).selectExpr(
+        "CAST(5 AS INT) AS p", "CAST(id AS INT) AS row_idx", "id * 2 AS v"))
+    hi = t.scan_files({"row_idx": (1000, 1100)})
+    assert all(e["stats"]["row_idx"][0] >= 1000 for e in hi)
+    assert len(hi) < len(t.data_files())
+    # fully-pruned scan returns an empty frame with the right schema
+    none = t.read(spark, filters={"row_idx": (10**6, 10**6 + 1)})
+    assert none.count() == 0 and "row_idx" in none.columns
