@@ -21,7 +21,82 @@ import time
 for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
     os.environ.setdefault(_v, "1")  # see aef_mosaic_spark.session
 
+# direct `python jobs/mosaic_job.py` runs (e.g. --validate without a
+# Spark session) need the repo root; spark-submit gets it via --py-files
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_root, "aef_mosaic_spark")):
+    sys.path.insert(0, _root)
+
 from pyspark.sql import SparkSession
+
+
+CONFIG_TEMPLATE = {
+    "images_dir": "s3a://bucket/images/",
+    "output": "/data/mosaic",
+    "mode": "mean",
+    "bounds": "499000,4095000,530000,4125000",
+    "crs": "EPSG:32610",
+    "resolution": 10.0,
+    "years": "2023,2024",
+    "commit_groups": 1,
+    "approx_px": None,
+    "composite_salt": 0,
+    "cluster_output": False,
+}
+
+
+def validate_config(args) -> list[str]:
+    """Plan-free config + input validation (reference `validate`
+    command, src/main.rs:65-71, 255-343): every issue is reported, not
+    just the first."""
+    from aef_mosaic_spark import proj
+    from aef_mosaic_spark.operators.normalize import SYNONYMS
+
+    issues: list[str] = []
+    try:
+        b = tuple(float(v) for v in args.bounds.split(","))
+        if len(b) != 4:
+            issues.append(f"bounds needs 4 values, got {len(b)}")
+        elif b[2] <= b[0] or b[3] <= b[1]:
+            issues.append(f"bounds max must exceed min: {b}")
+    except ValueError as e:
+        issues.append(f"bounds unparseable: {e}")
+    try:
+        proj.parse_epsg(args.crs)
+    except ValueError as e:
+        issues.append(str(e))
+    if args.resolution <= 0:
+        issues.append(f"resolution must be > 0, got {args.resolution}")
+    try:
+        years = [int(y) for y in args.years.split(",")]
+        if not years or sorted(set(years)) != years:
+            issues.append(f"years must be sorted and unique: {years}")
+    except ValueError as e:
+        issues.append(f"years unparseable: {e}")
+    if args.commit_groups < 1:
+        issues.append("commit-groups must be >= 1")
+    if args.approx_px is not None and args.approx_px <= 0:
+        issues.append("approx-px must be > 0 when given")
+    if args.images_dir:
+        import glob as g
+
+        import pyarrow.parquet as papq
+        files = sorted(g.glob(os.path.join(args.images_dir, "**", "*.parquet"),
+                              recursive=True))
+        if not files:
+            issues.append(f"no parquet files under {args.images_dir}")
+        else:
+            have = {c.lower() for c in papq.read_schema(files[0]).names}
+            for canon in ("tile_id", "min_x", "min_y", "max_x", "max_y"):
+                if not any(s in have for s in SYNONYMS[canon]) \
+                        and not {"image_id", "bytes"} <= have:
+                    issues.append(
+                        f"input lacks {canon!r} (synonyms {SYNONYMS[canon]})"
+                        " and is not an image table (image_id+bytes)")
+                    break
+    elif not args.generate:
+        issues.append("one of --images-dir / --generate is required")
+    return issues
 
 
 def main(argv=None):
@@ -29,7 +104,12 @@ def main(argv=None):
     ap.add_argument("--images-dir", help="parquet dir of the image+caption table")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N deterministic synthetic tiles instead")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output")
+    ap.add_argument("--config", help="JSON config file; CLI flags override")
+    ap.add_argument("--validate", action="store_true",
+                    help="check config + input schema, print issues, exit")
+    ap.add_argument("--generate-config", action="store_true",
+                    help="print a config template and exit")
     ap.add_argument("--mode", default="mean", choices=["mean", "last", "weighted"])
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--analyze", action="store_true", help="plan-only report")
@@ -56,6 +136,24 @@ def main(argv=None):
                          "(incremental checkpointing: a crash loses at "
                          "most one band)")
     args = ap.parse_args(argv)
+    if args.generate_config:
+        print(json.dumps(CONFIG_TEMPLATE, indent=1))
+        return 0
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+        for k, v in cfg.items():
+            k = k.replace("-", "_")
+            # CLI flags override config-file values; argparse defaults
+            # lose to the file
+            if getattr(args, k, None) in (None, ap.get_default(k)) and v is not None:
+                setattr(args, k, v)
+    if args.validate:
+        issues = validate_config(args)
+        print(json.dumps({"valid": not issues, "issues": issues}))
+        return 1 if issues else 0
+    if not args.output:
+        ap.error("--output is required (unless --validate/--generate-config)")
 
     from aef_mosaic_spark.grid import OutputGrid
     from aef_mosaic_spark.plans.pipeline import MosaicJob
