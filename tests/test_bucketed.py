@@ -1,0 +1,35 @@
+"""Bucketed co-partitioned joins: repeated joins on image_id without a
+shuffle (CLAUDE.md candidate; the Spark answer to re-joining the image
+table at 100 TB)."""
+
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.sources.bucketed import (
+    joined_bucketed, plan_has_shuffle, write_bucketed,
+)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .selectExpr("CAST(doc_id AS STRING) AS image_id", "text")
+    meta = docs.select("image_id", F.length("text").alias("n_chars"))
+    write_bucketed(docs, "b_docs", ["image_id"], 8,
+                   sort_cols=["image_id"], path=str(tmp_path / "b_docs"))
+    write_bucketed(meta, "b_meta", ["image_id"], 8,
+                   sort_cols=["image_id"], path=str(tmp_path / "b_meta"))
+    try:
+        j = spark.table("b_docs").hint("merge").join(
+            spark.table("b_meta"), ["image_id"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert not plan_has_shuffle(j), plan[:2000]
+        assert j.count() == docs.count()
+        # the UNbucketed control join DOES shuffle (sanity of the
+        # probe; merge hint so AQE can't broadcast it away)
+        ctrl = docs.hint("merge").join(
+            meta.withColumnRenamed("n_chars", "m").hint("merge"),
+            ["image_id"])
+        assert plan_has_shuffle(ctrl)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_meta")
