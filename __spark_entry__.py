@@ -1280,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q17_ann_cosine_lsh"] = _ann_lsh_sql()
+    o["q17b_ann_cosine_ivf"] = _ann_ivf_sql()
 
     # pinned-fixture oracles for the deterministic, sf-independent
     # raster/multimodal queries (reference test style: real numbers
@@ -1332,6 +1333,51 @@ def _ann_lsh_sql() -> str:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, item_id) AS rank
       FROM sims) WHERE rank <= 5
+    """
+
+
+def _ann_ivf_sql(n_lists: int = 16, n_probe: int = 4, k: int = 5,
+                 dim: int = 64) -> str:
+    """SQL twin of knn.ann_cosine_ivf: same md5-h32 hash-ordered seeds,
+    ONE Lloyd step with centroids rounded to 6 decimals (the rounding
+    is what makes the float avg engine-portable — summation order
+    differs between Spark partial aggregation and DuckDB), rank-1 item
+    lists, top-n_probe query lists, exact cosine + top-k."""
+    h = h32_sql("vec_id::VARCHAR")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS list, v
+              FROM e ORDER BY {h}, vec_id LIMIT {n_lists}),
+    a0 AS (SELECT vec_id, v, list FROM (
+        SELECT e.vec_id, e.v, s.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.v) DESC, s.list) AS rk
+        FROM e, seeds s) WHERE rk = 1),
+    dims AS (SELECT a0.list, d.dim, a0.v[d.dim] AS val
+             FROM a0, (SELECT unnest(generate_series(1, {dim})) AS dim) d),
+    refined AS (SELECT list, array_agg(round(m, 6) ORDER BY dim) AS v
+                FROM (SELECT list, dim, avg(val) AS m FROM dims
+                      GROUP BY 1, 2) GROUP BY list),
+    cents AS (SELECT s.list, coalesce(r.v, s.v) AS v
+              FROM seeds s LEFT JOIN refined r USING (list)),
+    ia AS (SELECT vec_id, v, list FROM (
+        SELECT e.vec_id, e.v, c.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list) AS rk
+        FROM e, cents c) WHERE rk = 1),
+    qa AS (SELECT vec_id AS query_id, v AS qv, list FROM (
+        SELECT e.vec_id, e.v, c.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list) AS rk
+        FROM e, cents c WHERE e.vec_id < 20) WHERE rk <= {n_probe}),
+    sims AS (SELECT qa.query_id, ia.vec_id AS item_id,
+             round(list_cosine_similarity(qa.qv, ia.v), 6) AS sim
+             FROM qa JOIN ia USING (list) WHERE qa.query_id <> ia.vec_id)
+    SELECT query_id, item_id, rank FROM (
+      SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, item_id) AS rank
+      FROM sims) WHERE rank <= {k}
     """
 
 

@@ -142,7 +142,9 @@ def _assign_lists(df: DataFrame, vec: str, centroids, out_col: str,
             V = np.stack(pdf[vec].to_numpy())
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             sims = Vn @ Cn.T
-            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            # stable sort: sim ties resolve to the LOWER list index,
+            # matching the SQL twin's (sim DESC, list ASC) ordering
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             pdf = pdf.copy()
             pdf[out_col] = [row.astype(int).tolist() for row in top]
             yield pdf
@@ -153,15 +155,20 @@ def _assign_lists(df: DataFrame, vec: str, centroids, out_col: str,
 def ivf_centroids(items: DataFrame, vec: str, n_lists: int, dim: int,
                   refine_iters: int = 1) -> list[list[float]]:
     """Deterministic IVF codebook: seeds = the n_lists items with the
-    smallest xxhash64(id)-style keys (hash-ordered, data-driven but
-    reproducible), then `refine_iters` Lloyd steps computed as
-    DataFrame aggregations (assign -> groupBy(list).avg)."""
-    import numpy as np
+    smallest md5-derived h32(id) keys (hash-ordered, data-driven but
+    reproducible — md5 so the DuckDB oracle computes the SAME seeds),
+    then `refine_iters` Lloyd steps computed as DataFrame aggregations
+    (assign -> groupBy(list).avg). Refined coordinates are rounded to
+    6 decimals: float avg is summation-order-dependent (both across
+    Spark partials and across engines), and rounding snaps the ~1e-12
+    divergence so assignments are reproducible bit-for-bit."""
+    from aef_mosaic_spark.functions.hashes import h32_col
 
     id_col = items.columns[0]
     seeds = (
-        items.select(vec, F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
-        .orderBy("_h").limit(n_lists).collect()
+        items.select(vec, h32_col(F.col(id_col).cast("string")).alias("_h"),
+                     F.col(id_col).alias("_id"))
+        .orderBy("_h", "_id").limit(n_lists).collect()
     )
     centroids = [list(map(float, r[0])) for r in seeds]
     for _ in range(refine_iters):
@@ -174,7 +181,7 @@ def ivf_centroids(items: DataFrame, vec: str, n_lists: int, dim: int,
         )
         new = list(centroids)
         for r in agg:
-            new[r["_list"]] = [float(r[f"c{i}"]) for i in range(dim)]
+            new[r["_list"]] = [round(float(r[f"c{i}"]), 6) for i in range(dim)]
         centroids = new
     return centroids
 
