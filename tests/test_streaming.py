@@ -146,3 +146,49 @@ def test_stream_sink_is_idempotent_on_batch_id(spark, tmp_path):
     sink(images, 1)          # a genuinely new batch still appends
     assert table.read(spark).count() == 2 * n1
     assert SI.applied_batch_ids(table) == {0, 1}
+
+
+def test_incremental_chunk_refresh(spark, tmp_path):
+    """Materialized-view maintenance: refresh recomposites ONLY chunks
+    touched by new patch snapshots; latest_chunks equals the one-shot
+    batch mosaic after each refresh."""
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    grid = OutputGrid(
+        bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+        num_bands=3, chunk_h=256, chunk_w=256,
+    )
+    pdf = generator.images_pdf(30)
+    pt_path, ct_path = str(tmp_path / "patches"), str(tmp_path / "chunks")
+    table = Icelite(pt_path)
+    sink = SI.make_patch_sink(table, grid)
+
+    first = spark.createDataFrame(pdf.iloc[:20], schema=generator.IMAGE_SCHEMA)
+    sink(first, 0)
+    m1 = SI.refresh_chunks(spark, pt_path, ct_path, grid, mode="mean")
+    assert m1["refreshed_chunks"] > 0
+    want1 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+             for r in M.mosaic(first, grid, mode="mean").collect()}
+    got1 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in SI.latest_chunks(spark, ct_path).collect()}
+    assert got1 == want1
+
+    # late batch touches only its own chunks
+    late = spark.createDataFrame(pdf.iloc[20:], schema=generator.IMAGE_SCHEMA)
+    sink(late, 1)
+    m2 = SI.refresh_chunks(spark, pt_path, ct_path, grid, mode="mean")
+    late_keys = {(r.time_idx, r.row_idx, r.col_idx) for r in
+                 M.assignments(late, grid).select(
+                     "time_idx", "row_idx", "col_idx").distinct().collect()}
+    assert m2["refreshed_chunks"] == len(late_keys) < len(want1) + len(late_keys)
+    full = spark.createDataFrame(pdf, schema=generator.IMAGE_SCHEMA)
+    want = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in M.mosaic(full, grid, mode="mean").collect()}
+    got = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+           for r in SI.latest_chunks(spark, ct_path).collect()}
+    assert got == want
+
+    # no new patches -> no-op
+    m3 = SI.refresh_chunks(spark, pt_path, ct_path, grid, mode="mean")
+    assert m3["refreshed_chunks"] == 0
