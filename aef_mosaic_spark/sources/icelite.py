@@ -77,6 +77,11 @@ def _entry_overlaps(entry: dict, filters: dict) -> bool:
     return True
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed the snapshot id this writer
+    planned; the append did NOT become visible."""
+
+
 class Icelite:
     def __init__(self, path: str):
         self.path = path
@@ -119,6 +124,11 @@ class Icelite:
     # ----------------------------------------------------------- write
     def _commit(self, manifests: list[str], properties: dict, summary: dict,
                 parent: int | None) -> int:
+        """Optimistic concurrency (Iceberg-style): the snapshot file is
+        created with O_EXCL, so two writers that both planned against
+        parent N cannot both commit N+1 — the loser gets
+        CommitConflictError and must re-plan against the new current
+        snapshot instead of silently clobbering the winner."""
         snap_id = (parent or 0) + 1
         snap = {
             "snapshot_id": snap_id,
@@ -128,8 +138,23 @@ class Icelite:
             "summary": summary,
         }
         os.makedirs(self.meta, exist_ok=True)
-        with open(os.path.join(self.meta, f"snap-{snap_id}.json"), "w") as f:
-            json.dump(snap, f, indent=1)
+        snap_path = os.path.join(self.meta, f"snap-{snap_id}.json")
+        try:
+            with open(snap_path, "x") as f:
+                json.dump(snap, f, indent=1)
+        except FileExistsError as e:
+            if (self.current_snapshot_id() or 0) >= snap_id:
+                # the other writer WON (its hint is current): this
+                # append must not clobber it
+                raise CommitConflictError(
+                    f"snapshot {snap_id} already committed by a concurrent "
+                    f"writer; re-read the table and retry") from e
+            # orphan snap file from a writer that crashed BEFORE the
+            # hint replace (the commit point): safe to supersede
+            tmp = os.path.join(self.meta, f".snap-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(snap, f, indent=1)
+            os.replace(tmp, snap_path)
         tmp = os.path.join(self.meta, f".hint-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(snap_id))

@@ -284,3 +284,31 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     # fully-pruned scan returns an empty frame with the right schema
     none = t.read(spark, filters={"row_idx": (10**6, 10**6 + 1)})
     assert none.count() == 0 and "row_idx" in none.columns
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: a writer that planned against a stale
+    parent must get CommitConflictError, not silently clobber the
+    winner — while an ORPHAN snap file from a crashed writer (hint
+    never advanced) is superseded by the retry."""
+    import json as _json
+
+    from aef_mosaic_spark.sources.icelite import CommitConflictError
+
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(5))  # snapshot 1
+    # simulate a LOSING concurrent writer: winner committed snapshot 2
+    t.append(spark.range(3))
+    loser = Icelite(str(tmp_path / "t"))
+    with pytest.raises(CommitConflictError):
+        loser._commit([], {}, {}, parent=1)  # stale parent -> snap 2 taken
+    assert t.read(spark).count() == 8  # winner intact
+    # simulate a CRASHED writer: snap-3.json exists, hint still at 2
+    orphan = {"snapshot_id": 3, "parent_id": 2, "manifests": [],
+              "properties": {}, "summary": {"crashed": True}}
+    with open(tmp_path / "t" / "metadata" / "snap-3.json", "w") as f:
+        _json.dump(orphan, f)
+    t.append(spark.range(2))  # retry plans snap 3 -> supersedes orphan
+    assert t.current_snapshot_id() == 3
+    assert t.read(spark).count() == 10
+    assert "crashed" not in t.snapshot()["summary"]
