@@ -808,6 +808,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "w", "h", "caption")
     q["q55_video_frames"] = q55_video_frames
 
+    def q56_split_assignment(spark, sf):
+        # deterministic train/val/test split: md5-h32 hash-bucket of
+        # doc_id — reproducible across engines/runs (df.sample is not),
+        # the standard curation primitive for dataset versioning
+        d = _docs_hashed(spark, sf)
+        bucket = F.pmod(F.col("phash"), F.lit(100))
+        split = (F.when(bucket < 80, "train")
+                 .when(bucket < 90, "val").otherwise("test"))
+        return (d.select("doc_id", split.alias("split"))
+                .groupBy("split").agg(F.count(F.lit(1)).alias("n"),
+                                      F.min("doc_id").alias("min_id")))
+    q["q56_split_assignment"] = q56_split_assignment
+
+    def q57_balanced_cap(spark, sf):
+        # class-balanced capping: keep at most 30 docs per predicted
+        # language, selected deterministically by hash order (window
+        # row_number over the group) — per-group quota sampling
+        from pyspark.sql import Window
+        d = _docs_hashed(spark, sf).withColumn(
+            "lang", T.lang_id_col(F.col("text")))
+        w = Window.partitionBy("lang").orderBy("phash", "doc_id")
+        return (d.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= 30)
+                .select("doc_id", "lang", "rk"))
+    q["q57_balanced_cap"] = q57_balanced_cap
+
+    def q58_token_packing(spark, sf):
+        # context-window packing: hash-order the corpus, running token
+        # total, bin = floor(cumsum_before / 4096) — deterministic
+        # greedy packing of documents into ~4096-token training rows
+        from pyspark.sql import Window
+        d = _docs_hashed(spark, sf).withColumn(
+            "n_tok", T.token_count_col(F.col("text")).cast("long"))
+        w = Window.orderBy("phash", "doc_id") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        packed = d.withColumn(
+            "bin", F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 4096)
+            .cast("long"))
+        return (packed.groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tok").alias("bin_tokens")))
+    q["q58_token_packing"] = q58_token_packing
+
+    def q59_contamination_check(spark, sf):
+        # benchmark-contamination scan: docs sharing >=1 winnowing
+        # fingerprint with the "benchmark" subset (doc_id % 17 == 3,
+        # a deterministic stand-in) are flagged — the q54 primitive
+        # composed into the decontamination join it exists for
+        d = _pq(spark, sf, "documents")
+        g = d.select("doc_id", T.winnow_grams_col(F.col("text")).alias("_g"))
+        fp = g.select("doc_id", F.explode(
+            T.winnow_mins_col(F.col("_g"))).alias("fp")).distinct()
+        bench = fp.where(F.col("doc_id") % 17 == 3) \
+            .select(F.col("fp").alias("bfp")).distinct()
+        hits = (fp.where(F.col("doc_id") % 17 != 3)
+                .join(F.broadcast(bench), fp.fp == F.col("bfp"), "left_semi"))
+        return (hits.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_shared_fp")))
+    q["q59_contamination_check"] = q59_contamination_check
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1292,6 +1352,48 @@ def oracle_sql() -> dict[str, str]:
     WITH g AS (SELECT doc_id, {winnow_grams_sql('text')} AS grams
                FROM documents)
     SELECT DISTINCT doc_id, unnest({winnow_mins_sql('grams')}) AS fp FROM g
+    """
+
+    o["q56_split_assignment"] = f"""
+    WITH d AS (SELECT doc_id, {PHASH_SQL} AS phash FROM documents)
+    SELECT CASE WHEN phash % 100 < 80 THEN 'train'
+                WHEN phash % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n, min(doc_id) AS min_id
+    FROM d GROUP BY 1
+    """
+
+    o["q57_balanced_cap"] = f"""
+    WITH d AS (SELECT doc_id, {PHASH_SQL} AS phash,
+               {lang_id_sql('text')} AS lang FROM documents)
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY phash, doc_id) AS rk
+      FROM d) WHERE rk <= 30
+    """
+
+    o["q58_token_packing"] = f"""
+    WITH d AS (SELECT doc_id, {PHASH_SQL} AS phash,
+               {token_count_sql('text')}::BIGINT AS n_tok FROM documents),
+    p AS (SELECT n_tok,
+          floor(coalesce(sum(n_tok) OVER (ORDER BY phash, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 4096e0)::BIGINT AS bin
+          FROM d)
+    SELECT bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens
+    FROM p GROUP BY bin
+    """
+
+    o["q59_contamination_check"] = f"""
+    WITH g AS (SELECT doc_id, {winnow_grams_sql('text')} AS grams
+               FROM documents),
+    fp AS (SELECT DISTINCT doc_id,
+           unnest({winnow_mins_sql('grams')}) AS fp FROM g),
+    bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 17 = 3)
+    SELECT doc_id, count(*) AS n_shared_fp
+    FROM fp WHERE doc_id % 17 <> 3
+      AND fp IN (SELECT fp FROM bench)
+    GROUP BY doc_id
     """
 
     o["q39_hilbert_order"] = _hilbert_sql(
