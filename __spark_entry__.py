@@ -835,18 +835,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q57_balanced_cap"] = q57_balanced_cap
 
     def q58_token_packing(spark, sf):
-        # context-window packing: hash-order the corpus, running token
-        # total, bin = floor(cumsum_before / 4096) — deterministic
-        # greedy packing of documents into ~4096-token training rows
+        # context-window packing: docs land in one of 16 hash groups
+        # (each group = an independent packing stream, so the window
+        # cumsum is partition-PARALLEL, never a global single-task
+        # sort), hash-ordered within the group, running token total,
+        # bin = floor(cumsum_before / 4096) — deterministic greedy
+        # packing of documents into ~4096-token training rows
         from pyspark.sql import Window
         d = _docs_hashed(spark, sf).withColumn(
-            "n_tok", T.token_count_col(F.col("text")).cast("long"))
-        w = Window.orderBy("phash", "doc_id") \
+            "n_tok", T.token_count_col(F.col("text")).cast("long")
+        ).withColumn("grp", F.pmod(F.col("phash"), F.lit(16)))
+        w = Window.partitionBy("grp").orderBy("phash", "doc_id") \
             .rowsBetween(Window.unboundedPreceding, -1)
         packed = d.withColumn(
             "bin", F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 4096)
             .cast("long"))
-        return (packed.groupBy("bin")
+        return (packed.groupBy("grp", "bin")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("n_tok").alias("bin_tokens")))
     q["q58_token_packing"] = q58_token_packing
@@ -1375,13 +1379,15 @@ def oracle_sql() -> dict[str, str]:
     o["q58_token_packing"] = f"""
     WITH d AS (SELECT doc_id, {PHASH_SQL} AS phash,
                {token_count_sql('text')}::BIGINT AS n_tok FROM documents),
-    p AS (SELECT n_tok,
-          floor(coalesce(sum(n_tok) OVER (ORDER BY phash, doc_id
+    g AS (SELECT *, phash % 16 AS grp FROM d),
+    p AS (SELECT grp, n_tok,
+          floor(coalesce(sum(n_tok) OVER (PARTITION BY grp
+                ORDER BY phash, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 / 4096e0)::BIGINT AS bin
-          FROM d)
-    SELECT bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens
-    FROM p GROUP BY bin
+          FROM g)
+    SELECT grp, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens
+    FROM p GROUP BY grp, bin
     """
 
     o["q59_contamination_check"] = f"""
