@@ -257,7 +257,9 @@ def _reproject_tile_to_chunk(img: np.ndarray, tile_crs: str, tmin_x: float,
 
 
 def reproject_patches(ranged: DataFrame, grid: OutputGrid,
-                      approx_px: float | None = None) -> DataFrame:
+                      approx_px: float | None = None,
+                      skip_bad_tiles: bool = False,
+                      bad_tile_acc=None) -> DataFrame:
     """mapInPandas: decode each tile ONCE, emit one patch row per
     intersecting chunk. sort_key = stable compositing order for
     last-on-top (reference composites by insertion order; we make it
@@ -277,7 +279,14 @@ def reproject_patches(ranged: DataFrame, grid: OutputGrid,
         for pdf in it:
             rows: list[dict] = []
             for t in pdf.itertuples(index=False):
-                img = codecs.decode(t.bytes, t.fmt, t.w, t.h)[:nb]
+                try:
+                    img = codecs.decode(t.bytes, t.fmt, t.w, t.h)[:nb]
+                except Exception:
+                    if not skip_bad_tiles:
+                        raise
+                    if bad_tile_acc is not None:
+                        bad_tile_acc.add(1)
+                    continue
                 sort_key = int.from_bytes(
                     __import__("hashlib").md5(t.image_id.encode()).digest()[:8],
                     "big", signed=True,
@@ -530,7 +539,9 @@ def composite_chunks_salted(patches: DataFrame, grid: OutputGrid,
 
 def tiles_to_patches(images: DataFrame, grid: OutputGrid,
                      row_range: tuple[int, int] | None = None,
-                     approx_px: float | None = None) -> DataFrame:
+                     approx_px: float | None = None,
+                     skip_bad_tiles: bool = False,
+                     bad_tile_acc=None) -> DataFrame:
     """The FUSED fast path: WGS84+year prefilter (pushed to the scan)
     -> ONE mapInPandas doing bounds transform, exact chunk ranges,
     decode-once, and patch reprojection. Zero shuffles and zero branch
@@ -539,7 +550,12 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid,
 
     row_range=(r0, r1): emit only chunks in that inclusive row band
     (incremental-commit split — the prefilter AND the kernel loop are
-    both clipped, so a band pays only its own kernel cost)."""
+    both clipped, so a band pays only its own kernel cost).
+
+    skip_bad_tiles: a decode/reproject failure drops THAT tile (counted
+    in bad_tile_acc if given) instead of failing the task — at 10^12
+    tiles, corrupt inputs are routine, and one byte-rotted object must
+    not kill a 10-hour job. Default False = fail fast (CI parity)."""
     import hashlib
 
     nb = grid.num_bands
@@ -571,7 +587,14 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid,
             for i, t in enumerate(pdf.itertuples(index=False)):
                 if not ok[i] or t.year not in t_for_year:
                     continue
-                img = codecs.decode(t.bytes, t.fmt, t.w, t.h)[:nb]
+                try:
+                    img = codecs.decode(t.bytes, t.fmt, t.w, t.h)[:nb]
+                except Exception:
+                    if not skip_bad_tiles:
+                        raise
+                    if bad_tile_acc is not None:
+                        bad_tile_acc.add(1)
+                    continue
                 sort_key = int.from_bytes(
                     hashlib.md5(t.image_id.encode()).digest()[:8], "big", signed=True)
                 gbox = (gx0[i], gy0[i], gx1[i], gy1[i])

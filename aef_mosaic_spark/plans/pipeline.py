@@ -44,7 +44,8 @@ def config_hash(grid: OutputGrid, mode: str,
 class MosaicJob:
     def __init__(self, grid: OutputGrid, mode: str = "mean",
                  cluster_output: bool = False, composite_salt: int = 0,
-                 approx_px: float | None = None):
+                 approx_px: float | None = None,
+                 skip_bad_tiles: bool = False):
         self.grid = grid
         self.mode = mode
         self.cluster_output = cluster_output
@@ -54,6 +55,8 @@ class MosaicJob:
         # (reference default 0.75, src/transform/reproject.rs:23-24);
         # None = exact per-pixel transform
         self.approx_px = approx_px
+        # tolerate corrupt tiles (skip + count) instead of failing the job
+        self.skip_bad_tiles = skip_bad_tiles
         self.hash = config_hash(grid, mode, approx_px)
 
     def _with_hilbert(self, chunks: DataFrame) -> DataFrame:
@@ -151,8 +154,12 @@ class MosaicJob:
                 F.count(F.lit(1)).alias("n_tiles"),
                 F.sum(F.length("bytes")).alias("tile_bytes"),
             )
+            bad_acc = spark.sparkContext.accumulator(0) \
+                if self.skip_bad_tiles else None
             patches = M.tiles_to_patches(pre, self.grid, row_range=row_range,
-                                         approx_px=self.approx_px)
+                                         approx_px=self.approx_px,
+                                         skip_bad_tiles=self.skip_bad_tiles,
+                                         bad_tile_acc=bad_acc)
         else:
             # resume: per-tile remaining-work lists via anti-join; the
             # patch kernel itself consumes `todo`, so the emitted patch
@@ -163,8 +170,12 @@ class MosaicJob:
                 F.count(F.lit(1)).alias("n_tiles"),
                 F.sum(F.length("bytes")).alias("tile_bytes"),
             )
+            bad_acc = spark.sparkContext.accumulator(0) \
+                if self.skip_bad_tiles else None
             patches = M.reproject_patches(tiles, self.grid,
-                                          approx_px=self.approx_px)
+                                          approx_px=self.approx_px,
+                                          skip_bad_tiles=self.skip_bad_tiles,
+                                          bad_tile_acc=bad_acc)
         obs_patches = Observation("patches")
         patches = patches.observe(
             obs_patches,
@@ -237,6 +248,8 @@ class MosaicJob:
             "write_mb_per_sec": round(
                 sum(e["bytes"] for e in lineage
                     if e["snapshot_id"] == snap_id) / wall / 1e6, 2),
+            **({"bad_tiles_skipped": bad_acc.value}
+               if self.skip_bad_tiles else {}),
         }
         if stage_seconds is not None:
             total = sum(stage_seconds.values()) or 1.0

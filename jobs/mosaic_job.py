@@ -131,6 +131,9 @@ def main(argv=None):
                     help="opt-in approximate reprojection budget in "
                          "source pixels (reference uses 0.75); default "
                          "= exact per-pixel transform")
+    ap.add_argument("--skip-bad-tiles", action="store_true",
+                    help="skip (and count) tiles whose decode/reproject "
+                         "fails instead of failing the job")
     ap.add_argument("--commit-groups", type=int, default=1,
                     help=">1 commits the run as K row-band snapshots "
                          "(incremental checkpointing: a crash loses at "
@@ -213,7 +216,8 @@ def main(argv=None):
 
     job = MosaicJob(grid, mode=args.mode, cluster_output=args.cluster_output,
                     composite_salt=args.composite_salt,
-                    approx_px=args.approx_px)
+                    approx_px=args.approx_px,
+                    skip_bad_tiles=args.skip_bad_tiles)
     if args.analyze:
         print(json.dumps(job.analyze(spark, images)))
         return 0

@@ -194,3 +194,33 @@ def test_approx_reprojection_parity(spark, images_sdf, grid):
         mse = (diff ** 2).mean()
         psnr = float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
         assert psnr >= 40.0, (k, psnr)
+
+
+def test_skip_bad_tiles(spark, images_pdf, grid, tmp_path):
+    """A corrupt tile fails the job by default; with skip_bad_tiles the
+    run completes, counts it, and every chunk untouched by the bad tile
+    is byte-identical to the clean run (at 10^12 tiles, byte rot is
+    routine — one object must not kill a 10-hour job)."""
+    from aef_mosaic_spark.plans.pipeline import MosaicJob
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    pdf = images_pdf.copy()
+    bad_id = pdf.iloc[0]["image_id"]
+    pdf.loc[pdf.index[0], "bytes"] = b"\x89PNGgarbage-not-a-real-stream"
+    corrupt = spark.createDataFrame(pdf)
+    job = MosaicJob(grid, mode="mean")
+    with pytest.raises(Exception):
+        job.run(spark, corrupt, str(tmp_path / "strict"))
+
+    tol = MosaicJob(grid, mode="mean", skip_bad_tiles=True)
+    m = tol.run(spark, corrupt, str(tmp_path / "tolerant"))
+    assert m["bad_tiles_skipped"] == 1
+    assert m["chunks_written"] > 0
+    # chunks not touched by the bad tile match the clean-input run
+    clean = spark.createDataFrame(images_pdf.iloc[1:])
+    mc = MosaicJob(grid, mode="mean").run(spark, clean, str(tmp_path / "ref"))
+    got = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+           for r in Icelite(str(tmp_path / "tolerant")).read(spark).collect()}
+    want = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(str(tmp_path / "ref")).read(spark).collect()}
+    assert got == want
