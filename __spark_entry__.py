@@ -872,6 +872,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n_shared_fp")))
     q["q59_contamination_check"] = q59_contamination_check
 
+    def q60_sample_raster_at_points(spark, sf):
+        # raster->vector: pixel values of the committed golden mosaic
+        # sampled at deterministic points (north rule raster<->vector).
+        # Chunk-key floor math + equi-join + JVM byte extraction; the
+        # oracle mirrors the arithmetic over the same fixture parquet.
+        from aef_mosaic_spark.operators.raster_vector import (
+            sample_chunks_at_points,
+        )
+        grid = _flagship_grid()
+        chunks = spark.read.parquet(
+            f"{_FIXTURE_DIR}/golden_chunks_mean.parquet")
+        pts = _pq(spark, sf, "orders").selectExpr(
+            "o_orderkey AS point_id",
+            "CAST(o_orderkey % 2 AS INT) AS time_idx",
+            "499000e0 + (o_orderkey * 37) % 10240 AS x",
+            "4095000e0 + (o_orderkey * 53) % 10240 AS y")
+        out = sample_chunks_at_points(chunks, pts, grid, band=0)
+        return out.select("point_id", "time_idx", "row_idx", "col_idx",
+                          "px", "py", "value")
+    q["q60_sample_raster_at_points"] = q60_sample_raster_at_points
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1400,6 +1421,28 @@ def oracle_sql() -> dict[str, str]:
     FROM fp WHERE doc_id % 17 <> 3
       AND fp IN (SELECT fp FROM bench)
     GROUP BY doc_id
+    """
+
+    o["q60_sample_raster_at_points"] = f"""
+    WITH pts AS (SELECT o_orderkey AS point_id,
+                 (o_orderkey % 2)::INT AS time_idx,
+                 499000e0 + (o_orderkey * 37) % 10240 AS x,
+                 4095000e0 + (o_orderkey * 53) % 10240 AS y
+                 FROM orders),
+    keyed AS (SELECT point_id, time_idx,
+              floor((x - 499000e0) / 10e0)::BIGINT AS pxg,
+              floor((4105240e0 - y) / 10e0)::BIGINT AS pyg
+              FROM pts),
+    idx AS (SELECT point_id, time_idx,
+            (pyg // 256)::INT AS row_idx, (pxg // 256)::INT AS col_idx,
+            (pxg % 256)::INT AS px, (pyg % 256)::INT AS py
+            FROM keyed WHERE pxg >= 0 AND pyg >= 0),
+    c AS (SELECT time_idx, row_idx, col_idx, hex(chunk_bytes) AS hx FROM
+          read_parquet('{_FIXTURE_DIR}/golden_chunks_mean.parquet'))
+    SELECT point_id, i.time_idx, i.row_idx, i.col_idx, px, py,
+           (('0x' || substr(hx, (py * 256 + px) * 2 + 1, 2))::INT) AS value
+    FROM idx i JOIN c ON i.time_idx = c.time_idx
+     AND i.row_idx = c.row_idx AND i.col_idx = c.col_idx
     """
 
     o["q39_hilbert_order"] = _hilbert_sql(

@@ -243,3 +243,28 @@ def test_ann_ivf_recall(spark):
         spark.createDataFrame(qs), spark.createDataFrame(items), k=1,
         dim=16, n_lists=8, n_probe=3).collect()
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+
+
+def test_sample_raster_at_points_matches_numpy(spark):
+    """raster->vector point sampling: the JVM byte-extraction join must
+    equal decoding the chunk in numpy and indexing [band, py, px]."""
+    import numpy as np
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators.raster_vector import sample_chunks_at_points
+
+    grid = OutputGrid(bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+                      crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+                      num_bands=3, chunk_h=256, chunk_w=256)
+    chunks = spark.read.parquet("fixtures/golden_chunks_mean.parquet")
+    pdf = chunks.limit(3).toPandas()
+    pts = spark.createDataFrame([
+        {"point_id": i, "time_idx": int(r.time_idx),
+         "x": 499000.0 + (r.col_idx * 256 + 10 + i) * 10.0 + 5.0,
+         "y": 4105240.0 - (r.row_idx * 256 + 20 + i) * 10.0 - 5.0}
+        for i, r in enumerate(pdf.itertuples(index=False))])
+    got = {r.point_id: r.value for r in sample_chunks_at_points(
+        chunks, pts, grid, band=1).collect()}
+    for i, r in enumerate(pdf.itertuples(index=False)):
+        arr = np.frombuffer(r.chunk_bytes, np.uint8).reshape(3, 256, 256)
+        assert got[i] == int(arr[1, 20 + i, 10 + i]), i
