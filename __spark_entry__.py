@@ -893,6 +893,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "px", "py", "value")
     q["q60_sample_raster_at_points"] = q60_sample_raster_at_points
 
+    def q61_zonal_stats(spark, sf):
+        # zonal statistics over the golden mosaic: per-box pixel
+        # sum/count/mean of band 0 (raster<->vector analytics; two-level
+        # partial+merge aggregation, only touched chunks read)
+        from aef_mosaic_spark.operators.raster_vector import zonal_stats
+        grid = _flagship_grid()
+        chunks = spark.read.parquet(
+            f"{_FIXTURE_DIR}/golden_chunks_mean.parquet")
+        boxes = _pq(spark, sf, "supplier").selectExpr(
+            "s_suppkey AS box_id",
+            "CAST(s_suppkey % 2 AS INT) AS time_idx",
+            "499000e0 + (s_suppkey * 97) % 9600 AS min_x",
+            "4095000e0 + (s_suppkey * 61) % 9600 AS min_y",
+            "499000e0 + (s_suppkey * 97) % 9600 + 300e0 AS max_x",
+            "4095000e0 + (s_suppkey * 61) % 9600 + 300e0 AS max_y")
+        return zonal_stats(chunks, boxes, grid, band=0)
+    q["q61_zonal_stats"] = q61_zonal_stats
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1443,6 +1461,35 @@ def oracle_sql() -> dict[str, str]:
            (('0x' || substr(hx, (py * 256 + px) * 2 + 1, 2))::INT) AS value
     FROM idx i JOIN c ON i.time_idx = c.time_idx
      AND i.row_idx = c.row_idx AND i.col_idx = c.col_idx
+    """
+
+    o["q61_zonal_stats"] = f"""
+    WITH boxes AS (SELECT s_suppkey AS box_id,
+                   (s_suppkey % 2)::INT AS time_idx,
+                   499000e0 + (s_suppkey * 97) % 9600 AS min_x,
+                   4095000e0 + (s_suppkey * 61) % 9600 AS min_y,
+                   499000e0 + (s_suppkey * 97) % 9600 + 300e0 AS max_x,
+                   4095000e0 + (s_suppkey * 61) % 9600 + 300e0 AS max_y
+                   FROM supplier),
+    px AS (SELECT box_id, time_idx, min_y, max_y,
+           unnest(generate_series(floor((min_x - 499000e0) / 10e0)::BIGINT,
+                  ceil((max_x - 499000e0) / 10e0)::BIGINT - 1)) AS pxg
+           FROM boxes),
+    pxy AS (SELECT box_id, time_idx, pxg,
+            unnest(generate_series(floor((4105240e0 - max_y) / 10e0)::BIGINT,
+                   ceil((4105240e0 - min_y) / 10e0)::BIGINT - 1)) AS pyg
+            FROM px),
+    c AS (SELECT time_idx, row_idx, col_idx, hex(chunk_bytes) AS hx FROM
+          read_parquet('{_FIXTURE_DIR}/golden_chunks_mean.parquet')),
+    v AS (SELECT box_id, p.time_idx,
+          ('0x' || substr(hx, ((pyg % 256) * 256 + (pxg % 256)) * 2 + 1,
+                          2))::INT AS val
+          FROM pxy p JOIN c ON p.time_idx = c.time_idx
+           AND (pyg // 256)::INT = c.row_idx AND (pxg // 256)::INT = c.col_idx)
+    SELECT box_id, time_idx, count(*)::BIGINT AS n_px,
+           sum(val)::BIGINT AS px_sum,
+           round(sum(val)::DOUBLE / count(*), 6) AS mean_value
+    FROM v GROUP BY 1, 2
     """
 
     o["q39_hilbert_order"] = _hilbert_sql(

@@ -59,3 +59,77 @@ def sample_chunks_at_points(chunks: DataFrame, points: DataFrame,
                         F.conv(F.hex(F.expr("substring(_chunk, _off, 1)")),
                                16, 10).cast("int"))
             .drop("_chunk", "_off"))
+
+
+def zonal_stats(chunks: DataFrame, boxes: DataFrame, grid: OutputGrid,
+                band: int = 0, chunk_col: str = "chunk_bytes") -> DataFrame:
+    """Zonal statistics: per-box pixel sum/count/mean of `band` over
+    the chunked mosaic -> (box_id, time_idx, n_px, px_sum, mean_value).
+
+    Plan (classic two-level raster aggregation):
+    1. analytic box -> chunk-range floor inversion (the write path's
+       J2 math, boxes already in grid CRS) + explode -> equi-join to
+       chunk rows — only chunks a box touches are ever read;
+    2. mapInPandas partial: decode the chunk buffer once per
+       (box, chunk) pair, numpy-sum the clipped pixel window;
+    3. groupBy(box) final merge.
+    Partials are associative ints, so the merge is map-side-combinable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gx0, _, _, gy1 = grid.bounds
+    res, chh, chw = grid.resolution, grid.chunk_h, grid.chunk_w
+    nb = grid.num_bands
+
+    b = (boxes
+         .withColumn("_c0", F.greatest(F.floor((F.col("min_x") - gx0)
+                                               / (chw * res)), F.lit(0))
+                     .cast("int"))
+         .withColumn("_c1", F.least(F.ceil((F.col("max_x") - gx0)
+                                           / (chw * res)) - 1,
+                                    F.lit(grid.chunk_cols - 1)).cast("int"))
+         .withColumn("_r0", F.greatest(F.floor((gy1 - F.col("max_y"))
+                                               / (chh * res)), F.lit(0))
+                     .cast("int"))
+         .withColumn("_r1", F.least(F.ceil((gy1 - F.col("min_y"))
+                                           / (chh * res)) - 1,
+                                    F.lit(grid.chunk_rows - 1)).cast("int"))
+         .where((F.col("_c0") <= F.col("_c1")) & (F.col("_r0") <= F.col("_r1")))
+         .withColumn("row_idx", F.explode(F.sequence("_r0", "_r1")))
+         .withColumn("col_idx", F.explode(F.sequence("_c0", "_c1")))
+         .drop("_c0", "_c1", "_r0", "_r1"))
+    # NB itertuples drops underscore-prefixed attributes — plain name
+    joined = b.join(chunks.select("time_idx", "row_idx", "col_idx",
+                                  F.col(chunk_col).alias("cbytes")),
+                    ["time_idx", "row_idx", "col_idx"])
+
+    def _partial(it):
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.cbytes, np.uint8).reshape(nb, chh, chw)
+                # box window clipped to this chunk, pixel-index space
+                px0 = max(int(np.floor((t.min_x - gx0) / res))
+                          - t.col_idx * chw, 0)
+                px1 = min(int(np.ceil((t.max_x - gx0) / res))
+                          - t.col_idx * chw, chw)
+                py0 = max(int(np.floor((gy1 - t.max_y) / res))
+                          - t.row_idx * chh, 0)
+                py1 = min(int(np.ceil((gy1 - t.min_y) / res))
+                          - t.row_idx * chh, chh)
+                if px0 >= px1 or py0 >= py1:
+                    continue
+                win = arr[band, py0:py1, px0:px1]
+                rows.append({"box_id": t.box_id, "time_idx": int(t.time_idx),
+                             "n_px": int(win.size),
+                             "px_sum": int(win.astype(np.int64).sum())})
+            yield pd.DataFrame(rows, columns=["box_id", "time_idx",
+                                              "n_px", "px_sum"])
+
+    partials = joined.mapInPandas(
+        _partial, schema="box_id long, time_idx int, n_px long, px_sum long")
+    return (partials.groupBy("box_id", "time_idx")
+            .agg(F.sum("n_px").alias("n_px"), F.sum("px_sum").alias("px_sum"))
+            .withColumn("mean_value",
+                        F.round(F.col("px_sum") / F.col("n_px"), 6)))
