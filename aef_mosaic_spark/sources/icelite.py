@@ -360,6 +360,19 @@ class Icelite:
                     json.dump(snap, f, indent=1)
         return removed
 
+    def rollback(self, to_snapshot_id: int) -> int:
+        """Commit a NEW snapshot whose state is `to_snapshot_id`'s
+        manifest list (Iceberg rollback semantics: history is never
+        rewritten — the bad snapshots stay readable until expired,
+        and the rollback itself is an auditable commit)."""
+        target = self.snapshot(to_snapshot_id)
+        if target is None:
+            raise FileNotFoundError(f"no snapshot {to_snapshot_id}")
+        return self._commit(
+            target["manifests"], target["properties"],
+            {"operation": "rollback", "to_snapshot_id": to_snapshot_id},
+            self.current_snapshot_id())
+
     def history(self) -> list[dict]:
         out = []
         sid = self.current_snapshot_id()

@@ -312,3 +312,19 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     assert t.current_snapshot_id() == 3
     assert t.read(spark).count() == 10
     assert "crashed" not in t.snapshot()["summary"]
+
+
+def test_rollback(spark, tmp_path):
+    """Rollback = a new auditable commit restoring an old snapshot's
+    file list; the rolled-back snapshot stays readable (time travel)."""
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(5))           # snap 1
+    t.append(spark.range(100, 103))    # snap 2 (the "bad" append)
+    assert t.read(spark).count() == 8
+    s = t.rollback(1)                  # snap 3 == snap 1's state
+    assert s == 3 and t.read(spark).count() == 5
+    assert t.read(spark, snapshot_id=2).count() == 8  # still readable
+    assert t.snapshot()["summary"]["operation"] == "rollback"
+    # appends continue from the rolled-back state
+    t.append(spark.range(7, 9))
+    assert t.read(spark).count() == 7

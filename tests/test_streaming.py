@@ -192,3 +192,42 @@ def test_incremental_chunk_refresh(spark, tmp_path):
     # no new patches -> no-op
     m3 = SI.refresh_chunks(spark, pt_path, ct_path, grid, mode="mean")
     assert m3["refreshed_chunks"] == 0
+
+
+def test_streaming_stateful_mosaic_matches_batch(spark, tmp_path):
+    """Continuous compositor (applyInPandasWithState, keyed chunk
+    accumulators): after the stream drains, the latest emitted chunk
+    per key is bit-exact with the one-shot batch mosaic."""
+    from aef_mosaic_spark.streaming.stateful import streaming_mosaic_mean
+
+    grid = OutputGrid(
+        bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+        num_bands=3, chunk_h=256, chunk_w=256,
+    )
+    pdf = generator.images_pdf(24)
+    images = spark.createDataFrame(pdf, schema=generator.IMAGE_SCHEMA)
+    want = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in M.mosaic(images, grid, mode="mean").collect()}
+
+    in_dir = str(tmp_path / "in")
+    images.repartition(3).write.parquet(in_dir)
+    stream = SI.read_image_stream(spark, in_dir)
+    ranged = M.with_chunk_ranges(M.with_grid_bounds(stream, grid), grid)
+    patches = M.reproject_patches(ranged, grid)
+    q = (streaming_mosaic_mean(patches, grid)
+         .writeStream.format("memory").queryName("live_chunks")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # memory sink in update mode appends each emission; latest per key
+    # = the row from the highest batch (use max n_patches as version)
+    rows = spark.sql("""
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY time_idx, row_idx, col_idx
+            ORDER BY n_patches DESC) AS rk
+          FROM live_chunks) WHERE rk = 1""").collect()
+    got = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk) for r in rows}
+    assert got == want
