@@ -911,6 +911,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zonal_stats(chunks, boxes, grid, band=0)
     q["q61_zonal_stats"] = q61_zonal_stats
 
+    def q62_embedding_quantization(spark, sf):
+        # int8 symmetric quantization of embeddings (ANN index prep):
+        # scale = 127/max|x|, q = floor(x*scale + 0.5) (deterministic
+        # half-up — round() half-even differs across engines at ties);
+        # reports per-vector scale + reconstruction error. Pure JVM
+        # array exprs with an exact SQL twin.
+        e = _pq(spark, sf, "embeddings").selectExpr(
+            "vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+        mx = F.array_max(F.transform("v", lambda x: F.abs(x)))
+        e = e.withColumn("scale", 127.0 / F.greatest(mx, F.lit(1e-12)))
+        q8 = F.transform(
+            "v", lambda x: F.greatest(
+                F.least(F.floor(x * F.col("scale") + 0.5), F.lit(127.0)),
+                F.lit(-127.0)))
+        e = e.withColumn("_q", q8)
+        err = F.aggregate(
+            F.zip_with("v", "_q",
+                       lambda x, qv: (x - qv / F.col("scale"))
+                       * (x - qv / F.col("scale"))),
+            F.lit(0.0), lambda a, b: a + b)
+        # floor-quantize (not round): the engines' round() diverges at
+        # decimal-tie doubles (CLAUDE.md rule)
+        rms = F.floor(F.sqrt(err / F.size("v")) * 1e9 + 0.5) / 1e9
+        # two-step select: an output alias named "scale" would SHADOW
+        # the raw scale column referenced inside rms's expression tree
+        # (Spark substitutes the sibling alias on project collapse),
+        # silently changing rms by an ulp
+        out = e.select("vec_id", F.col("scale").alias("_raw_scale"),
+                       rms.alias("rms_err"))
+        return out.select(
+            "vec_id",
+            (F.floor(F.col("_raw_scale") * 1e6 + 0.5) / 1e6).alias("scale"),
+            "rms_err")
+    q["q62_embedding_quantization"] = q62_embedding_quantization
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1490,6 +1525,23 @@ def oracle_sql() -> dict[str, str]:
            sum(val)::BIGINT AS px_sum,
            round(sum(val)::DOUBLE / count(*), 6) AS mean_value
     FROM v GROUP BY 1, 2
+    """
+
+    o["q62_embedding_quantization"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+          127e0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+            AS scale FROM e),
+    qz AS (SELECT vec_id, v, scale,
+           list_transform(v, x -> greatest(least(
+               floor(x * scale + 0.5e0), 127e0), -127e0)) AS q FROM s)
+    SELECT vec_id, floor(scale * 1e6 + 0.5e0) / 1e6 AS scale,
+           floor(sqrt(list_reduce(list_transform(
+                 generate_series(1, len(v)),
+                 i -> (v[i] - q[i] / scale) * (v[i] - q[i] / scale)),
+                 (a, b) -> a + b)
+                 / len(v)) * 1e9 + 0.5e0) / 1e9 AS rms_err
+    FROM qz
     """
 
     o["q39_hilbert_order"] = _hilbert_sql(
