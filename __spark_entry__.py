@@ -1490,7 +1490,8 @@ def oracle_sql() -> dict[str, str]:
             (pyg // 256)::INT AS row_idx, (pxg // 256)::INT AS col_idx,
             (pxg % 256)::INT AS px, (pyg % 256)::INT AS py
             FROM keyed WHERE pxg >= 0 AND pyg >= 0),
-    c AS (SELECT time_idx, row_idx, col_idx, hex(chunk_bytes) AS hx FROM
+    c AS MATERIALIZED (
+          SELECT time_idx, row_idx, col_idx, hex(chunk_bytes) AS hx FROM
           read_parquet('{_FIXTURE_DIR}/golden_chunks_mean.parquet'))
     SELECT point_id, i.time_idx, i.row_idx, i.col_idx, px, py,
            (('0x' || substr(hx, (py * 256 + px) * 2 + 1, 2))::INT) AS value
@@ -1514,13 +1515,21 @@ def oracle_sql() -> dict[str, str]:
             unnest(generate_series(floor((4105240e0 - max_y) / 10e0)::BIGINT,
                    ceil((4105240e0 - min_y) / 10e0)::BIGINT - 1)) AS pyg
             FROM px),
-    c AS (SELECT time_idx, row_idx, col_idx, hex(chunk_bytes) AS hx FROM
+    c AS MATERIALIZED (
+          SELECT time_idx, row_idx, col_idx, hex(chunk_bytes) AS hx FROM
           read_parquet('{_FIXTURE_DIR}/golden_chunks_mean.parquet')),
+    -- pre-split into per-pixel-row strings: joining the full 393 KB
+    -- hex per sampled pixel copies gigabytes; 512-char rows don't
+    cr AS MATERIALIZED (
+          SELECT time_idx, row_idx, col_idx, r.py,
+                 substr(hx, r.py * 512 + 1, 512) AS rowhx
+          FROM c, (SELECT unnest(generate_series(0, 255)) AS py) r),
     v AS (SELECT box_id, p.time_idx,
-          ('0x' || substr(hx, ((pyg % 256) * 256 + (pxg % 256)) * 2 + 1,
-                          2))::INT AS val
-          FROM pxy p JOIN c ON p.time_idx = c.time_idx
-           AND (pyg // 256)::INT = c.row_idx AND (pxg // 256)::INT = c.col_idx)
+          ('0x' || substr(rowhx, (pxg % 256) * 2 + 1, 2))::INT AS val
+          FROM pxy p JOIN cr ON p.time_idx = cr.time_idx
+           AND (pyg // 256)::INT = cr.row_idx
+           AND (pxg // 256)::INT = cr.col_idx
+           AND (pyg % 256)::INT = cr.py)
     SELECT box_id, time_idx, count(*)::BIGINT AS n_px,
            sum(val)::BIGINT AS px_sum,
            round(sum(val)::DOUBLE / count(*), 6) AS mean_value
