@@ -22,8 +22,13 @@ def main():
         m = re.search(r"#\s*(.+)", src)
         summary = m.group(1).strip() if m else ""
         if name in oracles:
-            okind = ("pinned fixture" if "read_parquet" in oracles[name]
-                     and "fixtures" in oracles[name] else "SQL twin")
+            sql = oracles[name].strip().lower()
+            if sql.startswith("select * from read_parquet"):
+                okind = "pinned fixture"
+            elif "fixtures" in sql:
+                okind = "SQL twin (over pinned raster fixture)"
+            else:
+                okind = "SQL twin"
         else:
             okind = "rows-only"
         lines.append(f"| {name} | {okind} | {summary[:90]} |")
