@@ -99,10 +99,14 @@ def zonal_stats(chunks: DataFrame, boxes: DataFrame, grid: OutputGrid,
          .withColumn("row_idx", F.explode(F.sequence("_r0", "_r1")))
          .withColumn("col_idx", F.explode(F.sequence("_c0", "_c1")))
          .drop("_c0", "_c1", "_r0", "_r1"))
+    # broadcast the (small) exploded-boxes side: the chunk table is the
+    # 100 TB side and its BYTES must never ride a shuffle — with the
+    # boxes broadcast, the join is map-side over the chunk scan.
     # NB itertuples drops underscore-prefixed attributes — plain name
-    joined = b.join(chunks.select("time_idx", "row_idx", "col_idx",
-                                  F.col(chunk_col).alias("cbytes")),
-                    ["time_idx", "row_idx", "col_idx"])
+    joined = F.broadcast(b).join(
+        chunks.select("time_idx", "row_idx", "col_idx",
+                      F.col(chunk_col).alias("cbytes")),
+        ["time_idx", "row_idx", "col_idx"])
 
     def _partial(it):
         for pdf in it:
