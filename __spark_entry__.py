@@ -946,6 +946,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rms_err")
     q["q62_embedding_quantization"] = q62_embedding_quantization
 
+    def q63_cea_box_areas(spark, sf):
+        # true (equal-area) box areas via the ENGINE's EPSG:6933
+        # projection (proj.transform_points) — the oracle re-derives
+        # Snyder eq. 3-12 in SQL with the same constants, so the
+        # projection math itself is value-checked by the driver, not
+        # just property-tested
+        import numpy as np
+
+        from aef_mosaic_spark import proj as P
+        b = _boxes(spark, sf)
+
+        def _tx(it):
+            for pdf in it:
+                x0, y0 = P.transform_points(
+                    pdf["min_lon"].to_numpy(), pdf["min_lat"].to_numpy(),
+                    "EPSG:4326", "EPSG:6933")
+                x1, y1 = P.transform_points(
+                    pdf["max_lon"].to_numpy(), pdf["max_lat"].to_numpy(),
+                    "EPSG:4326", "EPSG:6933")
+                out = pdf[["box_id"]].copy()
+                a = (x1 - x0) * (y1 - y0) / 1e6
+                out["area_km2"] = np.floor(a * 1e6 + 0.5) / 1e6
+                yield out
+
+        return b.mapInPandas(_tx, "box_id long, area_km2 double")
+    q["q63_cea_box_areas"] = q63_cea_box_areas
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1553,6 +1580,8 @@ def oracle_sql() -> dict[str, str]:
     FROM qz
     """
 
+    o["q63_cea_box_areas"] = _cea_areas_sql()
+
     o["q39_hilbert_order"] = _hilbert_sql(
         f"SELECT DISTINCT row_idx, col_idx FROM ({_chunk_assign_sql()})")
 
@@ -1675,6 +1704,36 @@ def _ann_ivf_sql(n_lists: int = 16, n_probe: int = 4, k: int = 5,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, item_id) AS rank
       FROM sims) WHERE rank <= {k}
+    """
+
+
+def _cea_areas_sql() -> str:
+    """SQL twin of q63: EPSG:6933 forward (Snyder eq. 3-12 authalic q)
+    with the engine's exact constants inlined — the same trig/log the
+    numpy path computes, so box areas match to the floor-quantized
+    micro-km2."""
+    from aef_mosaic_spark import proj as P
+
+    ak0 = f"CAST({P.A * P._CEA_K0!r} AS DOUBLE)"
+    a2k0 = f"CAST({P.A / (2.0 * P._CEA_K0)!r} AS DOUBLE)"
+    e = f"CAST({P.E!r} AS DOUBLE)"
+    e2 = f"CAST({P.E2!r} AS DOUBLE)"
+
+    def y(lat):
+        s = f"sin(radians({lat}))"
+        return (f"({a2k0} * (1.0 - {e2}) * ({s} / (1.0 - {e2} * {s} * {s}) "
+                f"- (1.0 / (2.0 * {e})) "
+                f"* ln((1.0 - {e} * {s}) / (1.0 + {e} * {s}))))")
+
+    return f"""
+    WITH b AS ({BOX_SQL}),
+    c AS (SELECT box_id,
+          {ak0} * radians(min_lon) AS x0, {ak0} * radians(max_lon) AS x1,
+          {y('min_lat')} AS y0, {y('max_lat')} AS y1
+          FROM b)
+    SELECT box_id,
+           floor((x1 - x0) * (y1 - y0) / 1e6 * 1e6 + 0.5e0) / 1e6 AS area_km2
+    FROM c
     """
 
 
