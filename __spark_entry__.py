@@ -80,6 +80,14 @@ PHASH_SQL = (
     f"{h32_sql('chr(1) || text')})"
 )
 
+# deterministic points inside UTM zone 10 (lon [-126,-120), lat (-60,60))
+UTM_POINT_SQL = """
+SELECT o_orderkey AS point_id,
+       (o_orderkey * 7) % 600 / 100e0 - 126e0 AS lon,
+       (o_orderkey * 13) % 1190 / 10e0 - 59.5e0 AS lat
+FROM orders
+"""
+
 _FIXTURE_DIR = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures")
@@ -973,6 +981,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return b.mapInPandas(_tx, "box_id long, area_km2 double")
     q["q63_cea_box_areas"] = q63_cea_box_areas
 
+    def q64_utm_forward(spark, sf):
+        # the Karney TM forward itself, driver-value-checked: engine
+        # numpy path vs the alpha series re-derived in SQL (hyperbolics
+        # emulated via exp/ln); mm-quantized on both sides
+        import numpy as np
+
+        from aef_mosaic_spark import proj as P
+        pts = _pq(spark, sf, "orders").selectExpr(
+            "o_orderkey AS point_id",
+            "(o_orderkey * 7) % 600 / 100e0 - 126e0 AS lon",
+            "(o_orderkey * 13) % 1190 / 10e0 - 59.5e0 AS lat")
+
+        def _tx(it):
+            for pdf in it:
+                x, y = P.transform_points(
+                    pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                    "EPSG:4326", "EPSG:32610")
+                out = pdf[["point_id"]].copy()
+                out["easting"] = np.floor(x * 1000.0 + 0.5) / 1000.0
+                out["northing"] = np.floor(y * 1000.0 + 0.5) / 1000.0
+                yield out
+
+        return pts.mapInPandas(
+            _tx, "point_id long, easting double, northing double")
+    q["q64_utm_forward"] = q64_utm_forward
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1581,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q63_cea_box_areas"] = _cea_areas_sql()
+    o["q64_utm_forward"] = _utm_forward_sql(zone=10)
 
     o["q39_hilbert_order"] = _hilbert_sql(
         f"SELECT DISTINCT row_idx, col_idx FROM ({_chunk_assign_sql()})")
@@ -1734,6 +1769,54 @@ def _cea_areas_sql() -> str:
     SELECT box_id,
            floor((x1 - x0) * (y1 - y0) / 1e6 * 1e6 + 0.5e0) / 1e6 AS area_km2
     FROM c
+    """
+
+
+def _utm_forward_sql(zone: int = 10) -> str:
+    """SQL twin of the Karney TM forward (proj.wgs84_to_utm) for one
+    zone: the 6-term alpha series with hyperbolics EMULATED via exp/ln
+    (DuckDB has none) — the emulation differs from libm sinh/atanh by
+    ~1e-16 relative, i.e. ~1e-11 m at UTM magnitudes, eight orders
+    below the mm quantization both sides apply."""
+    from aef_mosaic_spark import proj as P
+
+    def d(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    e = d(P.E)
+    lam0 = d(float(__import__("numpy").deg2rad(zone * 6.0 - 183.0)))
+    k0ab = d(P.UTM_K0 * P._A_BAR)
+    fe = d(P.UTM_FE)
+    atanh = "0.5 * ln((1.0 + {z}) / (1.0 - {z}))"
+    series_xi = " + ".join(
+        f"{d(a)} * sin({2 * j} * xi_p) * ((exp({2 * j} * eta_p) "
+        f"+ exp(-({2 * j}) * eta_p)) / 2.0)"
+        for j, a in enumerate(P._ALPHA, start=1))
+    series_eta = " + ".join(
+        f"{d(a)} * cos({2 * j} * xi_p) * ((exp({2 * j} * eta_p) "
+        f"- exp(-({2 * j}) * eta_p)) / 2.0)"
+        for j, a in enumerate(P._ALPHA, start=1))
+    return f"""
+    WITH pts AS ({UTM_POINT_SQL}),
+    s1 AS (SELECT point_id, radians(lon) - {lam0} AS lam,
+           sin(radians(lat)) AS s FROM pts),
+    s2 AS (SELECT point_id, lam,
+           (exp({atanh.format(z='s')} - {e} * ({atanh.format(z=f'({e} * s)')}))
+            - exp(-({atanh.format(z='s')}
+                    - {e} * ({atanh.format(z=f'({e} * s)')})))) / 2.0 AS t
+           FROM s1),
+    s3 AS (SELECT point_id,
+           atan2(t, cos(lam)) AS xi_p,
+           ln(sin(lam) / sqrt(t * t + cos(lam) * cos(lam))
+              + sqrt(sin(lam) * sin(lam)
+                     / (t * t + cos(lam) * cos(lam)) + 1.0)) AS eta_p
+           FROM s2),
+    s4 AS (SELECT point_id,
+           xi_p + {series_xi} AS xi, eta_p + {series_eta} AS eta FROM s3)
+    SELECT point_id,
+           floor(({fe} + {k0ab} * eta) * 1000.0 + 0.5e0) / 1000.0 AS easting,
+           floor(({k0ab} * xi) * 1000.0 + 0.5e0) / 1000.0 AS northing
+    FROM s4
     """
 
 
