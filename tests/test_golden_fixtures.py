@@ -5,7 +5,6 @@ change on purpose."""
 
 import os
 
-import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest

@@ -5,11 +5,10 @@ checkpoint semantics src/checkpoint.rs:74-158)."""
 import json
 import os
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from aef_mosaic_spark import generator, oracle
+from aef_mosaic_spark import generator
 from aef_mosaic_spark.grid import OutputGrid
 from aef_mosaic_spark.plans.pipeline import KEYS, MosaicJob, config_hash
 from aef_mosaic_spark.sources.icelite import Icelite

@@ -2,7 +2,6 @@
 match the batch equivalents; incremental (streamed) mosaic ingestion
 is bit-identical to the one-shot batch mosaic."""
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
