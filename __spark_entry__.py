@@ -88,6 +88,14 @@ SELECT o_orderkey AS point_id,
 FROM orders
 """
 
+# deterministic zone-10 easting/northing pairs (inverse-transform input)
+UTM_COORD_SQL = """
+SELECT o_orderkey AS point_id,
+       400000e0 + (o_orderkey * 31) % 200000 AS easting,
+       3800000e0 + (o_orderkey * 47) % 600000 AS northing
+FROM orders
+"""
+
 _FIXTURE_DIR = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures")
@@ -1007,6 +1015,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _tx, "point_id long, easting double, northing double")
     q["q64_utm_forward"] = q64_utm_forward
 
+    def q65_utm_inverse(spark, sf):
+        # the Karney TM INVERSE (beta series + 5 Newton iterations),
+        # driver-value-checked against the same math unrolled as SQL
+        # CTE stages; inputs are raw deterministic easting/northing
+        # pairs (no forward round-trip, so errors cannot cancel)
+        import numpy as np
+
+        from aef_mosaic_spark import proj as P
+        pts = _pq(spark, sf, "orders").selectExpr(
+            "o_orderkey AS point_id",
+            "400000e0 + (o_orderkey * 31) % 200000 AS easting",
+            "3800000e0 + (o_orderkey * 47) % 600000 AS northing")
+
+        def _tx(it):
+            for pdf in it:
+                lon, lat = P.transform_points(
+                    pdf["easting"].to_numpy(), pdf["northing"].to_numpy(),
+                    "EPSG:32610", "EPSG:4326")
+                out = pdf[["point_id"]].copy()
+                out["lon"] = np.floor(lon * 1e9 + 0.5) / 1e9
+                out["lat"] = np.floor(lat * 1e9 + 0.5) / 1e9
+                yield out
+
+        return pts.mapInPandas(_tx, "point_id long, lon double, lat double")
+    q["q65_utm_inverse"] = q65_utm_inverse
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1616,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["q63_cea_box_areas"] = _cea_areas_sql()
     o["q64_utm_forward"] = _utm_forward_sql(zone=10)
+    o["q65_utm_inverse"] = _utm_inverse_sql(zone=10)
 
     o["q39_hilbert_order"] = _hilbert_sql(
         f"SELECT DISTINCT row_idx, col_idx FROM ({_chunk_assign_sql()})")
@@ -1817,6 +1852,72 @@ def _utm_forward_sql(zone: int = 10) -> str:
            floor(({fe} + {k0ab} * eta) * 1000.0 + 0.5e0) / 1000.0 AS easting,
            floor(({k0ab} * xi) * 1000.0 + 0.5e0) / 1000.0 AS northing
     FROM s4
+    """
+
+
+def _utm_inverse_sql(zone: int = 10) -> str:
+    """SQL twin of the Karney TM inverse (proj.utm_to_wgs84): 6-term
+    beta series + the 5 fixed Newton iterations unrolled as CTE stages
+    (hyperbolics emulated via exp/ln as in _utm_forward_sql); outputs
+    quantized to 1e-9 degrees (~0.1 mm), five orders above the
+    emulation error."""
+    import numpy as np
+
+    from aef_mosaic_spark import proj as P
+
+    def d(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    e = d(P.E)
+    e2 = d(P.E2)
+    lam0 = d(float(np.deg2rad(zone * 6.0 - 183.0)))
+    k0ab = d(P.UTM_K0 * P._A_BAR)
+    fe = d(P.UTM_FE)
+    sinh = "((exp({z}) - exp(-({z}))) / 2.0)"
+    series_xi = " + ".join(
+        f"{d(b)} * sin({2 * j} * xi) * ((exp({2 * j} * eta) "
+        f"+ exp(-({2 * j}) * eta)) / 2.0)"
+        for j, b in enumerate(P._BETA, start=1))
+    series_eta = " + ".join(
+        f"{d(b)} * cos({2 * j} * xi) * ((exp({2 * j} * eta) "
+        f"- exp(-({2 * j}) * eta)) / 2.0)"
+        for j, b in enumerate(P._BETA, start=1))
+    atanh = "0.5 * ln((1.0 + {z}) / (1.0 - {z}))"
+    sig = sinh.format(z=f"({e} * ({atanh.format(z=f'({e} * tau / sqrt(1.0 + tau * tau))')}))")
+    newton = f"""
+        tau + (tau_p - (tau * sqrt(1.0 + {sig} * {sig})
+                        - {sig} * sqrt(1.0 + tau * tau)))
+              / sqrt(1.0 + (tau * sqrt(1.0 + {sig} * {sig})
+                            - {sig} * sqrt(1.0 + tau * tau))
+                     * (tau * sqrt(1.0 + {sig} * {sig})
+                        - {sig} * sqrt(1.0 + tau * tau)))
+              * (1.0 + (1.0 - {e2}) * tau * tau)
+              / ((1.0 - {e2}) * sqrt(1.0 + tau * tau))
+    """
+    steps = ",\n".join(
+        f"n{k} AS (SELECT point_id, xi_p, eta_p, tau_p, ({newton}) AS tau "
+        f"FROM n{k - 1})"
+        for k in range(1, 6))
+    return f"""
+    WITH fwd AS ({UTM_COORD_SQL}),
+    s1 AS (SELECT point_id,
+           (northing) / {k0ab} AS xi, (easting - {fe}) / {k0ab} AS eta
+           FROM fwd),
+    s2 AS (SELECT point_id,
+           xi - ({series_xi}) AS xi_p, eta - ({series_eta}) AS eta_p
+           FROM s1),
+    n0 AS (SELECT point_id, xi_p, eta_p,
+           sin(xi_p) / sqrt({sinh.format(z='eta_p')} * {sinh.format(z='eta_p')}
+                            + cos(xi_p) * cos(xi_p)) AS tau_p,
+           sin(xi_p) / sqrt({sinh.format(z='eta_p')} * {sinh.format(z='eta_p')}
+                            + cos(xi_p) * cos(xi_p)) AS tau
+           FROM s2),
+    {steps}
+    SELECT point_id,
+           floor(degrees({lam0} + atan2({sinh.format(z='eta_p')}, cos(xi_p)))
+                 * 1e9 + 0.5e0) / 1e9 AS lon,
+           floor(degrees(atan(tau)) * 1e9 + 0.5e0) / 1e9 AS lat
+    FROM n5
     """
 
 
