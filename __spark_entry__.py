@@ -96,6 +96,14 @@ SELECT o_orderkey AS point_id,
 FROM orders
 """
 
+# deterministic EPSG:6933 coordinates (CEA inverse input)
+CEA_COORD_SQL = """
+SELECT o_orderkey AS point_id,
+       (o_orderkey * 71) % 20000000 - 10000000e0 AS x,
+       (o_orderkey * 43) % 12000000 - 6000000e0 AS y
+FROM orders
+"""
+
 _FIXTURE_DIR = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures")
@@ -1041,6 +1049,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pts.mapInPandas(_tx, "point_id long, lon double, lat double")
     q["q65_utm_inverse"] = q65_utm_inverse
 
+    def q66_cea_inverse(spark, sf):
+        # CEA inverse (Snyder eq. 3-18 series), driver-value-checked
+        import numpy as np
+
+        from aef_mosaic_spark import proj as P
+        pts = _pq(spark, sf, "orders").selectExpr(
+            "o_orderkey AS point_id",
+            "(o_orderkey * 71) % 20000000 - 10000000e0 AS x",
+            "(o_orderkey * 43) % 12000000 - 6000000e0 AS y")
+
+        def _tx(it):
+            for pdf in it:
+                lon, lat = P.transform_points(
+                    pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+                    "EPSG:6933", "EPSG:4326")
+                out = pdf[["point_id"]].copy()
+                out["lon"] = np.floor(lon * 1e9 + 0.5) / 1e9
+                out["lat"] = np.floor(lat * 1e9 + 0.5) / 1e9
+                yield out
+
+        return pts.mapInPandas(_tx, "point_id long, lon double, lat double")
+    q["q66_cea_inverse"] = q66_cea_inverse
+
     def q39_hilbert_order(spark, sf):
         # O1/X7 hilbert locality key (output_grid.rs:15-48); oracle =
         # the same rot/reflect recurrence unrolled as 8 SQL CTE levels
@@ -1651,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
     o["q63_cea_box_areas"] = _cea_areas_sql()
     o["q64_utm_forward"] = _utm_forward_sql(zone=10)
     o["q65_utm_inverse"] = _utm_inverse_sql(zone=10)
+    o["q66_cea_inverse"] = _cea_inverse_sql()
 
     o["q39_hilbert_order"] = _hilbert_sql(
         f"SELECT DISTINCT row_idx, col_idx FROM ({_chunk_assign_sql()})")
@@ -1852,6 +1884,36 @@ def _utm_forward_sql(zone: int = 10) -> str:
            floor(({fe} + {k0ab} * eta) * 1000.0 + 0.5e0) / 1000.0 AS easting,
            floor(({k0ab} * xi) * 1000.0 + 0.5e0) / 1000.0 AS northing
     FROM s4
+    """
+
+
+def _cea_inverse_sql() -> str:
+    """SQL twin of proj.cea_to_wgs84 (Snyder eq. 3-18 authalic-latitude
+    series): x/y in EPSG:6933 meters -> lon/lat, nano-degree quantized."""
+    from aef_mosaic_spark import proj as P
+
+    def d(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    ak0 = d(P.A * P._CEA_K0)
+    two_k0_over_a = d(2.0 * P._CEA_K0 / P.A)
+    qp = d(P._QP)
+    e2 = P.E2
+    e4, e6 = e2 ** 2, e2 ** 3
+    c2 = d(e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0)
+    c4 = d(23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0)
+    c6 = d(761.0 * e6 / 45360.0)
+    return f"""
+    WITH pts AS ({CEA_COORD_SQL}),
+    b AS (SELECT point_id, x, asin(least(greatest(
+              ({two_k0_over_a} * y) / {qp}, -1.0), 1.0)) AS beta
+          FROM pts)
+    SELECT point_id,
+           floor(degrees(x / {ak0}) * 1e9 + 0.5e0) / 1e9 AS lon,
+           floor(degrees(beta + {c2} * sin(2.0 * beta)
+                         + {c4} * sin(4.0 * beta)
+                         + {c6} * sin(6.0 * beta)) * 1e9 + 0.5e0) / 1e9 AS lat
+    FROM b
     """
 
 
