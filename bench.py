@@ -79,7 +79,17 @@ def _build(spark, sf_dir):
     return sf, n_tiles, bench
 
 
-def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None):
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None,
+             reps: int = 1):
+    """Time each headline query ``reps`` times; report the per-query
+    MEDIAN (single-rep numbers on this host swing ±10-15% rep-to-rep —
+    VERDICT r2 'What's wrong #1') plus min/max spread."""
     from aef_mosaic_spark.session import get_spark
 
     cpus = master.split("[")[1].rstrip("]")
@@ -92,13 +102,18 @@ def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None):
     # one warmup action so JVM/python-worker startup isn't billed to q1
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     queries = {}
+    spreads = {}
     results = {}
     for name, fn in bench.items():
-        t0 = time.time()
-        results[name] = fn()
-        queries[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            results[name] = fn()
+            times.append(time.time() - t0)
+        queries[name] = round(_median(times), 3)
+        spreads[name] = [round(min(times), 3), round(max(times), 3)]
     spark.stop()
-    return sf, n_tiles, queries, results
+    return sf, n_tiles, queries, results, spreads
 
 
 def main():
@@ -112,7 +127,7 @@ def main():
         # BENCH/BASELINE.md
         rows = []
         for master, sp in (("local[4]", 16), ("local[16]", 64)):
-            sf, n_tiles, queries, _ = run_once(master, sf_dir, sp)
+            sf, n_tiles, queries, _, _ = run_once(master, sf_dir, sp)
             total = sum(queries.values())
             rows.append((master, queries, total, n_tiles))
             print(f"{master}: total={total:.2f}s  " +
@@ -139,13 +154,18 @@ def main():
         print(json.dumps(out))
         return
 
-    sf, n_tiles, queries, results = run_once(f"local[{cpus}]", sf_dir)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    sf, n_tiles, queries, results, spreads = run_once(
+        f"local[{cpus}]", sf_dir, reps=reps)
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "reps": reps,
+        "stat": "median",
+        "spread_min_max": spreads,
         "sf": sf,
         "throughput": {
             "tiles_mosaicked_per_sec": round(n_tiles / queries["mosaic"], 2),
