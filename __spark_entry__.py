@@ -935,6 +935,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zonal_stats(chunks, boxes, grid, band=0)
     q["q61_zonal_stats"] = q61_zonal_stats
 
+    def q69_zonal_stats_shuffle(spark, sf):
+        # the scale branch of zonal_stats: broadcast=False forces the
+        # shuffle join on chunk keys (what "auto" picks past the
+        # 1M-window-list threshold, i.e. the 10^8-zone regime where a
+        # forced broadcast would OOM every executor). Same oracle as
+        # q61 — both branches must agree exactly.
+        from aef_mosaic_spark.operators.raster_vector import zonal_stats
+        grid = _flagship_grid()
+        chunks = spark.read.parquet(
+            f"{_FIXTURE_DIR}/golden_chunks_mean.parquet")
+        boxes = _pq(spark, sf, "supplier").selectExpr(
+            "s_suppkey AS box_id",
+            "CAST(s_suppkey % 2 AS INT) AS time_idx",
+            "499000e0 + (s_suppkey * 97) % 9600 AS min_x",
+            "4095000e0 + (s_suppkey * 61) % 9600 AS min_y",
+            "499000e0 + (s_suppkey * 97) % 9600 + 300e0 AS max_x",
+            "4095000e0 + (s_suppkey * 61) % 9600 + 300e0 AS max_y")
+        return zonal_stats(chunks, boxes, grid, band=0, broadcast=False)
+    q["q69_zonal_stats_shuffle"] = q69_zonal_stats_shuffle
+
     def q62_embedding_quantization(spark, sf):
         # int8 symmetric quantization of embeddings (ANN index prep):
         # scale = 127/max|x|, q = floor(x*scale + 0.5) (deterministic
@@ -1752,6 +1772,10 @@ def oracle_sql() -> dict[str, str]:
            round(sum(val)::DOUBLE / count(*), 6) AS mean_value
     FROM v GROUP BY 1, 2
     """
+
+    # q69 = the forced-shuffle branch of the same operator: oracle
+    # identical by construction
+    o["q69_zonal_stats_shuffle"] = o["q61_zonal_stats"]
 
     o["q62_embedding_quantization"] = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

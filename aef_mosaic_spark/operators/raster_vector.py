@@ -62,18 +62,34 @@ def sample_chunks_at_points(chunks: DataFrame, points: DataFrame,
 
 
 def zonal_stats(chunks: DataFrame, boxes: DataFrame, grid: OutputGrid,
-                band: int = 0, chunk_col: str = "chunk_bytes") -> DataFrame:
+                band: int = 0, chunk_col: str = "chunk_bytes",
+                broadcast: bool | str = "auto",
+                broadcast_threshold: int = 1_000_000) -> DataFrame:
     """Zonal statistics: per-box pixel sum/count/mean of `band` over
     the chunked mosaic -> (box_id, time_idx, n_px, px_sum, mean_value).
 
     Plan (classic two-level raster aggregation):
     1. analytic box -> chunk-range floor inversion (the write path's
-       J2 math, boxes already in grid CRS) + explode -> equi-join to
-       chunk rows — only chunks a box touches are ever read;
-    2. mapInPandas partial: decode the chunk buffer once per
-       (box, chunk) pair, numpy-sum the clipped pixel window;
-    3. groupBy(box) final merge.
-    Partials are associative ints, so the merge is map-side-combinable.
+       J2 math, boxes already in grid CRS) + explode -> groupBy chunk
+       key with collect_list(window) — each chunk key carries the small
+       list of box windows touching it, so the kernel decodes each
+       chunk buffer ONCE no matter how many boxes overlap it;
+    2. equi-join window-lists to chunk rows — only chunks a box touches
+       are ever read;
+    3. mapInPandas partial: decode once, numpy-sum each clipped window;
+    4. groupBy(box) final merge (associative ints, map-side combine).
+
+    Join strategy (`broadcast`):
+    - "auto" (default): count the per-chunk-key window-list rows (a
+      cheap job over the small vector side) and broadcast only when
+      <= `broadcast_threshold`; at 10^8 zones the exploded side OOMs
+      every executor if force-broadcast, so above the threshold the
+      join is a shuffle join on chunk keys with AQE picking the
+      strategy. The chunk BYTES are exchanged at most once per chunk
+      (never once per box — the window lists are pre-grouped), and the
+      exchange is elided entirely when the chunk table is stored
+      bucketed by chunk key (sources.bucketed).
+    - True / False: force the branch (tests; callers that know).
     """
     import numpy as np
     import pandas as pd
@@ -99,11 +115,16 @@ def zonal_stats(chunks: DataFrame, boxes: DataFrame, grid: OutputGrid,
          .withColumn("row_idx", F.explode(F.sequence("_r0", "_r1")))
          .withColumn("col_idx", F.explode(F.sequence("_c0", "_c1")))
          .drop("_c0", "_c1", "_r0", "_r1"))
-    # broadcast the (small) exploded-boxes side: the chunk table is the
-    # 100 TB side and its BYTES must never ride a shuffle — with the
-    # boxes broadcast, the join is map-side over the chunk scan.
-    # NB itertuples drops underscore-prefixed attributes — plain name
-    joined = F.broadcast(b).join(
+    # decode-once grouping: one row per touched chunk key, windows as a
+    # struct list (a chunk overlapped by k boxes is decoded once, not k
+    # times, and its bytes are never replicated k ways by the join)
+    grouped = b.groupBy("time_idx", "row_idx", "col_idx").agg(
+        F.collect_list(F.struct("box_id", "min_x", "min_y",
+                                "max_x", "max_y")).alias("blist"))
+    if broadcast == "auto":
+        broadcast = grouped.count() <= broadcast_threshold
+    left = F.broadcast(grouped) if broadcast else grouped
+    joined = left.join(
         chunks.select("time_idx", "row_idx", "col_idx",
                       F.col(chunk_col).alias("cbytes")),
         ["time_idx", "row_idx", "col_idx"])
@@ -111,23 +132,26 @@ def zonal_stats(chunks: DataFrame, boxes: DataFrame, grid: OutputGrid,
     def _partial(it):
         for pdf in it:
             rows = []
+            # NB itertuples drops underscore-prefixed attrs: plain names
             for t in pdf.itertuples(index=False):
                 arr = np.frombuffer(t.cbytes, np.uint8).reshape(nb, chh, chw)
-                # box window clipped to this chunk, pixel-index space
-                px0 = max(int(np.floor((t.min_x - gx0) / res))
-                          - t.col_idx * chw, 0)
-                px1 = min(int(np.ceil((t.max_x - gx0) / res))
-                          - t.col_idx * chw, chw)
-                py0 = max(int(np.floor((gy1 - t.max_y) / res))
-                          - t.row_idx * chh, 0)
-                py1 = min(int(np.ceil((gy1 - t.min_y) / res))
-                          - t.row_idx * chh, chh)
-                if px0 >= px1 or py0 >= py1:
-                    continue
-                win = arr[band, py0:py1, px0:px1]
-                rows.append({"box_id": t.box_id, "time_idx": int(t.time_idx),
-                             "n_px": int(win.size),
-                             "px_sum": int(win.astype(np.int64).sum())})
+                for bx in t.blist:
+                    # box window clipped to this chunk, pixel-index space
+                    px0 = max(int(np.floor((bx["min_x"] - gx0) / res))
+                              - t.col_idx * chw, 0)
+                    px1 = min(int(np.ceil((bx["max_x"] - gx0) / res))
+                              - t.col_idx * chw, chw)
+                    py0 = max(int(np.floor((gy1 - bx["max_y"]) / res))
+                              - t.row_idx * chh, 0)
+                    py1 = min(int(np.ceil((gy1 - bx["min_y"]) / res))
+                              - t.row_idx * chh, chh)
+                    if px0 >= px1 or py0 >= py1:
+                        continue
+                    win = arr[band, py0:py1, px0:px1]
+                    rows.append({"box_id": bx["box_id"],
+                                 "time_idx": int(t.time_idx),
+                                 "n_px": int(win.size),
+                                 "px_sum": int(win.astype(np.int64).sum())})
             yield pd.DataFrame(rows, columns=["box_id", "time_idx",
                                               "n_px", "px_sum"])
 
