@@ -12,9 +12,12 @@ so this implements the subset the engine needs with Iceberg's
   for),
 - ``metadata/snap-<id>.json``: snapshot with parent pointer, live
   manifest list, summary, and engine properties (config_hash guard,
-  reference src/checkpoint.rs:284-306),
-- ``metadata/version-hint.text``: current snapshot id, atomically
-  replaced (os.replace) — the commit point.
+  reference src/checkpoint.rs:284-306). Its ATOMIC EXCLUSIVE CREATE
+  (put-if-absent) is the commit point — POSIX hard-link or object-store
+  conditional PUT, see sources/store.py,
+- ``metadata/version-hint.text``: advisory cache of the current
+  snapshot id; readers forward-scan from it for snap files committed
+  by writers that crashed before refreshing the hint.
 
 This mirrors the reference's checkpoint set + Zarr chunk store
 (src/checkpoint.rs:40-67, src/io/zarr_writer.rs:339-380): a completed
@@ -31,6 +34,8 @@ import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+
+from aef_mosaic_spark.sources.store import PosixStore
 
 
 def _footer_stats(md) -> dict:
@@ -82,28 +87,77 @@ class CommitConflictError(RuntimeError):
     planned; the append did NOT become visible."""
 
 
+def _manifest_entry(table_root: str, fp: str) -> dict:
+    """One manifest entry from a parquet footer — runs on executors."""
+    rel = os.path.relpath(fp, table_root)
+    part = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg and not seg.endswith(".parquet"):
+            k, v = seg.split("=", 1)
+            part[k] = v
+    md = pq.read_metadata(fp)
+    return {
+        "path": rel,
+        "partition": part,
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(fp),
+        "stats": _footer_stats(md),
+    }
+
+
+def _manifest_entries(spark: SparkSession, table_root: str,
+                      paths: list[str]) -> list[dict]:
+    """Footer stats for a file set, computed ON THE EXECUTORS (one
+    small task per ~file); at a 100 TB commit (10^5-10^6 files) the
+    driver only ships paths and collects the JSON-sized entry rows.
+    Tiny commits (streaming micro-batches) skip the job overhead."""
+    if not paths:
+        return []
+    if len(paths) <= 8:
+        return [_manifest_entry(table_root, p) for p in paths]
+    sc = spark.sparkContext
+    n_slices = min(len(paths), sc.defaultParallelism * 2)
+    return (sc.parallelize(paths, n_slices)
+            .map(lambda p: _manifest_entry(table_root, p))
+            .collect())
+
+
 class Icelite:
-    def __init__(self, path: str):
+    def __init__(self, path: str, store=None):
+        """`store` is the METADATA backend (commit protocol); default
+        PosixStore. Data files are written/read by Spark directly at
+        `path` — on a real object store that is s3a:// and the store
+        backend is the conditional-PUT one (store.py docstring)."""
         self.path = path
         self.meta = os.path.join(path, "metadata")
+        self.store = store or PosixStore()
+
+    def _mpath(self, name: str) -> str:
+        return os.path.join(self.meta, name)
 
     # ----------------------------------------------------------- state
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.meta, "version-hint.text"))
+        return self.current_snapshot_id() is not None
 
     def current_snapshot_id(self) -> int | None:
-        hint = os.path.join(self.meta, "version-hint.text")
-        if not os.path.exists(hint):
-            return None
-        with open(hint) as f:
-            return int(f.read().strip())
+        """Hint value, then forward-scan: a writer may have committed
+        snap-N (the atomic create IS the commit) and crashed before
+        refreshing the advisory hint. Normally 0-1 extra exists()."""
+        try:
+            sid = int(self.store.read_text(
+                self._mpath("version-hint.text")).strip())
+        except FileNotFoundError:
+            sid = 0
+        while self.store.exists(self._mpath(f"snap-{sid + 1}.json")):
+            sid += 1
+        return sid or None
 
     def snapshot(self, snap_id: int | None = None) -> dict | None:
         snap_id = snap_id if snap_id is not None else self.current_snapshot_id()
         if snap_id is None:
             return None
-        with open(os.path.join(self.meta, f"snap-{snap_id}.json")) as f:
-            return json.load(f)
+        return json.loads(self.store.read_text(
+            self._mpath(f"snap-{snap_id}.json")))
 
     def properties(self) -> dict:
         s = self.snapshot()
@@ -117,18 +171,23 @@ class Icelite:
             return []
         out: list[dict] = []
         for m in s["manifests"]:
-            with open(os.path.join(self.meta, m)) as f:
-                out.extend(json.load(f)["entries"])
+            out.extend(json.loads(
+                self.store.read_text(self._mpath(m)))["entries"])
         return out
 
     # ----------------------------------------------------------- write
     def _commit(self, manifests: list[str], properties: dict, summary: dict,
                 parent: int | None) -> int:
-        """Optimistic concurrency (Iceberg-style): the snapshot file is
-        created with O_EXCL, so two writers that both planned against
-        parent N cannot both commit N+1 — the loser gets
-        CommitConflictError and must re-plan against the new current
-        snapshot instead of silently clobbering the winner."""
+        """Optimistic concurrency (Iceberg-style): the commit point is
+        the store's atomic put-if-absent of the COMPLETE snapshot file
+        (POSIX hard-link / object-store conditional PUT). Two writers
+        that both planned against parent N cannot both commit N+1 —
+        exactly one create succeeds, the loser gets CommitConflictError
+        and must re-plan against the new current snapshot. There is no
+        'orphan' window: a snap file either exists fully committed or
+        not at all, so an existing file is ALWAYS a winner, never
+        superseded. The version hint is an advisory cache refreshed
+        after the commit; readers forward-scan past a stale hint."""
         snap_id = (parent or 0) + 1
         snap = {
             "snapshot_id": snap_id,
@@ -137,28 +196,12 @@ class Icelite:
             "properties": properties,
             "summary": summary,
         }
-        os.makedirs(self.meta, exist_ok=True)
-        snap_path = os.path.join(self.meta, f"snap-{snap_id}.json")
-        try:
-            with open(snap_path, "x") as f:
-                json.dump(snap, f, indent=1)
-        except FileExistsError as e:
-            if (self.current_snapshot_id() or 0) >= snap_id:
-                # the other writer WON (its hint is current): this
-                # append must not clobber it
-                raise CommitConflictError(
-                    f"snapshot {snap_id} already committed by a concurrent "
-                    f"writer; re-read the table and retry") from e
-            # orphan snap file from a writer that crashed BEFORE the
-            # hint replace (the commit point): safe to supersede
-            tmp = os.path.join(self.meta, f".snap-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                json.dump(snap, f, indent=1)
-            os.replace(tmp, snap_path)
-        tmp = os.path.join(self.meta, f".hint-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snap_id))
-        os.replace(tmp, os.path.join(self.meta, "version-hint.text"))  # commit point
+        if not self.store.put_if_absent(self._mpath(f"snap-{snap_id}.json"),
+                                        json.dumps(snap, indent=1)):
+            raise CommitConflictError(
+                f"snapshot {snap_id} already committed by a concurrent "
+                f"writer; re-read the table and retry")
+        self.store.put(self._mpath("version-hint.text"), str(snap_id))
         return snap_id
 
     def append(self, df: DataFrame, partition_by: list[str] | None = None,
@@ -185,26 +228,18 @@ class Icelite:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
 
-        entries = []
-        for fp in sorted(glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)):
-            rel = os.path.relpath(fp, self.path)
-            part = {}
-            for seg in rel.split(os.sep):
-                if "=" in seg and not seg.endswith(".parquet"):
-                    k, v = seg.split("=", 1)
-                    part[k] = v
-            md = pq.read_metadata(fp)
-            entries.append({
-                "path": rel,
-                "partition": part,
-                "rows": md.num_rows,
-                "bytes": os.path.getsize(fp),
-                "stats": _footer_stats(md),
-            })
-        manifest_name = f"manifest-{snap_id}.json"
-        os.makedirs(self.meta, exist_ok=True)
-        with open(os.path.join(self.meta, manifest_name), "w") as f:
-            json.dump({"snapshot_id": snap_id, "entries": entries}, f, indent=1)
+        # listing is names-only; the per-file footer reads (the O(n)
+        # I/O that bottlenecks a 10^5-file commit if done serially on
+        # the driver) run as a Spark job on the executors
+        paths = sorted(glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                                 recursive=True))
+        entries = _manifest_entries(df.sparkSession, self.path, paths)
+        # uuid suffix: two writers racing for the same snapshot id must
+        # not overwrite each other's manifest before the commit decides
+        manifest_name = f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.json"
+        self.store.put(self._mpath(manifest_name),
+                       json.dumps({"snapshot_id": snap_id,
+                                   "entries": entries}, indent=1))
 
         prev = self.snapshot(parent) if parent else None
         manifests = (prev["manifests"] if prev else []) + [manifest_name]
@@ -245,8 +280,7 @@ class Icelite:
         dfs = []
         schema_probe = None
         for m in s["manifests"]:
-            with open(os.path.join(self.meta, m)) as f:
-                man = json.load(f)
+            man = json.loads(self.store.read_text(self._mpath(m)))
             entries = man["entries"]
             if entries and schema_probe is None:
                 schema_probe = man  # any manifest with files, pre-pruning
@@ -299,8 +333,7 @@ class Icelite:
         out = []
         s = self.snapshot()
         for m in (s["manifests"] if s else []):
-            with open(os.path.join(self.meta, m)) as f:
-                man = json.load(f)
+            man = json.loads(self.store.read_text(self._mpath(m)))
             for e in man["entries"]:
                 out.append({**e, "snapshot_id": man["snapshot_id"]})
         return out
@@ -334,15 +367,15 @@ class Icelite:
             live_manifests |= set(self.snapshot(s)["manifests"])
         live_files: set[str] = set()
         for m in live_manifests:
-            with open(os.path.join(self.meta, m)) as f:
-                live_files |= {e["path"] for e in json.load(f)["entries"]}
+            live_files |= {e["path"] for e in json.loads(
+                self.store.read_text(self._mpath(m)))["entries"]}
         removed = {"snapshots": 0, "manifests": 0, "data_files": 0}
         for s in chain[keep_last:]:
-            os.remove(os.path.join(self.meta, f"snap-{s}.json"))
+            self.store.delete(self._mpath(f"snap-{s}.json"))
             removed["snapshots"] += 1
-        for m in glob.glob(os.path.join(self.meta, "manifest-*.json")):
+        for m in self.store.list(self.meta, "manifest-*.json"):
             if os.path.basename(m) not in live_manifests:
-                os.remove(m)
+                self.store.delete(m)
                 removed["manifests"] += 1
         for fp in glob.glob(os.path.join(self.path, "data", "**", "*.parquet"),
                             recursive=True):
@@ -356,8 +389,8 @@ class Icelite:
             snap = self.snapshot(oldest)
             if snap["parent_id"] not in keep and snap["parent_id"] is not None:
                 snap["parent_id"] = None
-                with open(os.path.join(self.meta, f"snap-{oldest}.json"), "w") as f:
-                    json.dump(snap, f, indent=1)
+                self.store.put(self._mpath(f"snap-{oldest}.json"),
+                               json.dumps(snap, indent=1))
         return removed
 
     def rollback(self, to_snapshot_id: int) -> int:

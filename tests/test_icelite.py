@@ -288,10 +288,11 @@ def test_manifest_stats_prune_files(spark, tmp_path):
 def test_concurrent_commit_conflict_detected(spark, tmp_path):
     """Optimistic concurrency: a writer that planned against a stale
     parent must get CommitConflictError, not silently clobber the
-    winner — while an ORPHAN snap file from a crashed writer (hint
-    never advanced) is superseded by the retry."""
-    import json as _json
-
+    winner. The commit point is the atomic put-if-absent of the snap
+    file itself, so an existing snap file is ALWAYS a committed winner
+    (no orphan-supersede path — that path could clobber a live writer,
+    ADVICE r2 #1); a stale version hint is just a cache miss that
+    current_snapshot_id() forward-scans past."""
     from aef_mosaic_spark.sources.icelite import CommitConflictError
 
     t = Icelite(str(tmp_path / "t"))
@@ -302,15 +303,53 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         loser._commit([], {}, {}, parent=1)  # stale parent -> snap 2 taken
     assert t.read(spark).count() == 8  # winner intact
-    # simulate a CRASHED writer: snap-3.json exists, hint still at 2
-    orphan = {"snapshot_id": 3, "parent_id": 2, "manifests": [],
-              "properties": {}, "summary": {"crashed": True}}
-    with open(tmp_path / "t" / "metadata" / "snap-3.json", "w") as f:
-        _json.dump(orphan, f)
-    t.append(spark.range(2))  # retry plans snap 3 -> supersedes orphan
+    # a writer that committed snap-3 but crashed BEFORE refreshing the
+    # hint: its commit is durable — readers forward-scan past the hint
+    t._commit(t.snapshot()["manifests"], t.properties(),
+              {"operation": "test-commit"}, parent=2)
+    t.store.put(str(tmp_path / "t" / "metadata" / "version-hint.text"), "2")
     assert t.current_snapshot_id() == 3
+    # and the next append plans against 3 (never supersedes it)
+    t.append(spark.range(2))
+    assert t.current_snapshot_id() == 4
     assert t.read(spark).count() == 10
-    assert "crashed" not in t.snapshot()["summary"]
+
+
+def test_memory_object_store_race_and_protocol(tmp_path):
+    """The same commit protocol over the conditional-PUT fake object
+    store: a winner that lands at the worst possible moment (inside the
+    loser's conditional PUT window) must force CommitConflictError on
+    the loser, never a silent clobber; both writers can never both
+    report success for the same snapshot id."""
+    import json as _json
+
+    from aef_mosaic_spark.sources.icelite import CommitConflictError
+    from aef_mosaic_spark.sources.store import MemoryObjectStore
+
+    store = MemoryObjectStore()
+    t = Icelite(str(tmp_path / "obj"), store=store)
+    sid = t._commit(["manifest-1-aaaa.json"], {}, {"op": "seed"}, parent=None)
+    store.put(t._mpath("manifest-1-aaaa.json"),
+              _json.dumps({"snapshot_id": 1, "entries": []}))
+    assert sid == 1 and t.current_snapshot_id() == 1
+
+    # interleave the winner INSIDE the loser's conditional PUT
+    winner_snap = {"snapshot_id": 2, "parent_id": 1,
+                   "manifests": ["manifest-1-aaaa.json"],
+                   "properties": {}, "summary": {"winner": True}}
+
+    def _winner_lands(objects):
+        objects[t._mpath("snap-2.json")] = _json.dumps(winner_snap)
+
+    store.on_put = _winner_lands
+    with pytest.raises(CommitConflictError):
+        t._commit(["manifest-1-aaaa.json"], {}, {"winner": False}, parent=1)
+    # the winner's snapshot is intact, hint forward-scan sees it
+    assert t.current_snapshot_id() == 2
+    assert t.snapshot()["summary"] == {"winner": True}
+    # loser re-plans against the new current snapshot and succeeds
+    assert t._commit(t.snapshot()["manifests"], {}, {"retry": True},
+                     parent=2) == 3
 
 
 def test_rollback(spark, tmp_path):
@@ -327,3 +366,32 @@ def test_rollback(spark, tmp_path):
     # appends continue from the rolled-back state
     t.append(spark.range(7, 9))
     assert t.read(spark).count() == 7
+
+
+def test_manifest_entries_computed_on_executors_match_footers(spark, tmp_path):
+    """A many-file commit's manifest (rows/bytes/stats collected via a
+    Spark job on the executors) must be identical to reading every
+    footer directly — and entries stay path-sorted/deterministic."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from aef_mosaic_spark.sources.icelite import _footer_stats
+
+    t = Icelite(str(tmp_path / "many"))
+    df = spark.range(0, 4000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS grp", "id * 2 AS val")
+    t.append(df.repartition(24), partition_by=["grp"])
+    entries = t.data_files()
+    assert len(entries) > 8  # past the driver fast-path threshold
+    assert [e["path"] for e in entries] == sorted(e["path"] for e in entries)
+    assert sum(e["rows"] for e in entries) == 4000
+    for e in entries:
+        fp = str(tmp_path / "many" / e["path"])
+        md = _pq.read_metadata(fp)
+        assert e["rows"] == md.num_rows
+        assert e["bytes"] == os.path.getsize(fp)
+        assert e["stats"] == _footer_stats(md)
+        assert e["partition"]["grp"] == fp.split("grp=")[1].split("/")[0]
+    # read-back through the manifest equals the input
+    assert t.read(spark).count() == 4000
