@@ -955,6 +955,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zonal_stats(chunks, boxes, grid, band=0, broadcast=False)
     q["q69_zonal_stats_shuffle"] = q69_zonal_stats_shuffle
 
+    def q67_bucketed_enrich(spark, sf):
+        # the repeated-join pipeline surface: base image table bucketed
+        # by image_id ONCE, then exchange-free SMJ enrichment joins
+        # (dedup verdicts by phash group + caption token counts).
+        # Fixture input (deterministic generator metadata) so the
+        # oracle sees identical rows.
+        from aef_mosaic_spark.sources.bucketed import BucketedImageTable
+        imgs = spark.read.parquet(f"{_FIXTURE_DIR}/images_meta_600.parquet")
+        t = BucketedImageTable(spark, name="q67_images", num_buckets=8)
+        t.create(imgs)
+        grp = imgs.groupBy("phash").agg(
+            F.count("*").cast("long").alias("grp_n"),
+            F.min("image_id").alias("canonical_id"))
+        verdicts = (imgs.select("image_id", "phash").join(grp, "phash")
+                    .select("image_id", "grp_n",
+                            (F.col("image_id") == F.col("canonical_id"))
+                            .cast("int").alias("is_canonical")))
+        t.add_enrichment("verdicts", verdicts)
+        cap = imgs.select(
+            "image_id",
+            F.size(F.split(F.trim("caption"), r"\s+")).alias("cap_tokens"))
+        t.add_enrichment("captions", cap)
+        return t.enriched("verdicts", "captions").select(
+            "image_id", "w", "h", "fmt", "grp_n", "is_canonical",
+            "cap_tokens")
+    q["q67_bucketed_enrich"] = q67_bucketed_enrich
+
     def q62_embedding_quantization(spark, sf):
         # int8 symmetric quantization of embeddings (ANN index prep):
         # scale = 127/max|x|, q = floor(x*scale + 0.5) (deterministic
@@ -1776,6 +1803,17 @@ def oracle_sql() -> dict[str, str]:
     # q69 = the forced-shuffle branch of the same operator: oracle
     # identical by construction
     o["q69_zonal_stats_shuffle"] = o["q61_zonal_stats"]
+
+    o["q67_bucketed_enrich"] = f"""
+    WITH imgs AS (SELECT * FROM
+                  read_parquet('{_FIXTURE_DIR}/images_meta_600.parquet')),
+    g AS (SELECT phash, count(*)::BIGINT AS grp_n,
+          min(image_id) AS canonical_id FROM imgs GROUP BY phash)
+    SELECT image_id, w, h, fmt, grp_n,
+           (image_id = canonical_id)::INT AS is_canonical,
+           len(string_split_regex(trim(caption), '\\s+'))::INT AS cap_tokens
+    FROM imgs JOIN g USING (phash)
+    """
 
     o["q62_embedding_quantization"] = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

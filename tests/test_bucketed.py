@@ -46,3 +46,31 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_meta")
+
+
+def test_bucketed_image_table_enrich_surface(spark, tmp_path):
+    """BucketedImageTable: create once, enrich repeatedly — the
+    two-enrichment join chain must be SortMergeJoins with ZERO
+    exchanges (the whole point of paying the bucketing shuffle once)."""
+    from aef_mosaic_spark.sources.bucketed import BucketedImageTable
+
+    imgs = spark.read.parquet("fixtures/images_meta_600.parquet")
+    t = BucketedImageTable(spark, name="tbit_images", num_buckets=8,
+                           base_path=str(tmp_path))
+    try:
+        t.create(imgs)
+        t.add_enrichment("verdicts", imgs.select(
+            "image_id", (F.col("phash") % 2 == 0).cast("int").alias("dup")))
+        t.add_enrichment("quality", imgs.select(
+            "image_id", F.length("caption").alias("cap_len")))
+        j = t.enriched("verdicts", "quality")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") == 2, plan[:2000]
+        assert not plan_has_shuffle(j), plan[:3000]
+        rows = j.count()
+        assert rows == imgs.count()
+        # values survive the chain
+        one = j.where(F.col("image_id") == "img_00000000").collect()[0]
+        assert one.cap_len > 0 and one.dup in (0, 1)
+    finally:
+        t.drop()
