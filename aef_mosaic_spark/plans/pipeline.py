@@ -112,6 +112,7 @@ class MosaicJob:
     def run(self, spark: SparkSession, images: DataFrame, output_path: str,
             resume: bool = False,
             row_range: tuple[int, int] | None = None,
+            process_years: tuple[int, ...] | None = None,
             progress_interval_s: float | None = None) -> dict:
         """Execute and commit one snapshot; returns a metrics dict
         (reference MetricsSnapshot, src/pipeline/metrics.rs:322-329).
@@ -120,11 +121,30 @@ class MosaicJob:
         chunk-row band — the unit of incremental checkpointing (see
         run_incremental). With a band, `previously_completed` counts
         only that band's committed chunks, and an untouched band takes
-        the fused fresh path even on a resumed table."""
+        the fused fresh path even on a resumed table.
+
+        process_years restricts this commit to a subset of the grid's
+        output years — the reference's output-years vs process-years
+        split (src/lib.rs:104-136) so K independent drivers each commit
+        a disjoint year slice of ONE table. Chunk keys carry time_idx,
+        so year slices partition the keyspace exactly; composable with
+        row_range (a VM can own a (year, row-band) cell)."""
         table = Icelite(output_path)
         if not resume and table.exists():
             raise FileExistsError(f"{output_path} exists; pass resume=True")
         t0 = time.time()
+
+        t_sel: list[int] | None = None
+        if process_years is not None:
+            bad = set(process_years) - set(self.grid.years)
+            if bad:
+                raise ValueError(
+                    f"process_years {sorted(bad)} not in grid years "
+                    f"{list(self.grid.years)}")
+            t_sel = sorted(self.grid.years.index(y) for y in process_years)
+            # pushed to the scan alongside the bbox prefilter
+            images = images.where(
+                F.col("year").isin([int(y) for y in process_years]))
 
         n_completed = 0
         done = None
@@ -136,12 +156,17 @@ class MosaicJob:
                     f"({props.get('config_hash')} != {self.hash})"
                 )
             # manifest-level file pruning narrows the committed-keys
-            # read to the band's files; the .where is the exact filter
-            done = table.completed_keys(
-                spark, KEYS,
-                filters={"row_idx": tuple(row_range)} if row_range else None)
+            # read to the slice's files; the .where is the exact filter
+            filters = {}
+            if row_range is not None:
+                filters["row_idx"] = tuple(row_range)
+            if t_sel is not None:
+                filters["time_idx"] = (t_sel[0], t_sel[-1])
+            done = table.completed_keys(spark, KEYS, filters=filters or None)
             if row_range is not None:
                 done = done.where(F.col("row_idx").between(*row_range))
+            if t_sel is not None:
+                done = done.where(F.col("time_idx").isin(t_sel))
             n_completed = done.count()
 
         obs_tiles = Observation("tiles")
@@ -212,7 +237,9 @@ class MosaicJob:
             summary={"operation": "mosaic", "resumed": resume,
                      "previously_completed": n_completed,
                      **({"row_range": list(row_range)}
-                        if row_range is not None else {})},
+                        if row_range is not None else {}),
+                     **({"process_years": sorted(int(y) for y in process_years)}
+                        if process_years is not None else {})},
         )
         stage_seconds = reporter.stop() if reporter else None
         if snap_id == 1:
@@ -263,7 +290,8 @@ class MosaicJob:
 
     def run_incremental(self, spark: SparkSession, images: DataFrame,
                         output_path: str, groups: int = 4,
-                        resume: bool = False) -> dict:
+                        resume: bool = False,
+                        process_years: tuple[int, ...] | None = None) -> dict:
         """Mid-run incremental checkpointing: split the chunk keyspace
         into `groups` contiguous row bands and commit each band as its
         own snapshot — a crash loses at most ONE band's work, matching
@@ -292,7 +320,8 @@ class MosaicJob:
                 continue
             m = self.run(spark, images, output_path,
                          resume=resume or table.exists(),
-                         row_range=(r0, r1))
+                         row_range=(r0, r1),
+                         process_years=process_years)
             m["group"] = i
             m["row_range"] = [r0, r1]
             per_group.append(m)

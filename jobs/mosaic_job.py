@@ -134,6 +134,10 @@ def main(argv=None):
     ap.add_argument("--skip-bad-tiles", action="store_true",
                     help="skip (and count) tiles whose decode/reproject "
                          "fails instead of failing the job")
+    ap.add_argument("--process-years", default=None,
+                    help="comma-separated subset of --years this run "
+                         "commits (multi-VM year slicing; each slice is "
+                         "an independent commit into the same table)")
     ap.add_argument("--commit-groups", type=int, default=1,
                     help=">1 commits the run as K row-band snapshots "
                          "(incremental checkpointing: a crash loses at "
@@ -222,12 +226,16 @@ def main(argv=None):
         print(json.dumps(job.analyze(spark, images)))
         return 0
     t0 = time.time()
+    process_years = (tuple(int(y) for y in args.process_years.split(","))
+                     if args.process_years else None)
     if args.commit_groups > 1:
         metrics = job.run_incremental(spark, images, args.output,
                                       groups=args.commit_groups,
-                                      resume=args.resume)
+                                      resume=args.resume,
+                                      process_years=process_years)
     else:
         metrics = job.run(spark, images, args.output, resume=args.resume,
+                          process_years=process_years,
                           progress_interval_s=args.progress_interval)
     metrics["spark_master"] = spark.sparkContext.master
     metrics["n_input"] = n_in

@@ -395,3 +395,47 @@ def test_manifest_entries_computed_on_executors_match_footers(spark, tmp_path):
         assert e["partition"]["grp"] == fp.split("grp=")[1].split("/")[0]
     # read-back through the manifest equals the input
     assert t.read(spark).count() == 4000
+
+
+def test_process_years_split_matches_full_run(spark, tmp_path, grid):
+    """Multi-VM year slicing (reference src/lib.rs:104-136): two runs
+    committing process_years={2023} then {2024} into one table must be
+    byte-identical to the single full run; slices are disjoint in
+    time_idx, composable with row_range, and a wrong year is refused."""
+    images = spark.createDataFrame(generator.images_pdf(40))
+    job = MosaicJob(grid, mode="mean")
+
+    out_full = str(tmp_path / "full")
+    job.run(spark, images, out_full)
+    full = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(out_full).read(spark).collect()}
+    times = {k[0] for k in full}
+    assert times == {0, 1}  # both years present in the fixture input
+
+    out_split = str(tmp_path / "split")
+    m23 = job.run(spark, images, out_split, process_years=(2023,))
+    t = Icelite(out_split)
+    assert t.snapshot()["summary"]["process_years"] == [2023]
+    assert m23["chunks_written"] == sum(1 for k in full if k[0] == 0)
+    # "VM 2": same table, resume=True (the table exists), other year;
+    # its slice is untouched -> fused fresh path (0 previously done)
+    m24 = job.run(spark, images, out_split, resume=True,
+                  process_years=(2024,))
+    assert m24["previously_completed"] == 0
+    got = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+           for r in t.read(spark).collect()}
+    assert got == full
+
+    # composable with row_range: a (year, row-band) cell commits alone
+    out_cell = str(tmp_path / "cell")
+    rows = grid.chunk_rows
+    mc = job.run(spark, images, out_cell, process_years=(2023,),
+                 row_range=(0, rows // 2 - 1))
+    want_cell = {k for k in full if k[0] == 0 and k[1] <= rows // 2 - 1}
+    got_cell = {(r.time_idx, r.row_idx, r.col_idx)
+                for r in Icelite(out_cell).read(spark).collect()}
+    assert got_cell == want_cell and mc["chunks_written"] == len(want_cell)
+
+    # a year outside the grid is a config error, not silence
+    with pytest.raises(ValueError, match="process_years"):
+        job.run(spark, images, str(tmp_path / "bad"), process_years=(2022,))
