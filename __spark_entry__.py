@@ -486,6 +486,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash_near_duplicates(d, "doc_id", "text", max_hamming=8)
     q["q26_simhash_near_dup"] = q26_simhash_near_dup
 
+    def q68_simhash_exploded(spark, sf):
+        # the (bit, vote)-row twin of q25's explode-free default:
+        # independently shaped plan, same oracle — both formulations
+        # are driver-value-checked
+        d = _pq(spark, sf, "documents")
+        return D.simhash_exploded(d, "doc_id", "text")
+    q["q68_simhash_exploded"] = q68_simhash_exploded
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1152,7 +1160,7 @@ _DRIVER_SLOTS = 50
 # (q39, q48-q66 — incl. the Karney/CEA projection value-proofs).
 _MUST_VERIFY = [
     "q67_bucketed_enrich",
-    "q68_simhash_arrayagg",
+    "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
@@ -1477,6 +1485,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q25_simhash"] = simhash_cte
+    # q68 = the exploded twin of the same operator: oracle identical
+    o["q68_simhash_exploded"] = simhash_cte
 
     o["q26_simhash_near_dup"] = f"""
     WITH sh AS ({simhash_cte}),

@@ -297,17 +297,45 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 2,
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash (Charikar) over word tokens: per bit, vote
-    +1/-1 by the bit of the 64-bit token hash (two md5-derived 32-bit
-    halves); sign of the vote -> bit. -> (id, simhash)."""
-    toks = distinct_tokens(df, id_col, text_col)
-    # 63-bit token hash from two md5-derived halves (hi truncated to 31
-    # bits so hi*2^32 + lo stays positive in signed 64-bit — required
-    # for the SQL oracle twin, where overflow is an error)
-    toks = toks.withColumn("h_lo", h32_col(F.col("token"))).withColumn(
+def _with_h64(toks: DataFrame) -> DataFrame:
+    """63-bit token hash from two md5-derived halves (hi truncated to
+    31 bits so hi*2^32 + lo stays positive in signed 64-bit — required
+    for the SQL oracle twin, where overflow is an error)."""
+    return toks.withColumn("h_lo", h32_col(F.col("token"))).withColumn(
         "h_hi", h32_col(F.concat(F.lit("\x01"), F.col("token"))) % F.lit(2147483648)
     ).withColumn("h64", F.col("h_hi") * F.lit(4294967296) + F.col("h_lo"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash (Charikar) over word tokens: per bit, vote
+    +1/-1 by the bit of the 64-bit token hash; sign of the vote ->
+    bit. -> (id, simhash).
+
+    Explode-free default: 64 partial-sum aggregates over the token
+    rows (one per bit, all JVM expressions with map-side combine), so
+    the shuffle carries 64 longs PER DOCUMENT instead of 64 rows PER
+    TOKEN (~64x less shuffle input than the exploded variant below at
+    typical ~1k-token documents; same output bit-for-bit)."""
+    toks = _with_h64(distinct_tokens(df, id_col, text_col))
+    votes = toks.groupBy(id_col).agg(*[
+        F.sum(F.when(F.expr(f"shiftrightunsigned(h64, {b}) & 1") == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(64)
+    ])
+    # literal shift counts constant-fold; CAST(1 AS BIGINT) because a
+    # long F.lit through shiftleft(.., 63) overflows py4j (CLAUDE.md)
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for b in range(64))
+    return votes.select(F.col(id_col), F.expr(bit_sum).alias("simhash"))
+
+
+def simhash_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The textbook (bit, vote)-row formulation: explode 64 bit rows
+    per token, two groupBys. Kept as the independently-shaped twin of
+    simhash() — same output bit-for-bit, ~64x more shuffle input; the
+    gate checks both against the same oracle (q25/q68)."""
+    toks = _with_h64(distinct_tokens(df, id_col, text_col))
     bits = toks.select(
         F.col(id_col), F.col("h64"),
         F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
@@ -366,11 +394,18 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     agreeing on >=1 of `n_bands` signature bands (an EQUI-join — never
     a crossJoin); exact cosine verifies each candidate. Pigeonhole
     guarantees recall for every pair whose signatures differ in
-    < n_bands bits; at true near-dup similarity (>=0.95) the expected
-    bit disagreement is n_planes * acos(sim)/pi ~ 1-3 of 64, so 8
-    bands leave ~zero escape mass (measured on the gate data: max
-    observed disagreement 4, recall 1.0, candidate rate 3.8% of all
-    pairs). The candidate join output carries both vectors, so verify
+    < n_bands bits. Recall math (corrected, ADVICE r2): per-bit
+    disagreement prob is p = acos(sim)/pi, so the EXPECTED
+    disagreement at sim=0.95 is 64 * 0.1024 ~ 6.5 bits (9.2 at 0.90)
+    — NOT guaranteed < 8; a pair escapes only if every one of the 8
+    bands catches a differing bit, prob ~ (1 - (1-p)^8)^8 ~ 6% at sim
+    EXACTLY 0.90, falling fast above (1% at 0.95, ~0 at 0.99 where
+    real near-dups live). Recall is therefore probabilistic at the
+    threshold boundary and data-dependent: the gate asserts exact
+    equality against the all-pairs oracle (q27 vs q27b) on its corpus
+    — that equality, not this estimate, is the verified property;
+    raise n_bands (narrower bands -> more candidates) for corpora
+    dense at the boundary. The candidate join output carries both vectors, so verify
     adds no extra join.
 
     method='exact': all-pairs crossJoin — the small-n oracle-parity

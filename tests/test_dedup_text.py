@@ -209,3 +209,15 @@ def test_winnowing_guarantee(spark):
     # fingerprints ⊆ gram hashes
     grams0 = set(g.where("doc_id = 0").collect()[0]["_g"])
     assert sets[0] <= grams0
+
+
+def test_simhash_arrayagg_equals_exploded(spark):
+    """The explode-free default (64 partial-sum aggregates, ~64x less
+    shuffle input) must be bit-for-bit identical to the textbook
+    (bit,vote)-row formulation."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {r.doc_id: r.simhash
+            for r in D.simhash(d, "doc_id", "text").collect()}
+    slow = {r.doc_id: r.simhash
+            for r in D.simhash_exploded(d, "doc_id", "text").collect()}
+    assert fast == slow and len(fast) == d.count()
