@@ -138,6 +138,11 @@ def main(argv=None):
                     help="comma-separated subset of --years this run "
                          "commits (multi-VM year slicing; each slice is "
                          "an independent commit into the same table)")
+    ap.add_argument("--rate-mbps", type=float, default=None,
+                    help="cap the average input rate (MB/s of tile "
+                         "bytes fetched) for a backfill: bands are "
+                         "paced by a token bucket between commits; "
+                         "requires --commit-groups > 1")
     ap.add_argument("--commit-groups", type=int, default=1,
                     help=">1 commits the run as K row-band snapshots "
                          "(incremental checkpointing: a crash loses at "
@@ -228,7 +233,16 @@ def main(argv=None):
     t0 = time.time()
     process_years = (tuple(int(y) for y in args.process_years.split(","))
                      if args.process_years else None)
-    if args.commit_groups > 1:
+    if args.commit_groups > 1 and args.rate_mbps:
+        from aef_mosaic_spark.plans.backfill import BackfillDriver
+        drv = BackfillDriver(
+            job, groups=args.commit_groups,
+            rate_bytes_per_sec=args.rate_mbps * 1e6,
+            on_progress=lambda p: print(json.dumps({"progress": p}),
+                                        file=sys.stderr))
+        metrics = drv.run(spark, images, args.output, resume=args.resume,
+                          process_years=process_years)
+    elif args.commit_groups > 1:
         metrics = job.run_incremental(spark, images, args.output,
                                       groups=args.commit_groups,
                                       resume=args.resume,
