@@ -59,5 +59,10 @@ class ProgressReporter(threading.Thread):
         return self.stage_seconds()
 
     def stage_seconds(self) -> dict[int, float]:
-        return {sid: round(max(last - first, self.interval_s), 1)
+        """Raw observed span per stage (last sighting - first). A stage
+        seen once reports 0.0; true resolution is ±interval_s per edge
+        — reported as-is rather than inflated to the poll interval,
+        which would overstate sub-interval stages and skew the
+        stage_pct breakdown (ADVICE r2)."""
+        return {sid: round(last - first, 1)
                 for sid, (first, last, _, _) in self._seen.items()}

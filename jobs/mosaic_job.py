@@ -99,6 +99,27 @@ def validate_config(args) -> list[str]:
     return issues
 
 
+def apply_config(ap, args, cfg: dict, argv_list: list[str]) -> None:
+    """Merge a config file under the parsed args. An EXPLICIT flag
+    always wins, even when its value equals the argparse default
+    (value-vs-default comparison can't tell "--mode mean" from "not
+    given" — detected from argv instead); unknown config keys are an
+    error, not a silent setattr."""
+    explicit = set()
+    for a in ap._actions:
+        for opt in a.option_strings:
+            if any(tok == opt or tok.startswith(opt + "=")
+                   for tok in argv_list):
+                explicit.add(a.dest)
+    valid = {a.dest for a in ap._actions}
+    for k, v in cfg.items():
+        k = k.replace("-", "_")
+        if k not in valid:
+            ap.error(f"unknown config key: {k!r}")
+        if k not in explicit and v is not None:
+            setattr(args, k, v)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--images-dir", help="parquet dir of the image+caption table")
@@ -154,12 +175,8 @@ def main(argv=None):
     if args.config:
         with open(args.config) as f:
             cfg = json.load(f)
-        for k, v in cfg.items():
-            k = k.replace("-", "_")
-            # CLI flags override config-file values; argparse defaults
-            # lose to the file
-            if getattr(args, k, None) in (None, ap.get_default(k)) and v is not None:
-                setattr(args, k, v)
+        apply_config(ap, args, cfg,
+                     list(sys.argv[1:] if argv is None else argv))
     if args.validate:
         issues = validate_config(args)
         print(json.dumps({"valid": not issues, "issues": issues}))

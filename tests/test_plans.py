@@ -112,3 +112,27 @@ def test_backfill_driver_rate_limit_and_kill_resume(spark, tmp_path):
     got2 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
             for r in Icelite(out2).read(spark).collect()}
     assert got2 == full
+
+
+def test_apply_config_explicit_flag_wins_and_unknown_key_rejected():
+    """Config merge: an explicit CLI flag equal to its default must NOT
+    be overridden by the config file; unknown keys error out
+    (ADVICE r2)."""
+    import argparse
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "jobs")
+    from mosaic_job import apply_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="mean")
+    ap.add_argument("--resolution", type=float, default=10.0)
+    argv = ["--mode", "mean"]  # explicit, equals the default
+    args = ap.parse_args(argv)
+    apply_config(ap, args, {"mode": "last", "resolution": 20.0}, argv)
+    assert args.mode == "mean"        # explicit wins over config
+    assert args.resolution == 20.0    # not given -> config wins
+    with pytest.raises(SystemExit):
+        apply_config(ap, args, {"bogus": 1}, argv)
