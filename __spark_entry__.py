@@ -494,6 +494,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash_exploded(d, "doc_id", "text")
     q["q68_simhash_exploded"] = q68_simhash_exploded
 
+    def q70_repetition_stats(spark, sf):
+        # Gopher-style repetition quality filters: distinct-token
+        # fraction, top-token fraction, duplicate-2-gram fraction —
+        # all JVM Column exprs (token array materialized before the
+        # gram lambda; top-token via combiner-friendly groupBys)
+        d = _pq(spark, sf, "documents")
+        return T.repetition_stats(d, "doc_id", "text")
+    q["q70_repetition_stats"] = q70_repetition_stats
+
+    def q71_stratified_sample(spark, sf):
+        # deterministic per-stratum sampling (corpus-mix knob):
+        # keep iff h32(salt:id) % 10000 < rate(lang) * 10000 — pure
+        # pushed-down filter, zero shuffle, reproducible on any
+        # cluster at any parallelism
+        from aef_mosaic_spark.operators.sampling import stratified_sample
+        d = _pq(spark, sf, "documents")
+        out = stratified_sample(d, "doc_id", "lang",
+                                rates={"en": 0.5, "de": 0.25},
+                                default_rate=0.1)
+        return out.select("doc_id", "lang", "bucket")
+    q["q71_stratified_sample"] = q71_stratified_sample
+
+    def q72_matryoshka_truncate(spark, sf):
+        # Matryoshka truncation (first 16 dims) + L2 renorm, the
+        # pre-indexing storage/compute knob; value-checked via the
+        # prefix norm and two scalar projections of the unit vector
+        # (first component + component sum, 9dp)
+        from aef_mosaic_spark.functions.vectors import matryoshka_truncate
+        e = _pq(spark, sf, "embeddings")
+        t = matryoshka_truncate(e, "vec_id", "embedding", dim=16)
+        csum = F.aggregate("vec", F.lit(0.0), lambda a, x: a + x)
+        return t.select(
+            "vec_id", "prefix_norm",
+            (F.floor(F.element_at("vec", 1) * 1e9 + 0.5) / 1e9).alias("c0"),
+            (F.floor(csum * 1e9 + 0.5) / 1e9).alias("csum"))
+    q["q72_matryoshka_truncate"] = q72_matryoshka_truncate
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -969,9 +1006,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (dedup verdicts by phash group + caption token counts).
         # Fixture input (deterministic generator metadata) so the
         # oracle sees identical rows.
+        import tempfile
+
         from aef_mosaic_spark.sources.bucketed import BucketedImageTable
         imgs = spark.read.parquet(f"{_FIXTURE_DIR}/images_meta_600.parquet")
-        t = BucketedImageTable(spark, name="q67_images", num_buckets=8)
+        # unique external location per invocation: a stale managed-
+        # table dir from a previous session would fail the create
+        t = BucketedImageTable(spark, name="q67_images", num_buckets=8,
+                               base_path=tempfile.mkdtemp(prefix="q67_"))
+        t.drop()
         t.create(imgs)
         grp = imgs.groupBy("phash").agg(
             F.count("*").cast("long").alias("grp_n"),
@@ -1162,6 +1205,9 @@ _MUST_VERIFY = [
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
+    "q70_repetition_stats",
+    "q71_stratified_sample",
+    "q72_matryoshka_truncate",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -1813,6 +1859,26 @@ def oracle_sql() -> dict[str, str]:
     # q69 = the forced-shuffle branch of the same operator: oracle
     # identical by construction
     o["q69_zonal_stats_shuffle"] = o["q61_zonal_stats"]
+
+    o["q70_repetition_stats"] = T.repetition_stats_sql(
+        "documents", "doc_id", "text")
+
+    from aef_mosaic_spark.operators.sampling import stratified_sample_sql
+    _q71 = stratified_sample_sql("documents", "doc_id", "lang",
+                                 rates={"en": 0.5, "de": 0.25},
+                                 default_rate=0.1)
+    o["q71_stratified_sample"] = f"SELECT doc_id, lang, bucket FROM ({_q71})"
+
+    from aef_mosaic_spark.functions.vectors import matryoshka_truncate_sql
+    _q72 = matryoshka_truncate_sql("embeddings", "vec_id", "embedding",
+                                   dim=16)
+    o["q72_matryoshka_truncate"] = f"""
+    SELECT vec_id, prefix_norm,
+           floor(vec[1] * 1e9 + 0.5e0) / 1e9 AS c0,
+           floor(list_reduce(vec, (a, b) -> a + b) * 1e9 + 0.5e0) / 1e9
+             AS csum
+    FROM ({_q72})
+    """
 
     o["q67_bucketed_enrich"] = f"""
     WITH imgs AS (SELECT * FROM

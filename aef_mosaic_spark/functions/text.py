@@ -136,6 +136,88 @@ def quality_score_sql(t: str) -> str:
     )
 
 
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition filters (Rae et al. 2021, public) over
+    word tokens -> (id, n_tok, distinct_frac, top_tok_frac,
+    dup_2gram_frac):
+
+    - distinct_frac: |distinct tokens| / |tokens| (low = repetitive),
+    - top_tok_frac:  count of the most frequent token / |tokens|,
+    - dup_2gram_frac: 1 - |distinct 2-grams| / |2-grams| (0 when the
+      doc has < 2 tokens).
+
+    All JVM Column exprs. The token array is materialized as its own
+    projected column BEFORE any lambda touches it (the no-CSE-in-
+    lambda rule: Spark re-evaluates a shared subexpression per lambda
+    call, turning O(n) into O(n^2)). The top-token count is an
+    explode -> two groupBys (combiner-friendly) rather than a
+    per-doc sort."""
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    base = base.select(
+        F.col(id_col), "_toks",
+        F.size("_toks").alias("n_tok"),
+        F.size(F.array_distinct("_toks")).alias("_n_dist"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tok") - 1),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("_toks"), i),
+                              F.element_at(F.col("_toks"), i + 1)))
+    stats = base.select(
+        F.col(id_col), F.col("n_tok"),
+        F.round(F.col("_n_dist") / F.greatest("n_tok", F.lit(1)), 6)
+        .alias("distinct_frac"),
+        F.when(F.col("n_tok") < 2, F.lit(0.0)).otherwise(
+            F.round(1.0 - F.size(F.array_distinct(grams))
+                    / (F.col("n_tok") - 1), 6)).alias("dup_2gram_frac"))
+    top = (df.select(F.col(id_col),
+                     F.explode(toks).alias("_t"))
+           .groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+           .groupBy(id_col).agg(F.max("_c").alias("_top")))
+    return (stats.join(top, id_col, "left")
+            .select(F.col(id_col), "n_tok", "distinct_frac",
+                    F.round(F.coalesce(F.col("_top"), F.lit(0))
+                            / F.greatest("n_tok", F.lit(1)), 6)
+                    .alias("top_tok_frac"),
+                    "dup_2gram_frac"))
+
+
+def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of repetition_stats. Lists are CTE-materialized
+    before the lambda passes (DuckDB re-evaluates inlined list exprs
+    per lambda call)."""
+    return f"""
+    WITH tl AS MATERIALIZED (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower(trim({text_col})),
+                           '\\s+'), t -> t <> '') AS toks
+        FROM {table}),
+    b AS MATERIALIZED (
+        SELECT {id_col}, toks, len(toks) AS n_tok,
+               len(list_distinct(toks)) AS n_dist
+        FROM tl),
+    g AS (SELECT {id_col}, n_tok, n_dist,
+          CASE WHEN n_tok < 2 THEN 0e0 ELSE
+            round(1e0 - len(list_distinct(list_transform(
+                generate_series(1, n_tok - 1),
+                i -> toks[i] || ' ' || toks[i + 1])))::DOUBLE
+                / (n_tok - 1), 6) END AS dup_2gram_frac
+          FROM b),
+    top AS (SELECT {id_col}, max(c) AS top_c FROM (
+            SELECT {id_col}, t, count(*) AS c FROM
+            (SELECT {id_col}, unnest(toks) AS t FROM tl)
+            GROUP BY {id_col}, t) GROUP BY {id_col})
+    SELECT g.{id_col} AS {id_col}, n_tok::INT AS n_tok,
+           round(n_dist::DOUBLE / greatest(n_tok, 1), 6) AS distinct_frac,
+           round(coalesce(top_c, 0)::DOUBLE / greatest(n_tok, 1), 6)
+             AS top_tok_frac,
+           dup_2gram_frac
+    FROM g LEFT JOIN top ON g.{id_col} = top.{id_col}
+    """
+
+
 def fingerprint_col(text: Column) -> Column:
     """Normalized-text md5 fingerprint (lowercase, collapse whitespace,
     strip punctuation) — near-exact dedup key."""

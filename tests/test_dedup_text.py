@@ -221,3 +221,70 @@ def test_simhash_arrayagg_equals_exploded(spark):
     slow = {r.doc_id: r.simhash
             for r in D.simhash_exploded(d, "doc_id", "text").collect()}
     assert fast == slow and len(fast) == d.count()
+
+
+def test_repetition_stats_vs_python_oracle(spark):
+    """Gopher-style repetition metrics vs a brute-force python oracle,
+    including the n_tok<2 and fully-repetitive edge cases."""
+    rows = [
+        {"doc_id": 1, "text": "a b c d"},
+        {"doc_id": 2, "text": "a a a a"},          # fully repetitive
+        {"doc_id": 3, "text": "x"},                # single token
+        {"doc_id": 4, "text": "  a  b a b a  "},   # dup 2-grams
+    ]
+    got = {r.doc_id: r for r in T.repetition_stats(
+        spark.createDataFrame(pd.DataFrame(rows)), "doc_id", "text"
+    ).collect()}
+    for row in rows:
+        toks = [t for t in row["text"].lower().strip().split() if t]
+        n = len(toks)
+        grams = [f"{toks[i]} {toks[i+1]}" for i in range(n - 1)]
+        g = got[row["doc_id"]]
+        assert g.n_tok == n
+        assert g.distinct_frac == round(len(set(toks)) / max(n, 1), 6)
+        want_top = round(max(toks.count(t) for t in set(toks)) / n, 6)
+        assert g.top_tok_frac == want_top
+        want_dup = (0.0 if n < 2
+                    else round(1 - len(set(grams)) / (n - 1), 6))
+        assert g.dup_2gram_frac == want_dup
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    """Deterministic hash sampling: same selection on re-run and at a
+    different parallelism; per-stratum keep rates within tolerance."""
+    from aef_mosaic_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rates = {"en": 0.5, "de": 0.25}
+    s1 = {r.doc_id for r in stratified_sample(
+        d, "doc_id", "lang", rates, default_rate=0.1).select("doc_id").collect()}
+    s2 = {r.doc_id for r in stratified_sample(
+        d.repartition(17), "doc_id", "lang", rates,
+        default_rate=0.1).select("doc_id").collect()}
+    assert s1 == s2 and s1
+    counts = {r.lang: r for r in d.groupBy("lang").count()
+              .withColumnRenamed("count", "total").collect()}
+    kept = {r.lang: r["count"] for r in stratified_sample(
+        d, "doc_id", "lang", rates, default_rate=0.1)
+        .groupBy("lang").count().collect()}
+    for lang, row in counts.items():
+        rate = rates.get(lang, 0.1)
+        frac = kept.get(lang, 0) / row.total
+        assert abs(frac - rate) < 0.15, (lang, frac, rate)
+
+
+def test_matryoshka_truncate_vs_numpy(spark):
+    """Prefix truncation + renorm vs numpy on the embeddings table."""
+    from aef_mosaic_spark.functions.vectors import matryoshka_truncate
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r.vec_id: r for r in matryoshka_truncate(
+        e, "vec_id", "embedding", dim=16).collect()}
+    pdf = e.limit(50).toPandas()
+    for row in pdf.itertuples(index=False):
+        v = np.asarray(row.embedding[:16], dtype=np.float64)
+        nrm = float(np.sqrt((v * v).sum()))
+        g = got[row.vec_id]
+        assert abs(g.prefix_norm - nrm) < 1e-8
+        unit = v / max(nrm, 1e-12)
+        assert np.allclose(np.array(g.vec), unit, atol=1e-9)
