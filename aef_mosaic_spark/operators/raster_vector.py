@@ -90,6 +90,13 @@ def zonal_stats(chunks: DataFrame, boxes: DataFrame, grid: OutputGrid,
       exchange is elided entirely when the chunk table is stored
       bucketed by chunk key (sources.bucketed).
     - True / False: force the branch (tests; callers that know).
+
+    Skew note: a chunk overlapped by k boxes carries a k-element
+    window list (40 B/struct) in ONE row — ~40 MB at k=10^6, still a
+    single task but bounded memory; beyond that, split the box set
+    (e.g. by box_id ranges) and union the partials — the final
+    groupBy(box) merge is associative, so any partition of the boxes
+    composes exactly.
     """
     import numpy as np
     import pandas as pd
