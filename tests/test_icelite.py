@@ -439,3 +439,41 @@ def test_process_years_split_matches_full_run(spark, tmp_path, grid):
     # a year outside the grid is a config error, not silence
     with pytest.raises(ValueError, match="process_years"):
         job.run(spark, images, str(tmp_path / "bad"), process_years=(2022,))
+
+
+def test_metadata_plane_fully_store_backed(spark, tmp_path):
+    """Read/lineage/history/scan must touch metadata ONLY through the
+    store backend: mirror a table's metadata into the in-memory object
+    store, point Icelite at it (data files stay on the local data
+    plane, as s3a paths would for Spark), and verify everything works
+    — including manifest-level file pruning. A residual os.open in any
+    metadata path would fail this test."""
+    import glob as _glob
+
+    from aef_mosaic_spark.sources.store import MemoryObjectStore
+
+    t = Icelite(str(tmp_path / "t"))
+    df = spark.range(100).selectExpr("id", "CAST(id % 4 AS INT) AS part",
+                                     "id * 3 AS v")
+    t.append(df, partition_by=["part"])
+    t.append(spark.range(100, 150).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS part", "id * 3 AS v"),
+        partition_by=["part"])
+
+    mem = MemoryObjectStore()
+    for fp in _glob.glob(str(tmp_path / "t" / "metadata" / "*")):
+        mem.put(fp, open(fp).read())
+    # remove nothing on disk: the memory store is the ONLY metadata
+    # source the new handle is allowed to use
+    m = Icelite(str(tmp_path / "t"), store=mem)
+    assert m.current_snapshot_id() == 2
+    assert m.read(spark).count() == 150
+    assert len(m.history()) == 2
+    assert sum(e["rows"] for e in m.lineage()) == 150
+    # manifest pruning still works through the store
+    pruned = m.scan_files(filters={"part": (0, 0)})
+    assert pruned and all(e["partition"]["part"] == "0" for e in pruned)
+    # and a commit through the store conflicts correctly
+    from aef_mosaic_spark.sources.icelite import CommitConflictError
+    with pytest.raises(CommitConflictError):
+        m._commit([], {}, {}, parent=1)
