@@ -531,6 +531,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.floor(csum * 1e9 + 0.5) / 1e9).alias("csum"))
     q["q72_matryoshka_truncate"] = q72_matryoshka_truncate
 
+    def q73_near_dup_clusters(spark, sf):
+        # near-dup CLUSTER ASSIGNMENT (connected components by
+        # iterative min-label propagation): O(n)-row output vs the
+        # quadratic pair enumeration — the keep-one-per-cluster dedup
+        # shape at corpus scale. Subset (doc_id % 7 < 2) bounds the
+        # recursive-CTE oracle's reach set at sf0.1.
+        d = _pq(spark, sf, "documents").where("doc_id % 7 < 2")
+        return D.near_duplicate_clusters(d, "doc_id", "text",
+                                         threshold=0.8, k=16, bands=4)
+    q["q73_near_dup_clusters"] = q73_near_dup_clusters
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1208,6 +1219,7 @@ _MUST_VERIFY = [
     "q70_repetition_stats",
     "q71_stratified_sample",
     "q72_matryoshka_truncate",
+    "q73_near_dup_clusters",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -1859,6 +1871,25 @@ def oracle_sql() -> dict[str, str]:
     # q69 = the forced-shuffle branch of the same operator: oracle
     # identical by construction
     o["q69_zonal_stats_shuffle"] = o["q61_zonal_stats"]
+
+    # q73: connected components over q23's verified pair graph (subset
+    # doc_id % 7 < 2), recursive min-label closure in SQL
+    _p23 = o["q23_minhash_near_dup"].replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 < 2)")
+    o["q73_near_dup_clusters"] = f"""
+    WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({_p23})),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+    n AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 7 < 2),
+    reach(id, label) AS (
+        SELECT id, id FROM n
+      UNION
+        SELECT e.dst, r.label FROM e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """
 
     o["q70_repetition_stats"] = T.repetition_stats_sql(
         "documents", "doc_id", "text")

@@ -381,6 +381,61 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    classic Spark CC): label(v) starts as v, then repeatedly takes the
+    min over neighbors until fixpoint — O(component diameter)
+    iterations, each one equi-join + combiner-friendly groupBy.
+    edges: (id_a, id_b) undirected (either orientation); nodes: (id).
+    -> (id, cluster_id = min id reachable). localCheckpoint() between
+    iterations cuts the lineage so plan size stays O(1) per iteration
+    instead of growing geometrically."""
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
+        .union(edges.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst"))) \
+        .distinct().localCheckpoint()
+    labels = nodes.select(F.col("id"), F.col("id").alias("label")) \
+        .localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.withColumnRenamed("id", "src"), "src")
+               .groupBy("dst").agg(F.min("label").alias("nmin"))
+               .withColumnRenamed("dst", "id"))
+        new = (labels.join(nbr, "id", "left")
+               .select("id", F.least(
+                   "label", F.coalesce("nmin", F.col("label")))
+                   .alias("label"))
+               .localCheckpoint())
+        changed = (new.withColumnRenamed("label", "new_label")
+                   .join(labels, "id")
+                   .where(F.col("new_label") != F.col("label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def near_duplicate_clusters(df: DataFrame, id_col: str, text_col: str,
+                            threshold: float = 0.8, k: int = 16,
+                            bands: int = 4, max_iter: int = 20) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT -> (id, cluster_id): connected
+    components over the verified MinHash near-dup graph, cluster_id =
+    min doc id in the component (singletons map to themselves).
+
+    This is the scale-safe output shape for deduplication: pair
+    enumeration grows QUADRATICALLY in duplicate-clique size (measured
+    in BENCH 7f — a 10x-replicated corpus makes the verified pair set
+    ~100x larger), while the cluster table is always O(n) rows and
+    directly drives keep-one-per-cluster filtering
+    (where id = cluster_id)."""
+    pairs = minhash_near_duplicates(df, id_col, text_col,
+                                    threshold=threshold, k=k, bands=bands)
+    nodes = df.select(F.col(id_col).alias("id")).distinct()
+    cc = connected_components(pairs.select("id_a", "id_b"), nodes,
+                              max_iter=max_iter)
+    return cc.select(F.col("id").alias(id_col), "cluster_id")
+
+
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               threshold: float = 0.95,
                               method: str = "lsh", dim: int = 64,

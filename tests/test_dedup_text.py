@@ -288,3 +288,52 @@ def test_matryoshka_truncate_vs_numpy(spark):
         assert abs(g.prefix_norm - nrm) < 1e-8
         unit = v / max(nrm, 1e-12)
         assert np.allclose(np.array(g.vec), unit, atol=1e-9)
+
+
+def test_connected_components_vs_python_oracle(spark):
+    """Min-label propagation CC vs a brute-force union-find, including
+    a path graph (diameter > 1 forces multiple iterations), a clique,
+    and singletons."""
+    from aef_mosaic_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4),          # path: component min 1
+             (10, 11), (11, 10), (10, 12),    # clique-ish + dup edge
+             (20, 21)]
+    nodes = [1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31]  # 30,31 singletons
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    got = {r.id: r.cluster_id for r in connected_components(
+        spark.createDataFrame(edges, "id_a long, id_b long"),
+        spark.createDataFrame([(n,) for n in nodes], "id long")).collect()}
+    assert got == want
+
+
+def test_near_duplicate_clusters_keep_one(spark):
+    """Cluster assignment drives keep-one-per-cluster dedup: every
+    verified near-dup pair lands in one cluster, output is O(n) rows,
+    and filtering id == cluster_id keeps exactly one doc per cluster."""
+    from aef_mosaic_spark.operators.dedup import (
+        minhash_near_duplicates, near_duplicate_clusters,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cc = near_duplicate_clusters(d, "doc_id", "text", threshold=0.8)
+    rows = {r.doc_id: r.cluster_id for r in cc.collect()}
+    assert len(rows) == d.count()                       # O(n), total
+    pairs = minhash_near_duplicates(d, "doc_id", "text",
+                                    threshold=0.8).collect()
+    assert pairs  # the corpus has near-dups
+    for p in pairs:
+        assert rows[p.id_a] == rows[p.id_b], (p.id_a, p.id_b)
+    keepers = {v for v in rows.values()}
+    assert all(rows[kid] == kid for kid in keepers)     # canonical = member
