@@ -542,6 +542,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          threshold=0.8, k=16, bands=4)
     q["q73_near_dup_clusters"] = q73_near_dup_clusters
 
+    def q74_image_phash_clusters(spark, sf):
+        # IMAGE near-dup clusters: banded Hamming join on the 64-bit
+        # perceptual hash column (the image-payload dedup primitive),
+        # then connected components — keep-one-per-cluster over the
+        # image+caption table. Generic hamming_near_duplicates banding
+        # works on any int64 hash; phash values are full-range signed
+        # (unsigned band extraction mirrored in SQL via HUGEINT).
+        imgs = spark.read.parquet(f"{_FIXTURE_DIR}/images_meta_600.parquet")
+        ids = imgs.select("image_id", "phash")
+        pairs = D.hamming_near_duplicates(ids, "image_id", "phash",
+                                          max_hamming=6, n_bands=4)
+        nodes = ids.select(F.col("image_id").alias("id"))
+        cc = D.connected_components(pairs.select("id_a", "id_b"), nodes)
+        return cc.select(F.col("id").alias("image_id"), "cluster_id")
+    q["q74_image_phash_clusters"] = q74_image_phash_clusters
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1220,6 +1236,7 @@ _MUST_VERIFY = [
     "q71_stratified_sample",
     "q72_matryoshka_truncate",
     "q73_near_dup_clusters",
+    "q74_image_phash_clusters",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -1888,6 +1905,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.dst, r.label FROM e JOIN reach r ON r.id = e.src
     )
     SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """
+
+    o["q74_image_phash_clusters"] = f"""
+    WITH RECURSIVE imgs AS (
+        SELECT image_id, phash,
+               phash::HUGEINT + CASE WHEN phash < 0
+                 THEN 18446744073709551616::HUGEINT
+                 ELSE 0::HUGEINT END AS u
+        FROM read_parquet('{_FIXTURE_DIR}/images_meta_600.parquet')),
+    banded AS (
+        SELECT image_id, phash, 0 AS band_idx,
+               ((u // 1) % 65536)::BIGINT AS band_val FROM imgs
+        UNION ALL SELECT image_id, phash, 1,
+               ((u // 65536) % 65536)::BIGINT FROM imgs
+        UNION ALL SELECT image_id, phash, 2,
+               ((u // 4294967296) % 65536)::BIGINT FROM imgs
+        UNION ALL SELECT image_id, phash, 3,
+               ((u // 281474976710656) % 65536)::BIGINT FROM imgs),
+    p AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+    n AS (SELECT DISTINCT image_id AS id FROM imgs),
+    reach(id, label) AS (
+        SELECT id, id FROM n
+      UNION
+        SELECT e.dst, r.label FROM e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS image_id, min(label) AS cluster_id
     FROM reach GROUP BY id
     """
 

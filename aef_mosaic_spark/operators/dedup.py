@@ -354,19 +354,22 @@ def simhash_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 8, n_bands: int = 4) -> DataFrame:
-    """SimHash near-dups: band the 64-bit simhash into 16-bit keys
-    (complete for hamming < n_bands; good recall above), verify exact
+def hamming_near_duplicates(df: DataFrame, id_col: str, hash_col: str,
+                            max_hamming: int = 8,
+                            n_bands: int = 4) -> DataFrame:
+    """Banded near-dup join over ANY 64-bit hash column (simhash,
+    image phash, audio fingerprint): band into 64/n_bands-bit keys
+    (complete recall for hamming < n_bands; good above), equi-join on
+    (band_idx, band_val) — never a crossJoin — verify exact
     Hamming <= max_hamming. -> (id_a, id_b, hamming)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sigs = simhash(df, id_col, text_col)
-    banded = sigs.withColumn(
+    banded = df.select(F.col(id_col), F.col(hash_col).alias("_h")) \
+        .withColumn(
         "band_idx", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
     ).withColumn(
         "band_val",
-        F.expr(f"shiftrightunsigned(simhash, CAST(band_idx * {width} AS INT))"
+        F.expr(f"shiftrightunsigned(_h, CAST(band_idx * {width} AS INT))"
                f" & {mask}"),
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -374,11 +377,21 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         a.join(b, ["band_idx", "band_val"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
                 .cast("int").alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 8, n_bands: int = 4) -> DataFrame:
+    """SimHash near-dups: band the 64-bit simhash into 16-bit keys
+    (complete for hamming < n_bands; good recall above), verify exact
+    Hamming <= max_hamming. -> (id_a, id_b, hamming)."""
+    sigs = simhash(df, id_col, text_col)
+    return hamming_near_duplicates(sigs, id_col, "simhash",
+                                   max_hamming=max_hamming, n_bands=n_bands)
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame,
