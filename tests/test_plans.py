@@ -36,10 +36,22 @@ def test_spatial_join_has_no_cartesian_product(spark, tmp_path):
     qs = e.queries()
     for name in ("q12_point_in_box_join", "q13_box_intersect_join",
                  "q14_point_in_quad_join", "q23_minhash_near_dup",
-                 "q26_simhash_near_dup"):
+                 "q26_simhash_near_dup", "q70_repetition_stats",
+                 "q74_image_phash_clusters"):
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_stratified_sample_filter_is_pushed(spark):
+    """q71's hash-bucket predicate must reach the parquet scan as a
+    data filter (no shuffle, no post-scan-only filtering of md5 —
+    the md5 itself can't push, but the scan must carry the filter
+    operator directly over it with zero exchanges in the plan)."""
+    import __spark_entry__ as e
+    qs = e.queries()
+    plan = _plan(qs["q71_stratified_sample"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan[:2000]   # pure scan+filter+project
 
 
 def test_dim_joins_broadcast(spark):
