@@ -148,3 +148,31 @@ def test_apply_config_explicit_flag_wins_and_unknown_key_rejected():
     assert args.resolution == 20.0    # not given -> config wins
     with pytest.raises(SystemExit):
         apply_config(ap, args, {"bogus": 1}, argv)
+
+
+def test_dedup_job_cli_keep_list(spark, tmp_path):
+    """jobs/dedup_job.py end-to-end in-process: keep-list equals the
+    library-level cluster recompute, keep = exactly one per cluster."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import dedup_job
+
+    from aef_mosaic_spark.operators.dedup import near_duplicate_clusters
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    out = str(tmp_path / "dd")
+    rc = dedup_job.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--id-col", "doc_id", "--text-col", "text",
+        "--threshold", "0.8"])
+    assert rc == 0
+    got = {r.doc_id: (r.cluster_id, r.keep)
+           for r in Icelite(out).read(spark).collect()}
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {r.doc_id: r.cluster_id for r in near_duplicate_clusters(
+        d, "doc_id", "text", threshold=0.8).collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    keepers = [k for k, v in got.items() if v[1]]
+    assert sorted(keepers) == sorted(set(want.values()))
+    assert Icelite(out).properties()["threshold"] == "0.8"
