@@ -558,6 +558,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cc.select(F.col("id").alias("image_id"), "cluster_id")
     q["q74_image_phash_clusters"] = q74_image_phash_clusters
 
+    def q75_incremental_clusters(spark, sf):
+        # batch-incremental cluster maintenance: prior assignment over
+        # the "old" 2/3 of the subset corpus + incremental update with
+        # the "new" 1/3 — the ORACLE is the full-recompute recursive
+        # closure (same SQL as q73), so the driver value-checks that
+        # incremental == full recompute
+        d = _pq(spark, sf, "documents").where("doc_id % 7 < 2")
+        old = d.where("doc_id % 3 != 0")
+        new_ids = d.where("doc_id % 3 = 0") \
+            .select(F.col("doc_id").alias("id"))
+        prior = D.near_duplicate_clusters(old, "doc_id", "text",
+                                          threshold=0.8, k=16, bands=4)
+        return D.update_near_duplicate_clusters(
+            d, new_ids, prior, "doc_id", "text",
+            threshold=0.8, k=16, bands=4)
+    q["q75_incremental_clusters"] = q75_incremental_clusters
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1237,6 +1254,7 @@ _MUST_VERIFY = [
     "q72_matryoshka_truncate",
     "q73_near_dup_clusters",
     "q74_image_phash_clusters",
+    "q75_incremental_clusters",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -1940,6 +1958,10 @@ def oracle_sql() -> dict[str, str]:
     SELECT id AS image_id, min(label) AS cluster_id
     FROM reach GROUP BY id
     """
+
+    # q75's oracle IS q73's full-recompute closure: incremental must
+    # equal full recompute exactly
+    o["q75_incremental_clusters"] = o["q73_near_dup_clusters"]
 
     o["q70_repetition_stats"] = T.repetition_stats_sql(
         "documents", "doc_id", "text")

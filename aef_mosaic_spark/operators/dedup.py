@@ -428,6 +428,61 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def update_near_duplicate_clusters(df_all: DataFrame, new_ids: DataFrame,
+                                   prior: DataFrame, id_col: str,
+                                   text_col: str, threshold: float = 0.8,
+                                   k: int = 16, bands: int = 4,
+                                   max_iter: int = 20) -> DataFrame:
+    """Batch-incremental cluster maintenance (the daily-crawl shape):
+    given the corpus AFTER an increment (`df_all`), the increment's ids
+    (`new_ids`, column `id`), and the PRIOR assignment (`prior`:
+    id, cluster_id over the old docs), return the updated assignment
+    for every doc — EXACTLY equal to a full recompute (pytest-proven),
+    at the cost of the increment instead of the corpus:
+
+    - candidates: new docs' band rows joined against ALL band rows
+      (asymmetric equi-join) — old×old pairs are never generated; text
+      is immutable, so old×old connectivity is already encoded in
+      `prior`. (At 10^12 docs, persist the band rows as a table and
+      append the increment's; recomputing them here keeps the function
+      self-contained.)
+    - exact-Jaccard verify on the new-touching candidates only;
+    - connected components over (new verified edges) UNION (star edges
+      id -> prior cluster_id): the prior components collapse to stars,
+      so merges between old clusters via a new bridge doc — and
+      canonical-id changes when a new doc has a smaller id — resolve
+      correctly."""
+    rows = k // bands
+    sigs = minhash_signatures(df_all, id_col, text_col, k)
+    bv = [
+        F.concat_ws(":", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])
+        .alias(f"bv{bi}")
+        for bi in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *bv).withColumn(
+        "band_idx", F.explode(F.array(*[F.lit(i) for i in range(bands)]))
+    ).withColumn(
+        "band_val",
+        F.element_at(F.array(*[F.col(f"bv{i}") for i in range(bands)]),
+                     F.col("band_idx") + 1),
+    ).select(F.col(id_col).alias("id"), "band_idx", "band_val")
+    b_new = banded.join(new_ids, "id", "left_semi")
+    cand = (b_new.alias("a")
+            .join(banded.alias("b"), ["band_idx", "band_val"])
+            .where(F.col("a.id") != F.col("b.id"))
+            .select(F.least("a.id", "b.id").alias("id_a"),
+                    F.greatest("a.id", "b.id").alias("id_b"))
+            .distinct())
+    pairs = jaccard_pairs(df_all, id_col, text_col, threshold,
+                          candidates=cand)
+    star = prior.select(F.col(id_col).alias("id_a"),
+                        F.col("cluster_id").alias("id_b"))
+    nodes = df_all.select(F.col(id_col).alias("id")).distinct()
+    cc = connected_components(
+        pairs.select("id_a", "id_b").union(star), nodes, max_iter=max_iter)
+    return cc.select(F.col("id").alias(id_col), "cluster_id")
+
+
 def near_duplicate_clusters(df: DataFrame, id_col: str, text_col: str,
                             threshold: float = 0.8, k: int = 16,
                             bands: int = 4, max_iter: int = 20) -> DataFrame:

@@ -337,3 +337,28 @@ def test_near_duplicate_clusters_keep_one(spark):
         assert rows[p.id_a] == rows[p.id_b], (p.id_a, p.id_b)
     keepers = {v for v in rows.values()}
     assert all(rows[kid] == kid for kid in keepers)     # canonical = member
+
+
+def test_update_clusters_equals_full_recompute(spark):
+    """Batch-incremental cluster maintenance: prior(old) + increment
+    must equal the full recompute over old+new — including merges
+    (a new doc bridging two old clusters) and canonical-id changes."""
+    from aef_mosaic_spark.operators.dedup import (
+        near_duplicate_clusters, update_near_duplicate_clusters,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = d.where("doc_id % 4 != 0")
+    new_ids = d.where("doc_id % 4 = 0").selectExpr("doc_id AS id")
+    assert new_ids.count() > 0 and old.count() > 0
+    prior = near_duplicate_clusters(old, "doc_id", "text", threshold=0.8)
+    inc = {r.doc_id: r.cluster_id for r in update_near_duplicate_clusters(
+        d, new_ids, prior, "doc_id", "text", threshold=0.8).collect()}
+    full = {r.doc_id: r.cluster_id for r in near_duplicate_clusters(
+        d, "doc_id", "text", threshold=0.8).collect()}
+    assert inc == full
+    # the increment actually changed something (bridges/merges exist
+    # in this dup-heavy corpus) — otherwise the test proves nothing
+    prior_map = {r.doc_id: r.cluster_id for r in prior.collect()}
+    assert any(full[k] != v for k, v in prior_map.items()), \
+        "increment produced no merges; pick a different split"
