@@ -1,0 +1,84 @@
+"""Streaming near-dup cluster maintenance (document arrival stream).
+
+The batch-incremental operator (operators/dedup.py
+update_near_duplicate_clusters) lifted onto Structured Streaming: each
+microbatch of new documents
+
+  1. appends to the icelite CORPUS table (idempotent on batch_id),
+  2. recomputes the cluster assignment incrementally against the last
+     committed assignment — candidates come only from the batch's band
+     rows joined against the corpus band rows, old x old pairs are
+     never generated,
+  3. commits the updated full assignment as a new CLUSTERS snapshot
+     carrying the batch_id.
+
+Exactly-once by the same recipe as streaming/ingest.py: foreachBatch
+is at-least-once, so both sinks are idempotent on batch_id — a
+replayed microbatch whose batch_id is already in the snapshot chain is
+skipped; the stream checkpoint prevents lost batches; atomic
+put-if-absent snapshot commits prevent partial appends. The clusters
+table keeps every assignment version (time travel over dedup state —
+"which keep-list did the 2024-03 training run see" is a snapshot id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.operators.dedup import (
+    near_duplicate_clusters, update_near_duplicate_clusters,
+)
+from aef_mosaic_spark.sources.icelite import Icelite
+from aef_mosaic_spark.streaming.ingest import applied_batch_ids
+
+
+def make_cluster_sink(corpus: Icelite, clusters: Icelite, id_col: str,
+                      text_col: str, threshold: float = 0.8,
+                      k: int = 16, bands: int = 4):
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied_batch_ids(clusters):
+            return  # full replay of an applied batch
+        spark = batch_df.sparkSession
+        if batch_id not in applied_batch_ids(corpus):
+            corpus.append(batch_df, summary={"batch_id": batch_id})
+        # a crash BETWEEN the two commits replays here: the corpus
+        # append is skipped, the assignment recomputes from the last
+        # committed prior — same result, one extra snapshot, no dupes
+        df_all = corpus.read(spark)
+        new_ids = batch_df.select(F.col(id_col).alias("id")).distinct()
+        if clusters.exists():
+            prior = clusters.read(spark).select(id_col, "cluster_id")
+            updated = update_near_duplicate_clusters(
+                df_all, new_ids, prior, id_col, text_col,
+                threshold=threshold, k=k, bands=bands)
+        else:
+            updated = near_duplicate_clusters(
+                df_all, id_col, text_col,
+                threshold=threshold, k=k, bands=bands)
+        out = updated.select(
+            id_col, "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"))
+        clusters.overwrite(out, summary={"batch_id": batch_id})
+
+    return _sink
+
+
+def stream_clusters_to_table(docs_stream: DataFrame, corpus_path: str,
+                             clusters_path: str, checkpoint_dir: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             threshold: float = 0.8, k: int = 16,
+                             bands: int = 4, timeout_s: int = 600) -> Icelite:
+    """Drain the stream (availableNow) into the corpus + clusters
+    tables; returns the clusters table handle."""
+    corpus = Icelite(corpus_path)
+    clusters = Icelite(clusters_path)
+    _sink = make_cluster_sink(corpus, clusters, id_col, text_col,
+                              threshold=threshold, k=k, bands=bands)
+    q = (docs_stream.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    return clusters

@@ -230,3 +230,45 @@ def test_streaming_stateful_mosaic_matches_batch(spark, tmp_path):
           FROM live_chunks) WHERE rk = 1""").collect()
     got = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk) for r in rows}
     assert got == want
+
+
+def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
+    """Document stream -> per-microbatch incremental cluster update:
+    the final assignment must equal the one-shot batch recompute over
+    the full corpus, and a replayed batch_id must be a no-op (sink
+    idempotence)."""
+    from aef_mosaic_spark.operators.dedup import near_duplicate_clusters
+    from aef_mosaic_spark.sources.icelite import Icelite
+    from aef_mosaic_spark.streaming.dedup_stream import (
+        make_cluster_sink, stream_clusters_to_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    in_dir = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(in_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    clusters = stream_clusters_to_table(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "clusters"),
+        str(tmp_path / "ckpt"), threshold=0.8)
+
+    got = {r.doc_id: r.cluster_id for r in clusters.read(spark).collect()}
+    want = {r.doc_id: r.cluster_id for r in near_duplicate_clusters(
+        docs, "doc_id", "text", threshold=0.8).collect()}
+    assert got == want
+    # several assignment versions exist (time travel over dedup state)
+    n_snaps = len(clusters.history())
+    assert n_snaps >= 3
+    # replaying an applied batch_id is a no-op on both tables
+    corpus = Icelite(str(tmp_path / "corpus"))
+    replayed_bid = next(h["summary"]["batch_id"]
+                        for h in clusters.history()
+                        if "batch_id" in h["summary"])
+    sink = make_cluster_sink(corpus, clusters, "doc_id", "text",
+                             threshold=0.8)
+    sink(docs.limit(5), replayed_bid)
+    assert len(clusters.history()) == n_snaps
+    assert {r.doc_id: r.cluster_id
+            for r in clusters.read(spark).collect()} == want
