@@ -428,11 +428,35 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 16, bands: int = 4) -> DataFrame:
+    """LSH band rows -> (id, band_idx, band_val): the per-doc banding
+    shared by candidate generation and the incremental update path.
+    At corpus scale this IS the dedup index — persist it (icelite) and
+    append each increment's rows instead of recomputing O(corpus)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    bv = [
+        F.concat_ws(":", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])
+        .alias(f"bv{bi}")
+        for bi in range(bands)
+    ]
+    return sigs.select(F.col(id_col), *bv).withColumn(
+        "band_idx", F.explode(F.array(*[F.lit(i) for i in range(bands)]))
+    ).withColumn(
+        "band_val",
+        F.element_at(F.array(*[F.col(f"bv{i}") for i in range(bands)]),
+                     F.col("band_idx") + 1),
+    ).select(F.col(id_col).alias("id"), "band_idx", "band_val")
+
+
 def update_near_duplicate_clusters(df_all: DataFrame, new_ids: DataFrame,
                                    prior: DataFrame, id_col: str,
                                    text_col: str, threshold: float = 0.8,
                                    k: int = 16, bands: int = 4,
-                                   max_iter: int = 20) -> DataFrame:
+                                   max_iter: int = 20,
+                                   band_rows_all: DataFrame | None = None
+                                   ) -> DataFrame:
     """Batch-incremental cluster maintenance (the daily-crawl shape):
     given the corpus AFTER an increment (`df_all`), the increment's ids
     (`new_ids`, column `id`), and the PRIOR assignment (`prior`:
@@ -443,29 +467,18 @@ def update_near_duplicate_clusters(df_all: DataFrame, new_ids: DataFrame,
     - candidates: new docs' band rows joined against ALL band rows
       (asymmetric equi-join) — old×old pairs are never generated; text
       is immutable, so old×old connectivity is already encoded in
-      `prior`. (At 10^12 docs, persist the band rows as a table and
-      append the increment's; recomputing them here keeps the function
-      self-contained.)
+      `prior`. Pass `band_rows_all` (a persisted band index covering
+      every doc incl. the increment — see minhash_band_rows and the
+      streaming sink's bands table) to make per-increment banding work
+      O(increment); when None they are recomputed from df_all.
     - exact-Jaccard verify on the new-touching candidates only;
     - connected components over (new verified edges) UNION (star edges
       id -> prior cluster_id): the prior components collapse to stars,
       so merges between old clusters via a new bridge doc — and
       canonical-id changes when a new doc has a smaller id — resolve
       correctly."""
-    rows = k // bands
-    sigs = minhash_signatures(df_all, id_col, text_col, k)
-    bv = [
-        F.concat_ws(":", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])
-        .alias(f"bv{bi}")
-        for bi in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), *bv).withColumn(
-        "band_idx", F.explode(F.array(*[F.lit(i) for i in range(bands)]))
-    ).withColumn(
-        "band_val",
-        F.element_at(F.array(*[F.col(f"bv{i}") for i in range(bands)]),
-                     F.col("band_idx") + 1),
-    ).select(F.col(id_col).alias("id"), "band_idx", "band_val")
+    banded = (band_rows_all if band_rows_all is not None
+              else minhash_band_rows(df_all, id_col, text_col, k, bands))
     b_new = banded.join(new_ids, "id", "left_semi")
     cand = (b_new.alias("a")
             .join(banded.alias("b"), ["band_idx", "band_val"])

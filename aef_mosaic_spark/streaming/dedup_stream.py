@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aef_mosaic_spark.operators.dedup import (
-    near_duplicate_clusters, update_near_duplicate_clusters,
+    minhash_band_rows, near_duplicate_clusters,
+    update_near_duplicate_clusters,
 )
 from aef_mosaic_spark.sources.icelite import Icelite
 from aef_mosaic_spark.streaming.ingest import applied_batch_ids
@@ -35,23 +36,37 @@ from aef_mosaic_spark.streaming.ingest import applied_batch_ids
 
 def make_cluster_sink(corpus: Icelite, clusters: Icelite, id_col: str,
                       text_col: str, threshold: float = 0.8,
-                      k: int = 16, bands: int = 4):
+                      k: int = 16, bands: int = 4,
+                      bands_table: Icelite | None = None):
+    """`bands_table` (optional) persists the LSH band-row index: each
+    microbatch APPENDS only its own docs' band rows (idempotent on
+    batch_id), so per-batch banding work is O(batch) instead of
+    O(corpus) — the index IS the dedup state at 10^12 docs. Without
+    it, band rows are recomputed from the corpus each batch."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in applied_batch_ids(clusters):
             return  # full replay of an applied batch
         spark = batch_df.sparkSession
         if batch_id not in applied_batch_ids(corpus):
             corpus.append(batch_df, summary={"batch_id": batch_id})
-        # a crash BETWEEN the two commits replays here: the corpus
-        # append is skipped, the assignment recomputes from the last
-        # committed prior — same result, one extra snapshot, no dupes
+        # a crash BETWEEN commits replays here: applied appends are
+        # skipped, the assignment recomputes from the last committed
+        # prior — same result, one extra snapshot, no dupes
+        band_rows_all = None
+        if bands_table is not None:
+            if batch_id not in applied_batch_ids(bands_table):
+                bands_table.append(
+                    minhash_band_rows(batch_df, id_col, text_col, k, bands),
+                    summary={"batch_id": batch_id})
+            band_rows_all = bands_table.read(spark)
         df_all = corpus.read(spark)
         new_ids = batch_df.select(F.col(id_col).alias("id")).distinct()
         if clusters.exists():
             prior = clusters.read(spark).select(id_col, "cluster_id")
             updated = update_near_duplicate_clusters(
                 df_all, new_ids, prior, id_col, text_col,
-                threshold=threshold, k=k, bands=bands)
+                threshold=threshold, k=k, bands=bands,
+                band_rows_all=band_rows_all)
         else:
             updated = near_duplicate_clusters(
                 df_all, id_col, text_col,
@@ -69,13 +84,17 @@ def stream_clusters_to_table(docs_stream: DataFrame, corpus_path: str,
                              id_col: str = "doc_id",
                              text_col: str = "text",
                              threshold: float = 0.8, k: int = 16,
-                             bands: int = 4, timeout_s: int = 600) -> Icelite:
+                             bands: int = 4, timeout_s: int = 600,
+                             bands_path: str | None = None) -> Icelite:
     """Drain the stream (availableNow) into the corpus + clusters
-    tables; returns the clusters table handle."""
+    tables (+ the persisted band index when bands_path is given);
+    returns the clusters table handle."""
     corpus = Icelite(corpus_path)
     clusters = Icelite(clusters_path)
-    _sink = make_cluster_sink(corpus, clusters, id_col, text_col,
-                              threshold=threshold, k=k, bands=bands)
+    _sink = make_cluster_sink(
+        corpus, clusters, id_col, text_col, threshold=threshold, k=k,
+        bands=bands,
+        bands_table=Icelite(bands_path) if bands_path else None)
     q = (docs_stream.writeStream.foreachBatch(_sink)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)

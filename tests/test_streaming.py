@@ -272,3 +272,38 @@ def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
     assert len(clusters.history()) == n_snaps
     assert {r.doc_id: r.cluster_id
             for r in clusters.read(spark).collect()} == want
+
+
+def test_streaming_clusters_with_persisted_band_index(spark, tmp_path):
+    """Same stream drained WITH the persisted band-row index: per-batch
+    banding appends only the batch's rows (O(batch), the 10^12-doc
+    shape) and the final assignment still equals the batch recompute."""
+    from aef_mosaic_spark.operators.dedup import (
+        minhash_band_rows, near_duplicate_clusters,
+    )
+    from aef_mosaic_spark.sources.icelite import Icelite
+    from aef_mosaic_spark.streaming.dedup_stream import stream_clusters_to_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    in_dir = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(in_dir)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    clusters = stream_clusters_to_table(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "clusters"),
+        str(tmp_path / "ckpt"), threshold=0.8,
+        bands_path=str(tmp_path / "bands"))
+    got = {r.doc_id: r.cluster_id for r in clusters.read(spark).collect()}
+    want = {r.doc_id: r.cluster_id for r in near_duplicate_clusters(
+        docs, "doc_id", "text", threshold=0.8).collect()}
+    assert got == want
+    # the persisted index equals a fresh full banding (same rows)
+    bands_tbl = Icelite(str(tmp_path / "bands"))
+    idx = {(r.id, r.band_idx, r.band_val)
+           for r in bands_tbl.read(spark).collect()}
+    fresh = {(r.id, r.band_idx, r.band_val)
+             for r in minhash_band_rows(docs, "doc_id", "text").collect()}
+    assert idx == fresh
+    # one bands snapshot per microbatch (append-only increments)
+    assert len(bands_tbl.history()) >= 3
