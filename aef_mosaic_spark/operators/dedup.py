@@ -414,16 +414,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         nbr = (sym.join(labels.withColumnRenamed("id", "src"), "src")
                .groupBy("dst").agg(F.min("label").alias("nmin"))
                .withColumnRenamed("dst", "id"))
+        upd = F.least("label", F.coalesce("nmin", F.col("label")))
+        # the convergence flag rides the propagation pass: one
+        # materialization, then a cheap agg over checkpointed rows.
+        # Two-step select: an output alias named "label" would shadow
+        # the input "label" inside the flag expression on project
+        # collapse (the q62 alias-shadowing trap, CLAUDE.md)
         new = (labels.join(nbr, "id", "left")
-               .select("id", F.least(
-                   "label", F.coalesce("nmin", F.col("label")))
-                   .alias("label"))
+               .select("id", upd.alias("_new"),
+                       (upd != F.col("label")).cast("int").alias("_chg"))
                .localCheckpoint())
-        changed = (new.withColumnRenamed("label", "new_label")
-                   .join(labels, "id")
-                   .where(F.col("new_label") != F.col("label")).count())
-        labels = new
-        if changed == 0:
+        changed = new.agg(F.sum("_chg")).collect()[0][0]
+        labels = new.select("id", F.col("_new").alias("label"))
+        if not changed:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
 
