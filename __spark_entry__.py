@@ -575,6 +575,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.8, k=16, bands=4)
     q["q75_incremental_clusters"] = q75_incremental_clusters
 
+    def q76_overview_chunks(spark, sf):
+        # level-1 overview pyramid over the golden mosaic: 2x2 parent
+        # block-mean downsample (compositor rounding law), one groupBy
+        # on the parent key. Pinned-fixture oracle (raster bytes are
+        # not SQL-expressible; same pattern as q30)
+        from aef_mosaic_spark.operators.mosaic import overview_chunks
+        chunks = spark.read.parquet(
+            f"{_FIXTURE_DIR}/golden_chunks_mean.parquet")
+        ov = overview_chunks(chunks, _flagship_grid())
+        return ov.select("time_idx", "row_idx", "col_idx", "n_children",
+                         F.md5(F.col("chunk_bytes")).alias("chunk_md5"))
+    q["q76_overview_chunks"] = q76_overview_chunks
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1255,6 +1268,7 @@ _MUST_VERIFY = [
     "q73_near_dup_clusters",
     "q74_image_phash_clusters",
     "q75_incremental_clusters",
+    "q76_overview_chunks",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -2049,7 +2063,8 @@ def oracle_sql() -> dict[str, str]:
     # semantics change, exactly like golden_chunks_*.parquet.
     for _qname in ("q30_mosaic_chunks", "q31_mosaic_last_on_top",
                    "q32_image_assignments", "q40_resize_images",
-                   "q41_audio_features", "q55_video_frames"):
+                   "q41_audio_features", "q55_video_frames",
+                   "q76_overview_chunks"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -537,6 +537,55 @@ def composite_chunks_salted(patches: DataFrame, grid: OutputGrid,
         _merge, schema=CHUNK_SCHEMA)
 
 
+def overview_chunks(chunks: DataFrame, grid: OutputGrid,
+                    chunk_col: str = "chunk_bytes") -> DataFrame:
+    """Level-1 overview pyramid: each (time_idx, row_idx//2,
+    col_idx//2) parent chunk is the 2x2 block mean (half-away rounding,
+    same law as the compositor's _finalize_mean) of its up-to-4
+    children at half resolution -> (time_idx, row_idx, col_idx,
+    chunk_bytes, n_children). Missing child quadrants stay 0
+    (the mosaic's NODATA background), so the overview of a sparse
+    mosaic is sparse in the same places.
+
+    Shuffle shape: ONE groupBy on the parent key moves each child
+    chunk exactly once; levels compose (apply again for level 2).
+    Zoom-out serving / thumbnail-scale training crops come from the
+    overview table instead of decoding 4x the bytes."""
+    import pandas as pd
+
+    chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((nb, 2 * chh, 2 * chw), np.uint8)
+        for t in pdf.itertuples(index=False):
+            arr = np.frombuffer(t.chunk_bytes, np.uint8).reshape(nb, chh, chw)
+            oy = (int(t.row_idx) % 2) * chh
+            ox = (int(t.col_idx) % 2) * chw
+            canvas[:, oy:oy + chh, ox:ox + chw] = arr
+        blocks = canvas.reshape(nb, chh, 2, chw, 2).astype(np.int64)
+        s = blocks.sum(axis=(2, 4))
+        down = _finalize_mean(s, np.full_like(s, 4)).astype(np.uint8)
+        return pd.DataFrame([{
+            "time_idx": int(pdf["time_idx"].iloc[0]),
+            "row_idx": int(pdf["row_idx"].iloc[0]) // 2,
+            "col_idx": int(pdf["col_idx"].iloc[0]) // 2,
+            "chunk_bytes": down.tobytes(),
+            "n_children": len(pdf),
+        }])
+
+    src = chunks.select("time_idx", "row_idx", "col_idx",
+                        F.col(chunk_col).alias("chunk_bytes"))
+    return src.groupBy(
+        "time_idx",
+        (F.col("row_idx") / 2).cast("int").alias("_pr"),
+        (F.col("col_idx") / 2).cast("int").alias("_pc"),
+    ).applyInPandas(
+        _merge,
+        schema="time_idx int, row_idx int, col_idx int, "
+               "chunk_bytes binary, n_children int",
+    )
+
+
 def tiles_to_patches(images: DataFrame, grid: OutputGrid,
                      row_range: tuple[int, int] | None = None,
                      approx_px: float | None = None,

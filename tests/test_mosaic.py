@@ -224,3 +224,43 @@ def test_skip_bad_tiles(spark, images_pdf, grid, tmp_path):
     want = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
             for r in Icelite(str(tmp_path / "ref")).read(spark).collect()}
     assert got == want
+
+
+def test_overview_chunks_matches_numpy(spark):
+    """Level-1 overview: parent bytes equal a direct numpy 2x2
+    block-mean (half-away rounding) of the assembled children, with
+    missing quadrants as zeros; applying the operator twice composes
+    (level-2 keys are level-1 keys halved)."""
+    import numpy as np
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators.mosaic import _finalize_mean, overview_chunks
+
+    grid = OutputGrid(bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+                      crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+                      num_bands=3, chunk_h=256, chunk_w=256)
+    chunks = spark.read.parquet("fixtures/golden_chunks_mean.parquet")
+    got = {(r.time_idx, r.row_idx, r.col_idx): (bytes(r.chunk_bytes),
+                                                r.n_children)
+           for r in overview_chunks(chunks, grid).collect()}
+    pdf = chunks.toPandas()
+    parents = {}
+    for t in pdf.itertuples(index=False):
+        parents.setdefault((t.time_idx, t.row_idx // 2, t.col_idx // 2),
+                           []).append(t)
+    assert set(got) == set(parents)
+    for key, members in parents.items():
+        canvas = np.zeros((3, 512, 512), np.uint8)
+        for m in members:
+            arr = np.frombuffer(m.chunk_bytes, np.uint8).reshape(3, 256, 256)
+            canvas[:, (m.row_idx % 2) * 256:(m.row_idx % 2) * 256 + 256,
+                   (m.col_idx % 2) * 256:(m.col_idx % 2) * 256 + 256] = arr
+        blocks = canvas.reshape(3, 256, 2, 256, 2).astype(np.int64)
+        s = blocks.sum(axis=(2, 4))
+        want = _finalize_mean(s, np.full_like(s, 4)).astype(np.uint8).tobytes()
+        assert got[key] == (want, len(members)), key
+    # composes: level 2 over level 1
+    lvl1 = overview_chunks(chunks, grid)
+    lvl2 = overview_chunks(lvl1, grid)
+    k2 = {(r.time_idx, r.row_idx, r.col_idx) for r in lvl2.collect()}
+    assert k2 == {(t, r // 2, c // 2) for (t, r, c) in got}
