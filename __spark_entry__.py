@@ -588,6 +588,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.md5(F.col("chunk_bytes")).alias("chunk_md5"))
     q["q76_overview_chunks"] = q76_overview_chunks
 
+    def q77_embedding_dup_clusters(spark, sf):
+        # embedding near-dup CLUSTERS: the bucketed LSH pair graph
+        # (q27, checked equal to all-pairs) -> connected components;
+        # oracle = recursive closure over the exact all-pairs graph on
+        # the same augmented table, so the driver checks the whole
+        # modality end-to-end (bucketing AND clustering)
+        aug = _embeddings_with_dups(spark, sf)
+        pairs = D.embedding_near_duplicates(aug, "vec_id", "embedding",
+                                            threshold=0.9, method="lsh")
+        nodes = aug.select(F.col("vec_id").alias("id")).distinct()
+        cc = D.connected_components(pairs.select("id_a", "id_b"), nodes)
+        return cc.select(F.col("id").alias("vec_id"), "cluster_id")
+    q["q77_embedding_dup_clusters"] = q77_embedding_dup_clusters
+
+    def q78_training_patches(spark, sf):
+        # training-crop extraction from the committed mosaic: 64x64
+        # patches at stride 64, empty (all-NODATA) crops dropped —
+        # zero-shuffle mapInPandas; pinned-fixture oracle
+        from aef_mosaic_spark.operators.mosaic import chunks_to_training_patches
+        chunks = spark.read.parquet(
+            f"{_FIXTURE_DIR}/golden_chunks_mean.parquet")
+        p = chunks_to_training_patches(chunks, _flagship_grid())
+        return p.select("time_idx", "row_idx", "col_idx", "py", "px",
+                        F.md5(F.col("patch_bytes")).alias("patch_md5"))
+    q["q78_training_patches"] = q78_training_patches
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1269,6 +1295,8 @@ _MUST_VERIFY = [
     "q74_image_phash_clusters",
     "q75_incremental_clusters",
     "q76_overview_chunks",
+    "q77_embedding_dup_clusters",
+    "q78_training_patches",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -1620,6 +1648,28 @@ def oracle_sql() -> dict[str, str]:
            round(list_cosine_similarity(a.v, b.v), 6) AS sim
     FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    """
+
+    o["q77_embedding_dup_clusters"] = """
+    WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                            FROM embeddings),
+    aug AS (SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(v, x -> x + 0.08e0 * x * x) FROM base),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+    n AS (SELECT DISTINCT vec_id AS id FROM aug),
+    reach(id, label) AS (
+        SELECT id, id FROM n
+      UNION
+        SELECT e.dst, r.label FROM e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS vec_id, min(label)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
     """
 
     o["q27b_embedding_near_dup_exact"] = """
@@ -2064,7 +2114,7 @@ def oracle_sql() -> dict[str, str]:
     for _qname in ("q30_mosaic_chunks", "q31_mosaic_last_on_top",
                    "q32_image_assignments", "q40_resize_images",
                    "q41_audio_features", "q55_video_frames",
-                   "q76_overview_chunks"):
+                   "q76_overview_chunks", "q78_training_patches"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -586,6 +586,51 @@ def overview_chunks(chunks: DataFrame, grid: OutputGrid,
     )
 
 
+def chunks_to_training_patches(chunks: DataFrame, grid: OutputGrid,
+                               patch: int = 64, stride: int = 64,
+                               drop_empty: bool = True,
+                               chunk_col: str = "chunk_bytes") -> DataFrame:
+    """Cut committed mosaic chunks into fixed-size training crops ->
+    (time_idx, row_idx, col_idx, py, px, patch_bytes) — the corpus
+    shape a vision training job consumes (pre-cropped, shuffle-ready,
+    one row per example). Pure mapInPandas slicing: one pass over the
+    chunk bytes, ZERO shuffle — cropping rides the scan, and the
+    downstream trainer's randomization is a repartition of thin rows.
+    drop_empty skips all-zero (NODATA background) crops so empty
+    mosaic area never becomes a training example."""
+    import pandas as pd
+
+    chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
+
+    def _cut(it):
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.chunk_bytes, np.uint8) \
+                    .reshape(nb, chh, chw)
+                for py in range(0, chh - patch + 1, stride):
+                    for px in range(0, chw - patch + 1, stride):
+                        win = arr[:, py:py + patch, px:px + patch]
+                        if drop_empty and not win.any():
+                            continue
+                        rows.append({
+                            "time_idx": int(t.time_idx),
+                            "row_idx": int(t.row_idx),
+                            "col_idx": int(t.col_idx),
+                            "py": py, "px": px,
+                            "patch_bytes": win.tobytes(),
+                        })
+            yield pd.DataFrame(
+                rows, columns=["time_idx", "row_idx", "col_idx",
+                               "py", "px", "patch_bytes"])
+
+    src = chunks.select("time_idx", "row_idx", "col_idx",
+                        F.col(chunk_col).alias("chunk_bytes"))
+    return src.mapInPandas(
+        _cut, schema="time_idx int, row_idx int, col_idx int, "
+                     "py int, px int, patch_bytes binary")
+
+
 def tiles_to_patches(images: DataFrame, grid: OutputGrid,
                      row_range: tuple[int, int] | None = None,
                      approx_px: float | None = None,

@@ -264,3 +264,35 @@ def test_overview_chunks_matches_numpy(spark):
     lvl2 = overview_chunks(lvl1, grid)
     k2 = {(r.time_idx, r.row_idx, r.col_idx) for r in lvl2.collect()}
     assert k2 == {(t, r // 2, c // 2) for (t, r, c) in got}
+
+
+def test_training_patches_match_numpy(spark):
+    """Training-crop extraction: every emitted patch equals direct
+    numpy slicing, empty (all-zero) crops are dropped, coverage of a
+    fully-valid chunk is the complete stride grid."""
+    import numpy as np
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators.mosaic import chunks_to_training_patches
+
+    grid = OutputGrid(bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+                      crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+                      num_bands=3, chunk_h=256, chunk_w=256)
+    chunks = spark.read.parquet("fixtures/golden_chunks_mean.parquet")
+    got = {(r.time_idx, r.row_idx, r.col_idx, r.py, r.px):
+           bytes(r.patch_bytes)
+           for r in chunks_to_training_patches(chunks, grid).collect()}
+    want = {}
+    for t in chunks.toPandas().itertuples(index=False):
+        arr = np.frombuffer(t.chunk_bytes, np.uint8).reshape(3, 256, 256)
+        for py in range(0, 193, 64):
+            for px in range(0, 193, 64):
+                win = arr[:, py:py + 64, px:px + 64]
+                if win.any():
+                    want[(t.time_idx, t.row_idx, t.col_idx, py, px)] = \
+                        win.tobytes()
+    assert got == want and got
+    # at least one chunk has an empty quadrant (sparse mosaic) so the
+    # drop actually fires
+    n_chunks = chunks.count()
+    assert len(got) < n_chunks * 16
