@@ -614,6 +614,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.md5(F.col("patch_bytes")).alias("patch_md5"))
     q["q78_training_patches"] = q78_training_patches
 
+    def q79_great_circle(spark, sf):
+        # great-circle distance + forward azimuth between consecutive
+        # synthetic points (the lon/lat refine after a cell-key
+        # candidate join): closed forms as Column exprs, exact SQL twin
+        from aef_mosaic_spark.functions.geo import (
+            haversine_km, initial_bearing_deg,
+        )
+        p = _points(spark, sf)
+        a = p.selectExpr("point_id", "lon AS lon1", "lat AS lat1",
+                         "((point_id * 31) % 3590) / 10e0 - 179.5e0 AS lon2",
+                         "((point_id * 37) % 1690) / 10e0 - 84.5e0 AS lat2")
+        d = haversine_km(F.col("lon1"), F.col("lat1"),
+                         F.col("lon2"), F.col("lat2"))
+        b = initial_bearing_deg(F.col("lon1"), F.col("lat1"),
+                                F.col("lon2"), F.col("lat2"))
+        # wrap AFTER quantization: an atan2 a few ulps below zero
+        # rounds to 360.000000 on one engine and 0.0 on the other —
+        # same angle, different hash (found at sf0.1, point 71725)
+        return a.select(
+            "point_id",
+            (F.floor(d * 1e6 + 0.5) / 1e6).alias("dist_km"),
+            F.pmod(F.floor(b * 1e6 + 0.5) / 1e6, F.lit(360.0))
+            .alias("bearing_deg"))
+    q["q79_great_circle"] = q79_great_circle
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1297,6 +1322,7 @@ _MUST_VERIFY = [
     "q76_overview_chunks",
     "q77_embedding_dup_clusters",
     "q78_training_patches",
+    "q79_great_circle",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -2026,6 +2052,22 @@ def oracle_sql() -> dict[str, str]:
     # q75's oracle IS q73's full-recompute closure: incremental must
     # equal full recompute exactly
     o["q75_incremental_clusters"] = o["q73_near_dup_clusters"]
+
+    from aef_mosaic_spark.functions.geo import (
+        haversine_km_sql, initial_bearing_deg_sql,
+    )
+    _hav = haversine_km_sql("lon1", "lat1", "lon2", "lat2")
+    _brg = initial_bearing_deg_sql("lon1", "lat1", "lon2", "lat2")
+    o["q79_great_circle"] = f"""
+    WITH p AS ({POINT_SQL}),
+    a AS (SELECT point_id, lon AS lon1, lat AS lat1,
+          ((point_id * 31) % 3590) / 10e0 - 179.5e0 AS lon2,
+          ((point_id * 37) % 1690) / 10e0 - 84.5e0 AS lat2 FROM p)
+    SELECT point_id,
+           floor({_hav} * 1e6 + 0.5e0) / 1e6 AS dist_km,
+           fmod(floor({_brg} * 1e6 + 0.5e0) / 1e6, 360e0) AS bearing_deg
+    FROM a
+    """
 
     o["q70_repetition_stats"] = T.repetition_stats_sql(
         "documents", "doc_id", "text")
