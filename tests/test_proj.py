@@ -104,3 +104,29 @@ def test_transform_grid_approx_small_window_falls_back_exact():
     ex, ey = proj.transform_points(TX.ravel(), TY.ravel(),
                                    "EPSG:32610", "EPSG:32611")
     assert np.array_equal(ax.ravel(), ex) and np.array_equal(ay.ravel(), ey)
+
+
+def test_great_circle_known_values(spark):
+    """Haversine + bearing vs published values: London (-0.1278,
+    51.5074) -> New York (-74.0060, 40.7128) ~ 5570 km, initial
+    bearing ~ 288 deg; identity point -> 0 km; bearing wraps to
+    [0, 360)."""
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.functions.geo import haversine_km, initial_bearing_deg
+
+    df = spark.createDataFrame(
+        [(-0.1278, 51.5074, -74.0060, 40.7128),
+         (10.0, 20.0, 10.0, 20.0),
+         (0.0, 0.0, 0.0, 1.0)],  # due north -> bearing 0
+        "lon1 double, lat1 double, lon2 double, lat2 double")
+    rows = df.select(
+        haversine_km(F.col("lon1"), F.col("lat1"),
+                     F.col("lon2"), F.col("lat2")).alias("d"),
+        initial_bearing_deg(F.col("lon1"), F.col("lat1"),
+                            F.col("lon2"), F.col("lat2")).alias("b"),
+    ).collect()
+    assert abs(rows[0].d - 5570.2) < 1.0
+    assert abs(rows[0].b - 288.3) < 0.5
+    assert rows[1].d == 0.0
+    assert rows[2].b == 0.0 and 0 <= rows[0].b < 360
