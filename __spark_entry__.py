@@ -639,6 +639,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("bearing_deg"))
     q["q79_great_circle"] = q79_great_circle
 
+    def q80_ann_cosine_pq(spark, sf):
+        # product-quantization ANN (Jegou 2011): unit-normalize ->
+        # md5-h32 seeds -> one Lloyd step per subspace (6dp-rounded
+        # means) -> encode (argmin of 9dp-quantized L2) -> distance
+        # against the reconstruction (== classic ADC lookup sum) ->
+        # top-k. The ENTIRE pipeline is mirrored in SQL, like q17b.
+        e = _pq(spark, sf, "embeddings")
+        qs = e.where("vec_id < 20").selectExpr("vec_id AS query_id",
+                                               "embedding")
+        items = e.selectExpr("vec_id AS item_id", "embedding")
+        return K.ann_cosine_pq(qs, items, k=5, dim=64, m=4, ksub=8)
+    q["q80_ann_cosine_pq"] = q80_ann_cosine_pq
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1323,6 +1336,7 @@ _MUST_VERIFY = [
     "q77_embedding_dup_clusters",
     "q78_training_patches",
     "q79_great_circle",
+    "q80_ann_cosine_pq",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -2147,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["q17_ann_cosine_lsh"] = _ann_lsh_sql()
     o["q17b_ann_cosine_ivf"] = _ann_ivf_sql()
+    o["q80_ann_cosine_pq"] = _ann_pq_sql()
 
     # pinned-fixture oracles for the deterministic, sf-independent
     # raster/multimodal queries (reference test style: real numbers
@@ -2161,6 +2176,75 @@ def oracle_sql() -> dict[str, str]:
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 
     return o
+
+
+def _ann_pq_sql(dim: int = 64, m: int = 4, ksub: int = 8,
+                k: int = 5) -> str:
+    """SQL twin of knn.ann_cosine_pq: unit normalization, the same
+    md5-h32 hash-ordered seeds, ONE Lloyd step per subspace with 6dp-
+    rounded means, encode by 9dp-quantized subspace L2 (ties -> lower
+    code), reconstruction distance quantized to 6dp, (dist, id) top-k.
+    Lists are CTE-materialized before every lambda pass (DuckDB
+    re-evaluates inlined list exprs per call)."""
+    dsub = dim // m
+    h = h32_sql("vec_id::VARCHAR")
+
+    def l2q(a, b):
+        return (f"floor(list_reduce(list_transform("
+                f"generate_series(1, {dsub}), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+                f"(x, y) -> x + y) * 1e9 + 0.5e0) / 1e9")
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nrm AS MATERIALIZED (SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x * x),
+                           (a, b) -> a + b)) AS n FROM e),
+    u AS MATERIALIZED (SELECT vec_id,
+          list_transform(v, x -> x / greatest(n, 1e-12)) AS v FROM nrm),
+    seeds AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, v
+              FROM u ORDER BY {h}, vec_id LIMIT {ksub}),
+    js AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    subs AS MATERIALIZED (SELECT vec_id, sub,
+          v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv FROM u, js),
+    sseeds AS MATERIALIZED (SELECT c, sub,
+          v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv FROM seeds, js),
+    a0 AS (SELECT vec_id, sub, c FROM (
+        SELECT s.vec_id, s.sub, ss.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {l2q('s.sv', 'ss.sv')}, ss.c) AS rk
+        FROM subs s JOIN sseeds ss ON s.sub = ss.sub) WHERE rk = 1),
+    dims AS (SELECT a0.sub, a0.c, d.dim, s.sv[d.dim] AS val
+             FROM a0 JOIN subs s ON a0.vec_id = s.vec_id
+              AND a0.sub = s.sub,
+             (SELECT unnest(generate_series(1, {dsub})) AS dim) d),
+    refined AS (SELECT sub, c, array_agg(round(mv, 6) ORDER BY dim) AS sv
+                FROM (SELECT sub, c, dim, avg(val) AS mv FROM dims
+                      GROUP BY 1, 2, 3) GROUP BY sub, c),
+    cb AS MATERIALIZED (SELECT ss.sub, ss.c, coalesce(r.sv, ss.sv) AS sv
+          FROM sseeds ss LEFT JOIN refined r
+            ON ss.sub = r.sub AND ss.c = r.c),
+    enc AS (SELECT vec_id, sub, c FROM (
+        SELECT s.vec_id, s.sub, cb.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {l2q('s.sv', 'cb.sv')}, cb.c) AS rk
+        FROM subs s JOIN cb ON s.sub = cb.sub) WHERE rk = 1),
+    recon AS MATERIALIZED (SELECT en.vec_id,
+          flatten(array_agg(cb.sv ORDER BY en.sub)) AS rv
+          FROM enc en JOIN cb ON en.sub = cb.sub AND en.c = cb.c
+          GROUP BY en.vec_id),
+    d AS (SELECT q.vec_id AS query_id, r.vec_id AS item_id,
+          floor(list_reduce(list_transform(generate_series(1, {dim}),
+                i -> (q.v[i] - r.rv[i]) * (q.v[i] - r.rv[i])),
+                (x, y) -> x + y) * 1e6 + 0.5e0) / 1e6 AS dist
+          FROM u q, recon r
+          WHERE q.vec_id < 20 AND q.vec_id <> r.vec_id)
+    SELECT query_id, item_id, rank FROM (
+      SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, item_id) AS rank
+      FROM d) WHERE rank <= {k}
+    """
 
 
 def _ann_lsh_sql() -> str:

@@ -247,3 +247,113 @@ def ann_cosine_lsh(queries: DataFrame, items: DataFrame, k: int, dim: int,
     return _topk(cand, q_id, [F.col("sim").desc(), F.col(i_id)], k).select(
         q_id, i_id, "sim", "rank"
     )
+
+
+# ---------------------------------------------------------------- PQ
+def _l2_to_lit(sub_col, centroid: list[float]):
+    """||sub - c||^2 against a LITERAL centroid, left-fold in index
+    order (both engines fold list_transform/zip_with the same way),
+    quantized to 9dp so a last-ulp divergence can't flip an argmin."""
+    sq = F.aggregate(
+        F.zip_with(sub_col, F.array(*[F.lit(float(x)) for x in centroid]),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda a, b: a + b)
+    return F.floor(sq * 1e9 + 0.5) / 1e9
+
+
+def unit_normalized(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Add `out` = unit-normalized copy of `vec` (two-step select: the
+    norm materializes as its own column first — no shared-subexpression
+    re-eval inside the transform lambda, no alias shadowing)."""
+    keep = df.columns
+    norm = F.sqrt(F.aggregate(F.col(vec).cast("array<double>"),
+                              F.lit(0.0), lambda a, x: a + x * x))
+    df = df.select(*keep, norm.alias("_n"))
+    unit = F.transform(F.col(vec).cast("array<double>"),
+                       lambda x: x / F.greatest("_n", F.lit(1e-12)))
+    return df.select(*keep, unit.alias(out))
+
+
+def pq_codebooks(items: DataFrame, vec: str, dim: int, m: int = 4,
+                 ksub: int = 8) -> list[list[list[float]]]:
+    """Product-quantization codebooks [m][ksub][dim/m] over UNIT
+    vectors: seeds = the ksub items with the smallest md5-h32(id)
+    (the q17b IVF rule — reproducible AND re-derivable in SQL), then
+    ONE Lloyd step per subspace with means rounded to 6dp (float avg
+    is summation-order-dependent across engines)."""
+    from aef_mosaic_spark.functions.hashes import h32_col
+
+    dsub = dim // m
+    id_col = items.columns[0]
+    seeds = (items.select(vec, h32_col(F.col(id_col).cast("string"))
+                          .alias("_h"), F.col(id_col).alias("_id"))
+             .orderBy("_h", "_id").limit(ksub).collect())
+    books = [[list(map(float, r[0][j * dsub:(j + 1) * dsub]))
+              for r in seeds] for j in range(m)]
+    for j in range(m):
+        sub = items.select(F.slice(F.col(vec), j * dsub + 1, dsub)
+                           .alias("sv"))
+        dists = F.array(*[_l2_to_lit(F.col("sv"), c) for c in books[j]])
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        agg = (sub.select("sv", code.alias("_c"))
+               .groupBy("_c")
+               .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}")
+                      for i in range(dsub)])
+               .collect())
+        for r in agg:
+            books[j][r["_c"]] = [round(float(r[f"d{i}"]), 6)
+                                 for i in range(dsub)]
+    return books
+
+
+def ann_cosine_pq(queries: DataFrame, items: DataFrame, k: int, dim: int,
+                  q_id: str = "query_id", i_id: str = "item_id",
+                  vec: str = "embedding", m: int = 4, ksub: int = 8,
+                  books: list | None = None) -> DataFrame:
+    """PQ ANN (Jégou et al. 2011, public): items compress to m codes
+    (log2(ksub) bits each); query-item distance is evaluated against
+    the RECONSTRUCTION (concatenated chosen centroids), which equals
+    the classic ADC table-lookup sum exactly — sum_j ||q_j - c_j||^2 =
+    ||q - concat(c_j)||^2 — just organized for a declarative plan.
+    Cosine via unit normalization (L2^2 = 2 - 2cos on unit vectors).
+    -> (query_id, item_id, rank), rank by (quantized distance, id).
+
+    Scale shape: the corpus stores m*log2(ksub) bits per vector
+    (dim*32 -> 12 bits at the defaults, ~170x smaller); the probe
+    evaluates top-k against compressed reconstructions and only the
+    winners would fetch raw vectors for an exact re-rank. The eval
+    here is the broadcast-probe baseline (like knn_cosine_exact);
+    per-partition LUT-ADC is the same math batched."""
+    dsub = dim // m
+    it = unit_normalized(items.select(F.col(i_id), F.col(vec)), vec, "_uv")
+    if books is None:
+        books = pq_codebooks(it.select(i_id, "_uv"), "_uv", dim, m, ksub)
+    # materialize subspace slices once, then the 8 distance exprs per
+    # sub reference the slice COLUMN (cheap re-eval, no O(dim) CSE)
+    it = it.select(i_id, *[F.slice("_uv", j * dsub + 1, dsub)
+                           .alias(f"_s{j}") for j in range(m)])
+    codes = []
+    for j in range(m):
+        dists = F.array(*[_l2_to_lit(F.col(f"_s{j}"), c) for c in books[j]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int").alias(f"_c{j}"))
+    it = it.select(i_id, *codes)
+    recon = F.concat(*[
+        F.element_at(
+            F.array(*[F.array(*[F.lit(float(x)) for x in cbc])
+                      for cbc in books[j]]),
+            F.col(f"_c{j}") + 1)
+        for j in range(m)])
+    it = it.select(i_id, recon.alias("_rv"))
+    qs = unit_normalized(queries.select(F.col(q_id), F.col(vec)),
+                         vec, "_qv").select(q_id, "_qv")
+    d2 = F.aggregate(F.zip_with("_qv", "_rv",
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda a, b: a + b)
+    pairs = (it.crossJoin(F.broadcast(qs))
+             .where(F.col(q_id) != F.col(i_id))
+             .select(q_id, i_id,
+                     (F.floor(d2 * 1e6 + 0.5) / 1e6).alias("_d")))
+    w = Window.partitionBy(q_id).orderBy(F.col("_d").asc(), F.col(i_id).asc())
+    return (pairs.select(q_id, i_id, F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k))

@@ -306,3 +306,32 @@ def test_zonal_stats_branches_agree_and_shuffle_branch_has_no_broadcast(spark):
     assert "ResolvedHint (strategy=broadcast)" in bc._jdf.queryExecution().analyzed().toString()
     # tiny auto input -> counts the window lists and picks broadcast
     assert "ResolvedHint (strategy=broadcast)" in auto._jdf.queryExecution().analyzed().toString()
+
+
+def test_ann_pq_recall_and_determinism(spark):
+    """PQ ANN: on clustered vectors the compressed-domain top-1 finds
+    the true NN for most queries, and repeated invocations are
+    bit-identical (seeded codebooks, quantized distances)."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(10, 16) * 3
+    vecs = np.vstack([c + rng.randn(20, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(200),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::40].rename(columns={"item_id": "query_id"})
+    exact = K.knn_cosine_exact(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1).collect()
+    pq = K.ann_cosine_pq(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1,
+        dim=16, m=4, ksub=8).collect()
+    exact_nn = {r.query_id: r.item_id for r in exact}
+    pq_nn = {r.query_id: r.item_id for r in pq}
+    # at 12-bit codes every cluster-mate reconstructs (near-)identically,
+    # so the compressed-domain top-1 is the right CLUSTER with the id
+    # tie-break inside it — assert cluster recall (the shortlist an
+    # exact re-rank would refine), not exact-id recall
+    hits = sum(pq_nn.get(kq) // 20 == v // 20 for kq, v in exact_nn.items())
+    assert hits == len(exact_nn)
+    pq2 = K.ann_cosine_pq(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1,
+        dim=16, m=4, ksub=8).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
