@@ -652,6 +652,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.ann_cosine_pq(qs, items, k=5, dim=64, m=4, ksub=8)
     q["q80_ann_cosine_pq"] = q80_ann_cosine_pq
 
+    def q81_ann_pq_rerank(spark, sf):
+        # the production PQ pattern: compressed-domain shortlist (20
+        # candidates) -> raw-vector exact-cosine re-rank to top-5; the
+        # oracle composes the full q80 pipeline as a subquery
+        e = _pq(spark, sf, "embeddings")
+        qs = e.where("vec_id < 20").selectExpr("vec_id AS query_id",
+                                               "embedding")
+        items = e.selectExpr("vec_id AS item_id", "embedding")
+        return K.ann_cosine_pq_rerank(qs, items, k=5, dim=64, m=4,
+                                      ksub=8, shortlist_mult=4)
+    q["q81_ann_pq_rerank"] = q81_ann_pq_rerank
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1337,6 +1349,7 @@ _MUST_VERIFY = [
     "q78_training_patches",
     "q79_great_circle",
     "q80_ann_cosine_pq",
+    "q81_ann_pq_rerank",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -2162,6 +2175,19 @@ def oracle_sql() -> dict[str, str]:
     o["q17_ann_cosine_lsh"] = _ann_lsh_sql()
     o["q17b_ann_cosine_ivf"] = _ann_ivf_sql()
     o["q80_ann_cosine_pq"] = _ann_pq_sql()
+    o["q81_ann_pq_rerank"] = f"""
+    WITH sl AS ({_ann_pq_sql(k=20)}),
+    ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT sl.query_id, sl.item_id,
+          round(list_cosine_similarity(q.v, i.v), 6) AS sim
+          FROM sl JOIN ev q ON sl.query_id = q.vec_id
+          JOIN ev i ON sl.item_id = i.vec_id)
+    SELECT query_id, item_id, rank FROM (
+      SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, item_id) AS rank
+      FROM s) WHERE rank <= 5
+    """
 
     # pinned-fixture oracles for the deterministic, sf-independent
     # raster/multimodal queries (reference test style: real numbers

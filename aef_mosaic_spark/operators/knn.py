@@ -357,3 +357,33 @@ def ann_cosine_pq(queries: DataFrame, items: DataFrame, k: int, dim: int,
     w = Window.partitionBy(q_id).orderBy(F.col("_d").asc(), F.col(i_id).asc())
     return (pairs.select(q_id, i_id, F.row_number().over(w).alias("rank"))
             .where(F.col("rank") <= k))
+
+
+def ann_cosine_pq_rerank(queries: DataFrame, items: DataFrame, k: int,
+                         dim: int, q_id: str = "query_id",
+                         i_id: str = "item_id", vec: str = "embedding",
+                         m: int = 4, ksub: int = 8,
+                         shortlist_mult: int = 4) -> DataFrame:
+    """The production PQ pattern: top-(k*shortlist_mult) in the
+    compressed domain (ann_cosine_pq — scans only codes), then fetch
+    RAW vectors for the shortlist only and exact-cosine re-rank to k.
+    Per query the raw-vector I/O is O(k*shortlist_mult), not O(corpus)
+    — at 10^12 items that is the entire point of the codes. Recall
+    caveat: the shortlist must COVER the compressed-domain tie set
+    (items whose reconstructions coincide rank by id); size
+    k*shortlist_mult at least to the expected duplicate-cluster size
+    or the true NN can be tie-broken out before the re-rank sees it."""
+    sl = ann_cosine_pq(queries, items, k * shortlist_mult, dim,
+                       q_id=q_id, i_id=i_id, vec=vec, m=m, ksub=ksub)
+    iv = items.select(F.col(i_id), F.col(vec).alias("_iv"))
+    qv = queries.select(F.col(q_id), F.col(vec).alias("_qv"))
+    pairs = (sl.select(q_id, i_id)
+             .join(iv, i_id)
+             .join(F.broadcast(qv), q_id)
+             .select(q_id, i_id,
+                     F.round(cosine_sim(F.col("_qv"), F.col("_iv")), 6)
+                     .alias("_sim")))
+    w = Window.partitionBy(q_id).orderBy(F.col("_sim").desc(),
+                                         F.col(i_id).asc())
+    return (pairs.select(q_id, i_id, F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k))

@@ -335,3 +335,26 @@ def test_ann_pq_recall_and_determinism(spark):
         spark.createDataFrame(qs), spark.createDataFrame(items), k=1,
         dim=16, m=4, ksub=8).collect()
     assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
+
+
+def test_ann_pq_rerank_beats_raw_pq(spark):
+    """Shortlist + exact re-rank must recover EXACT top-1 id recall
+    (the compressed-domain ties that cap raw PQ are broken by raw
+    vectors), at O(shortlist) raw-vector reads per query."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(10, 16) * 3
+    vecs = np.vstack([c + rng.randn(20, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(200),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::40].rename(columns={"item_id": "query_id"})
+    exact = K.knn_cosine_exact(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1).collect()
+    # shortlist must COVER the compressed-domain tie set (20
+    # cluster-mates reconstruct identically at 12-bit codes); with
+    # k*mult >= cluster size the re-rank recovers exact ids
+    rr = K.ann_cosine_pq_rerank(
+        spark.createDataFrame(qs), spark.createDataFrame(items), k=1,
+        dim=16, m=4, ksub=8, shortlist_mult=24).collect()
+    exact_nn = {r.query_id: r.item_id for r in exact}
+    rr_nn = {r.query_id: r.item_id for r in rr}
+    assert rr_nn == exact_nn
