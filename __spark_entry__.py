@@ -664,6 +664,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       ksub=8, shortlist_mult=4)
     q["q81_ann_pq_rerank"] = q81_ann_pq_rerank
 
+    def q82_multimodal_dup_clusters(spark, sf):
+        # joint image+caption dedup policy: a TRUE duplicate is a
+        # near-identical image (banded phash Hamming <= 6) WHOSE
+        # normalized caption fingerprint also matches — visually-equal
+        # images with different captions are distinct training
+        # examples and must NOT merge. Pair predicate -> connected
+        # components, keep-one per joint cluster.
+        imgs = spark.read.parquet(f"{_FIXTURE_DIR}/images_meta_600.parquet")
+        # the fixture's generator captions never collide (every tile
+        # index words its own caption), which would make the joint
+        # predicate vacuously prune ALL pairs — derive a deterministic
+        # caption with real collisions (37 scene groups) so the gate
+        # value-checks merges, not just the empty graph
+        cap = F.concat(F.lit("Scene "), F.pmod("phash", F.lit(37)))
+        ids = imgs.select("image_id", "phash",
+                          T.fingerprint_col(cap).alias("_fp"))
+        pairs = D.hamming_near_duplicates(ids, "image_id", "phash",
+                                          max_hamming=6, n_bands=4)
+        fa = ids.select(F.col("image_id").alias("id_a"),
+                        F.col("_fp").alias("_fpa"))
+        fb = ids.select(F.col("image_id").alias("id_b"),
+                        F.col("_fp").alias("_fpb"))
+        joint = (pairs.join(fa, "id_a").join(fb, "id_b")
+                 .where(F.col("_fpa") == F.col("_fpb"))
+                 .select("id_a", "id_b"))
+        nodes = ids.select(F.col("image_id").alias("id"))
+        cc = D.connected_components(joint, nodes)
+        return cc.select(F.col("id").alias("image_id"), "cluster_id",
+                         (F.col("id") == F.col("cluster_id"))
+                         .cast("int").alias("keep"))
+    q["q82_multimodal_dup_clusters"] = q82_multimodal_dup_clusters
+
     def q27_embedding_near_dup(spark, sf):
         # BUCKETED near-dup (sign-LSH banding + exact-cosine verify)
         # over a table with true near-duplicates: each vector gets a
@@ -1350,6 +1382,7 @@ _MUST_VERIFY = [
     "q79_great_circle",
     "q80_ann_cosine_pq",
     "q81_ann_pq_rerank",
+    "q82_multimodal_dup_clusters",
     "q39_hilbert_order",
     "q48_dense_rank_topk",
     "q49_percentiles",
@@ -2094,6 +2127,45 @@ def oracle_sql() -> dict[str, str]:
            floor({_hav} * 1e6 + 0.5e0) / 1e6 AS dist_km,
            fmod(floor({_brg} * 1e6 + 0.5e0) / 1e6, 360e0) AS bearing_deg
     FROM a
+    """
+
+    from aef_mosaic_spark.functions.text import fingerprint_sql as _fpsql
+    _capfp = _fpsql(
+        "('Scene ' || (((phash % 37) + 37) % 37)::VARCHAR)")
+    o["q82_multimodal_dup_clusters"] = f"""
+    WITH RECURSIVE imgs AS (
+        SELECT image_id, phash,
+               {_capfp} AS fp,
+               phash::HUGEINT + CASE WHEN phash < 0
+                 THEN 18446744073709551616::HUGEINT
+                 ELSE 0::HUGEINT END AS u
+        FROM read_parquet('{_FIXTURE_DIR}/images_meta_600.parquet')),
+    banded AS (
+        SELECT image_id, phash, fp, 0 AS band_idx,
+               ((u // 1) % 65536)::BIGINT AS band_val FROM imgs
+        UNION ALL SELECT image_id, phash, fp, 1,
+               ((u // 65536) % 65536)::BIGINT FROM imgs
+        UNION ALL SELECT image_id, phash, fp, 2,
+               ((u // 4294967296) % 65536)::BIGINT FROM imgs
+        UNION ALL SELECT image_id, phash, fp, 3,
+               ((u // 281474976710656) % 65536)::BIGINT FROM imgs),
+    p AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            AND a.fp = b.fp),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+    n AS (SELECT DISTINCT image_id AS id FROM imgs),
+    reach(id, label) AS (
+        SELECT id, id FROM n
+      UNION
+        SELECT e.dst, r.label FROM e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS image_id, min(label) AS cluster_id,
+           (id = min(label))::INT AS keep
+    FROM reach GROUP BY id
     """
 
     o["q70_repetition_stats"] = T.repetition_stats_sql(
