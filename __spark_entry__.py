@@ -1352,7 +1352,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.mapInPandas(_h, schema="row_idx long, col_idx long, hilbert long")
     q["q39_hilbert_order"] = q39_hilbert_order
 
+    def q83_dup_spans(spark, sf):
+        # substring-level dedup (Lee et al. 2022): per-doc duplicated
+        # 8-gram region stats; corpus DF = one groupBy on the md5-h32
+        # gram hash, membership = equi-join back on the same key
+        from aef_mosaic_spark.operators.spans import duplicated_span_stats
+        d = _pq(spark, sf, "documents")
+        return duplicated_span_stats(d, "doc_id", "text", n=8)
+    q["q83_dup_spans"] = q83_dup_spans
+
+    def q84_semdedup(spark, sf):
+        # SemDeDup (Abbas et al. 2023) on the dup-augmented embedding
+        # table: deterministic IVF clusters (q17b recipe) -> pairwise
+        # domination within clusters -> prune all but the member
+        # farthest from the centroid. Planted twins at cos ~0.9997
+        # make the prune path value-checkable at every SF.
+        aug = _embeddings_with_dups(spark, sf)
+        return D.semdedup(aug, "vec_id", "embedding", tau=0.95)
+    q["q84_semdedup"] = q84_semdedup
+
+    def q85_quality_classifier(spark, sf):
+        # fixed-weight logistic quality model (CCNet-shape, Wenzek
+        # et al. 2020): features quantized at 6dp pre-dot-product so
+        # both engines feed exp() identical inputs
+        d = _pq(spark, sf, "documents")
+        score = T.quality_classifier_col(F.col("text"))
+        return d.select("doc_id", score.alias("q_score"),
+                        (score >= 0.5).alias("keep"))
+    q["q85_quality_classifier"] = q85_quality_classifier
+
+    def q86_token_budget_mixture(spark, sf):
+        # DoReMi/Pile-style domain mixture to per-domain token
+        # budgets, deterministic h32 fill order (greedy, overshoot
+        # <= 1 doc per domain)
+        from aef_mosaic_spark.operators.sampling import token_budget_mixture
+        d = _pq(spark, sf, "documents")
+        return token_budget_mixture(d, "doc_id", "source", "text",
+                                    _MIX_BUDGETS, default_budget=400)
+    q["q86_token_budget_mixture"] = q86_token_budget_mixture
+
+    def q87_bucketed_batches(spark, sf):
+        # SDXL-style resolution-bucketed batch packing: every batch
+        # stacks without resize; ragged tails marked full=false
+        from aef_mosaic_spark.operators.sampling import bucketed_batches
+        imgs = spark.read.parquet(f"{_FIXTURE_DIR}/images_meta_600.parquet")
+        return bucketed_batches(imgs, "image_id", "w", "h", 32)
+    q["q87_bucketed_batches"] = q87_bucketed_batches
+
     return _driver_order(q)
+
+
+_MIX_BUDGETS = {"src0": 3000, "src1": 3000, "src2": 800}
 
 
 # The driver's correctness gate records only the FIRST 50 dict entries
@@ -1367,6 +1417,11 @@ _DRIVER_SLOTS = 50
 # Round 3: new queries + the 20 that had no driver row in r01/r02
 # (q39, q48-q66 — incl. the Karney/CEA projection value-proofs).
 _MUST_VERIFY = [
+    "q83_dup_spans",
+    "q84_semdedup",
+    "q85_quality_classifier",
+    "q86_token_budget_mixture",
+    "q87_bucketed_batches",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2272,6 +2327,31 @@ def oracle_sql() -> dict[str, str]:
                    "q76_overview_chunks", "q78_training_patches"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
+
+    from aef_mosaic_spark.functions.text import quality_classifier_sql
+    from aef_mosaic_spark.operators.sampling import (bucketed_batches_sql,
+                                                     token_budget_mixture_sql)
+    from aef_mosaic_spark.operators.spans import duplicated_span_stats_sql
+
+    o["q83_dup_spans"] = duplicated_span_stats_sql(
+        "documents", "doc_id", "text", n=8)
+    o["q84_semdedup"] = D.semdedup_sql(tau=0.95, source="""
+      SELECT vec_id, v FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding::DOUBLE[], x -> x + 0.08e0 * x * x)
+        FROM embeddings)""")
+    _qc = quality_classifier_sql("text")
+    o["q85_quality_classifier"] = (
+        f"SELECT doc_id, {_qc} AS q_score, ({_qc}) >= 0.5e0 AS keep "
+        f"FROM documents")
+    o["q86_token_budget_mixture"] = token_budget_mixture_sql(
+        "documents", "doc_id", "source", "text", _MIX_BUDGETS,
+        default_budget=400)
+    o["q87_bucketed_batches"] = bucketed_batches_sql(
+        f"read_parquet('{_FIXTURE_DIR}/images_meta_600.parquet')",
+        "image_id", "w", "h", 32)
 
     return o
 

@@ -280,3 +280,63 @@ def winnow_mins_sql(grams_col: str, w: int = 4) -> str:
         f"generate_series(1, greatest(len({grams_col}) - {w - 1}, 1)), "
         f"j -> list_min({grams_col}[j : j + {w - 1}])))"
     )
+
+
+# ---------------------------------------------------------------------
+# model-based quality scoring (fixed-weight logistic classifier)
+# ---------------------------------------------------------------------
+# The model-based complement of the rule-based quality_score_col: a
+# linear classifier over document statistics with FIXED public weights
+# (the CCNet / fastText-quality-filter shape, Wenzek et al. 2020 —
+# weights here are deterministic literals, not a trained artifact, so
+# the identical model is embeddable in the Spark plan and the oracle
+# SQL). All features are quantized with the cross-engine floor-recipe
+# (floor(x*1e6+0.5)/1e6) BEFORE the dot product so both engines feed
+# exp() bit-identical inputs.
+
+QC_WEIGHTS = {
+    "bias": -3.4,
+    "log_tokens": 0.72,     # longer docs score higher (saturating)
+    "stopword_ratio": 9.5,  # natural-language marker
+    "punct_ratio": -6.0,    # symbol soup scores lower
+    "distinct_ratio": 1.8,  # type-token ratio: repetition scores lower
+}
+
+
+def _q6_col(c: Column) -> Column:
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+
+def _q6_sql(e: str) -> str:
+    return f"(floor(({e}) * 1000000 + 0.5e0) / 1000000)"
+
+
+def quality_classifier_col(text: Column) -> Column:
+    """Logistic quality score in (0,1): sigmoid(w . features)."""
+    ts = tokens_col(text)
+    n_tok = F.greatest(F.size(ts), F.lit(1))
+    x_log = _q6_col(F.log(F.lit(1.0) + n_tok))
+    x_stop = _q6_col(stopword_ratio_col(text))
+    x_punct = _q6_col(punct_ratio_col(text))
+    x_dist = _q6_col(F.size(F.array_distinct(ts)) / n_tok)
+    w = QC_WEIGHTS
+    z = (F.lit(w["bias"]) + F.lit(w["log_tokens"]) * x_log
+         + F.lit(w["stopword_ratio"]) * x_stop
+         + F.lit(w["punct_ratio"]) * x_punct
+         + F.lit(w["distinct_ratio"]) * x_dist)
+    return _q6_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def quality_classifier_sql(t: str) -> str:
+    ts = f"string_split_regex(lower(trim({t})), '\\s+')"
+    n_tok = f"greatest(len({ts}), 1)"
+    x_log = _q6_sql(f"ln(1e0 + {n_tok})")
+    x_stop = _q6_sql(stopword_ratio_sql(t))
+    x_punct = _q6_sql(punct_ratio_sql(t))
+    x_dist = _q6_sql(f"len(list_distinct({ts}))::DOUBLE / {n_tok}")
+    w = QC_WEIGHTS
+    z = (f"({w['bias']!r}e0 + {w['log_tokens']!r}e0 * {x_log}"
+         f" + {w['stopword_ratio']!r}e0 * {x_stop}"
+         f" + {w['punct_ratio']!r}e0 * {x_punct}"
+         f" + {w['distinct_ratio']!r}e0 * {x_dist})")
+    return _q6_sql(f"1e0 / (1e0 + exp(-{z}))")

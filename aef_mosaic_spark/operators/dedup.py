@@ -600,3 +600,114 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def semdedup(items: DataFrame, id_col: str, vec_col: str,
+             tau: float = 0.95, n_lists: int = 16, dim: int = 64,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by
+    cluster-then-prune. Embeddings are k-means-clustered (the same
+    deterministic md5-seeded codebook as knn.ivf_centroids, so the
+    DuckDB oracle reproduces the clusters); within each cluster, items
+    in a near-duplicate relation (cosine >= tau) are pruned down to
+    the member FARTHEST from the centroid (the paper's keep rule —
+    edge examples carry more training signal than cluster cores).
+
+    -> (id, list, cent_sim, pruned). pruned(x) = exists y in the same
+    cluster with cos(x, y) >= tau and (cent_sim(y) < cent_sim(x) or
+    equal with y.id < x.id) — a pure pairwise rule, no iterative
+    components needed.
+
+    Scale shape (10^12 vectors): assignment is one vectorized matmul
+    per Arrow batch; the pairwise step is an equi-join ON the cluster
+    id, so work is sum(|cluster|^2) not n^2 — the paper runs exactly
+    this regime at web scale with n_lists ~ sqrt(n). Skewed clusters
+    are the documented risk; cap cluster radius via n_lists or salt
+    the join as in spatial_join.
+    """
+    from aef_mosaic_spark.operators.knn import (_assign_lists, cosine_sim,
+                                                ivf_centroids)
+
+    if centroids is None:
+        centroids = ivf_centroids(items.select(id_col, vec_col), vec_col,
+                                  n_lists, dim)
+    spark = items.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="list int, _cv array<double>",
+    )
+    a = _assign_lists(items.select(F.col(id_col), F.col(vec_col).alias("_v")),
+                      "_v", centroids, "_l", 1)
+    a = (
+        a.select(id_col, "_v", F.element_at("_l", 1).alias("list"))
+        .join(F.broadcast(cents), "list")
+        .withColumn("cent_sim", F.round(cosine_sim(F.col("_v"), F.col("_cv")), 6))
+        .select(id_col, "_v", "list", "cent_sim")
+    )
+    other = a.select(
+        F.col(id_col).alias("_oid"), F.col("_v").alias("_ov"),
+        F.col("list"), F.col("cent_sim").alias("_ocs"),
+    )
+    dominated = (
+        a.join(other, "list")
+        .where(F.col("_oid") != F.col(id_col))
+        .withColumn("_sim", F.round(cosine_sim(F.col("_v"), F.col("_ov")), 6))
+        .where(
+            (F.col("_sim") >= tau)
+            & ((F.col("_ocs") < F.col("cent_sim"))
+               | ((F.col("_ocs") == F.col("cent_sim"))
+                  & (F.col("_oid") < F.col(id_col))))
+        )
+        .select(F.col(id_col)).distinct().withColumn("_p", F.lit(1))
+    )
+    return (
+        a.join(dominated, id_col, "left")
+        .select(id_col, "list", "cent_sim",
+                F.col("_p").isNotNull().alias("pruned"))
+    )
+
+
+def semdedup_sql(tau: float = 0.95, n_lists: int = 16, dim: int = 64,
+                 id_col: str = "vec_id", source: str | None = None) -> str:
+    """DuckDB twin of semdedup: same md5-h32-ordered seeds, ONE Lloyd
+    step with 6dp-rounded centroids (the q17b determinism recipe),
+    rank-1 assignment, pairwise domination within clusters. `source`
+    is a SELECT yielding ({id_col}, v DOUBLE[]); defaults to the
+    embeddings table."""
+    from aef_mosaic_spark.functions.hashes import h32_sql
+
+    if source is None:
+        source = f"SELECT {id_col}, embedding::DOUBLE[] AS v FROM embeddings"
+    h = h32_sql(f"{id_col}::VARCHAR")
+    return f"""
+    WITH e AS ({source}),
+    seeds AS (SELECT row_number() OVER (ORDER BY {h}, {id_col}) - 1 AS list, v
+              FROM e ORDER BY {h}, {id_col} LIMIT {n_lists}),
+    a0 AS (SELECT {id_col}, v, list FROM (
+        SELECT e.{id_col}, e.v, s.list,
+               row_number() OVER (PARTITION BY e.{id_col}
+                 ORDER BY list_cosine_similarity(e.v, s.v) DESC, s.list) AS rk
+        FROM e, seeds s) WHERE rk = 1),
+    dims AS (SELECT a0.list, d.dim, a0.v[d.dim] AS val
+             FROM a0, (SELECT unnest(generate_series(1, {dim})) AS dim) d),
+    refined AS (SELECT list, array_agg(round(m, 6) ORDER BY dim) AS v
+                FROM (SELECT list, dim, avg(val) AS m FROM dims
+                      GROUP BY 1, 2) GROUP BY list),
+    cents AS (SELECT s.list, coalesce(r.v, s.v) AS v
+              FROM seeds s LEFT JOIN refined r USING (list)),
+    ia AS (SELECT {id_col}, v, list, cent_sim FROM (
+        SELECT e.{id_col}, e.v, c.list,
+               round(list_cosine_similarity(e.v, c.v), 6) AS cent_sim,
+               row_number() OVER (PARTITION BY e.{id_col}
+                 ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list) AS rk
+        FROM e, cents c) WHERE rk = 1),
+    dom AS (SELECT DISTINCT a.{id_col}
+            FROM ia a JOIN ia b USING (list)
+            WHERE b.{id_col} <> a.{id_col}
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= {tau!r}
+              AND (b.cent_sim < a.cent_sim
+                   OR (b.cent_sim = a.cent_sim AND b.{id_col} < a.{id_col})))
+    SELECT ia.{id_col}, ia.list, ia.cent_sim,
+           (dom.{id_col} IS NOT NULL) AS pruned
+    FROM ia LEFT JOIN dom USING ({id_col})
+    """

@@ -64,3 +64,134 @@ def stratified_sample_sql(table: str, id_col: str, strata_col: str,
     FROM {table}
     WHERE ({h} % {BUCKETS}) < {rate} * {BUCKETS}
     """
+
+
+def token_budget_mixture(df: DataFrame, id_col: str, domain_col: str,
+                         text_col: str, budgets: dict[str, int],
+                         default_budget: int = 0,
+                         salt: str = "mix-v1") -> DataFrame:
+    """Domain-mixture corpus assembly to a per-domain TOKEN budget
+    (the DoReMi / Pile-style mixture knob, public): docs in each
+    domain are taken in deterministic h32 order until the domain's
+    token budget is filled. Greedy fill: a doc is kept iff the tokens
+    BEFORE it are still under budget, so each domain may overshoot by
+    at most one document (the standard rule — no doc is split).
+
+    -> kept rows (id, domain, n_tok, cum_tokens), where cum_tokens is
+    the running total INCLUDING the row.
+
+    Scale shape: one window per domain partition — the shuffle key is
+    the domain, so heavy domains are the skew risk; at 10^12 docs the
+    same greedy rule runs hierarchically (sub-bucket by h32 prefix,
+    fill sub-budgets) without changing the kept set's distribution.
+    """
+    from aef_mosaic_spark.functions.text import token_count_col
+    from pyspark.sql import Window
+
+    budget = F.lit(int(default_budget))
+    for k, v in sorted(budgets.items()):
+        budget = F.when(F.col(domain_col) == k, F.lit(int(v))).otherwise(budget)
+    w = (Window.partitionBy(domain_col)
+         .orderBy(sample_bucket_col(id_col, salt), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df.select(
+        F.col(id_col), F.col(domain_col),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tok"),
+        budget.alias("_budget"),
+    ).withColumn("cum_tokens", F.sum("n_tok").over(w))
+    return (out.where(F.col("cum_tokens") - F.col("n_tok") < F.col("_budget"))
+            .select(id_col, domain_col, "n_tok", "cum_tokens"))
+
+
+def token_budget_mixture_sql(table: str, id_col: str, domain_col: str,
+                             text_col: str, budgets: dict[str, int],
+                             default_budget: int = 0,
+                             salt: str = "mix-v1") -> str:
+    """DuckDB twin: identical h32 ordering and greedy-fill window."""
+    from aef_mosaic_spark.functions.text import token_count_sql
+
+    cases = " ".join(f"WHEN {domain_col} = '{k}' THEN {int(v)}"
+                     for k, v in sorted(budgets.items()))
+    budget = f"(CASE {cases} ELSE {int(default_budget)} END)"
+    h = h32_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, {domain_col},
+             {token_count_sql(text_col)}::BIGINT AS n_tok,
+             {budget} AS _budget,
+             sum({token_count_sql(text_col)}::BIGINT) OVER (
+               PARTITION BY {domain_col}
+               ORDER BY ({h} % {BUCKETS}), {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM {table}
+    )
+    SELECT {id_col}, {domain_col}, n_tok, cum_tokens
+    FROM t WHERE cum_tokens - n_tok < _budget
+    """
+
+
+def bucketed_batches(df: DataFrame, id_col: str, w_col: str, h_col: str,
+                     batch_size: int = 32,
+                     salt: str = "batch-v1") -> DataFrame:
+    """Resolution-bucketed batch assignment for image training (the
+    SDXL aspect-/resolution-bucketing recipe, public): images are
+    grouped by exact (w, h) bucket so every training batch stacks
+    without resizing, shuffled WITHIN the bucket by the deterministic
+    h32 key, and packed into fixed-size batches. `full` marks batches
+    with exactly batch_size members (drop_last semantics: the ragged
+    tail batch per bucket has full = false).
+
+    -> (id, bucket, batch_idx, slot, full). Deterministic at any
+    parallelism: ordering is (h32, id), never partition order.
+
+    Scale shape: one window per (w, h) bucket — tens of buckets at
+    10^12 images means heavy partitions; production shards the window
+    by a h32 prefix (sub-bucket) and offsets batch_idx by shard, which
+    preserves batch membership exactly.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.concat_ws("x", F.col(w_col).cast("string"),
+                         F.col(h_col).cast("string"))
+    w = Window.partitionBy("bucket").orderBy(
+        sample_bucket_col(id_col, salt), F.col(id_col))
+    out = df.select(F.col(id_col), bucket.alias("bucket")).withColumn(
+        "_slot0", F.row_number().over(w) - 1)
+    n = Window.partitionBy("bucket")
+    return (
+        out.withColumn("batch_idx",
+                       (F.col("_slot0") / batch_size).cast("int"))
+        .withColumn("slot", (F.col("_slot0") % batch_size).cast("int"))
+        .withColumn(
+            "full",
+            (F.col("batch_idx") + 1) * batch_size
+            <= F.max(F.col("_slot0") + 1).over(n),
+        )
+        .select(id_col, "bucket", "batch_idx", "slot", "full")
+    )
+
+
+def bucketed_batches_sql(table: str, id_col: str, w_col: str, h_col: str,
+                         batch_size: int = 32,
+                         salt: str = "batch-v1") -> str:
+    """DuckDB twin: identical h32 in-bucket order and packing."""
+    h = h32_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    return f"""
+    WITH b AS (
+      SELECT {id_col},
+             ({w_col}::VARCHAR || 'x' || {h_col}::VARCHAR) AS bucket,
+             row_number() OVER (
+               PARTITION BY ({w_col}::VARCHAR || 'x' || {h_col}::VARCHAR)
+               ORDER BY ({h} % {BUCKETS}), {id_col}) - 1 AS _slot0,
+             count(*) OVER (
+               PARTITION BY ({w_col}::VARCHAR || 'x' || {h_col}::VARCHAR)
+             ) AS _n
+      FROM {table}
+    )
+    SELECT {id_col}, bucket,
+           (_slot0 // {batch_size})::INT AS batch_idx,
+           (_slot0 % {batch_size})::INT AS slot,
+           ((_slot0 // {batch_size}) + 1) * {batch_size} <= _n AS full
+    FROM b
+    """

@@ -1,0 +1,136 @@
+"""Corpus-assembly operators: duplicated-span stats, SemDeDup,
+model-based quality scoring, token-budget mixture, bucketed batches.
+
+Each test checks SEMANTICS against a small hand-computable or pure-
+Python oracle (the DuckDB twins are exercised by the driver gate /
+scripts/check_correctness.py; here we pin the behavior itself)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.functions.text import quality_classifier_col
+from aef_mosaic_spark.operators.dedup import semdedup
+from aef_mosaic_spark.operators.sampling import (bucketed_batches,
+                                                 token_budget_mixture)
+from aef_mosaic_spark.operators.spans import duplicated_span_stats
+
+
+def test_duplicated_spans_finds_shared_region(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h " + shared),          # 8 unique + shared
+            (2, "p q r s t u v w " + shared),          # different prefix
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),     # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in duplicated_span_stats(docs, "doc_id", "text", n=4).collect()}
+    # doc 1: 18 tokens -> 15 4-grams; shared 4-grams start at pos 8
+    assert out[1]["n_grams"] == 15
+    assert out[1]["n_dup"] == 7  # grams fully inside the shared suffix
+    assert out[1]["first_dup_pos"] == 8
+    assert out[3]["n_dup"] == 0 and out[3]["first_dup_pos"] == -1
+
+
+def test_duplicated_spans_short_docs_absent(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    got = duplicated_span_stats(docs, "doc_id", "text", n=4).collect()
+    assert {r["doc_id"] for r in got} == {2}  # doc 1 has < n tokens
+
+
+def test_semdedup_prunes_to_farthest_from_centroid(spark):
+    # one tight cluster of 3 near-identical vectors + 2 far singles;
+    # with 2 lists the cluster keeps exactly ONE member
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.999, 0.0, 0.01, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.9, 0.3, 0.0]),  # cos to vec 4 = 0.9487 < tau
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semdedup(df, "vec_id", "embedding", tau=0.99, n_lists=2,
+                    dim=4).collect()}
+    assert len(out) == 5
+    c1 = [i for i in (1, 2, 3) if not out[i]["pruned"]]
+    assert len(c1) == 1  # tight cluster pruned to one survivor
+    # survivor is the member with the LOWEST centroid similarity
+    keep = c1[0]
+    for i in (1, 2, 3):
+        if i != keep:
+            assert out[i]["cent_sim"] >= out[keep]["cent_sim"]
+    # the 4/5 pair is below tau=0.99 -> both kept
+    assert not out[4]["pruned"] and not out[5]["pruned"]
+
+
+def test_quality_classifier_monotone_signals(spark):
+    natural = "the quick brown fox jumps over the lazy dog and runs far " * 3
+    symbols = "@@ ## $$ %% ^^ && ** (( )) !! ?? ;; :: [[ ]] {{ }} || ~~ ``"
+    df = spark.createDataFrame(
+        [(1, natural), (2, symbols)], "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", quality_classifier_col(F.col("text")).alias("s")).collect()}
+    assert 0.0 < got[2] < got[1] < 1.0
+    assert got[1] >= 0.5 and got[2] < 0.5
+
+
+def test_token_budget_mixture_greedy_fill(spark):
+    # domain A: 3 docs x 4 tokens, budget 6 -> greedy keeps docs while
+    # tokens-before < 6: positions 0 (0<6) and 1 (4<6), not 2 (8>=6)
+    docs = spark.createDataFrame(
+        [(i, "A", "w x y z") for i in range(3)]
+        + [(10 + i, "B", "w x y z") for i in range(3)],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_mixture(docs, "doc_id", "source", "text",
+                               {"A": 6, "B": 100})
+    per = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {"A": 2, "B": 3}
+    # overshoot bound: cum_tokens - budget < max doc length
+    a_rows = out.where("source = 'A'").collect()
+    assert max(r["cum_tokens"] for r in a_rows) == 8  # 6 + overshoot 2 < 6+4
+
+
+def test_token_budget_mixture_deterministic_selection(spark):
+    docs = spark.createDataFrame(
+        [(i, "A", " ".join(["t"] * (3 + i % 5))) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    kept1 = sorted(r["doc_id"] for r in token_budget_mixture(
+        docs, "doc_id", "source", "text", {"A": 50}).collect())
+    kept2 = sorted(r["doc_id"] for r in token_budget_mixture(
+        docs.repartition(7), "doc_id", "source", "text", {"A": 50}).collect())
+    assert kept1 == kept2  # parallelism-independent
+
+
+@pytest.mark.parametrize("batch_size", [4, 7])
+def test_bucketed_batches_pack_and_drop_last(spark, batch_size):
+    rows = [(f"i{i:03d}", 64, 64) for i in range(10)] \
+        + [(f"j{i:03d}", 64, 128) for i in range(batch_size)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    out = bucketed_batches(df, "image_id", "w", "h", batch_size).collect()
+    by_bucket: dict[str, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # every full batch has exactly batch_size members, slots 0..bs-1
+    for rs in by_bucket.values():
+        full = [r for r in rs if r["full"]]
+        batches: dict[int, list] = {}
+        for r in full:
+            batches.setdefault(r["batch_idx"], []).append(r["slot"])
+        for slots in batches.values():
+            assert sorted(slots) == list(range(batch_size))
+    # 64x128 bucket: exactly batch_size rows -> all full
+    assert all(r["full"] for r in by_bucket["64x128"])
+    # 64x64 bucket: 10 rows -> 10 // bs full-batch rows
+    n_full = sum(1 for r in by_bucket["64x64"] if r["full"])
+    assert n_full == (10 // batch_size) * batch_size
