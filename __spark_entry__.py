@@ -1391,6 +1391,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     _MIX_BUDGETS, default_budget=400)
     q["q86_token_budget_mixture"] = q86_token_budget_mixture
 
+    def q88_pii_redaction(spark, sf):
+        # corpus scrubbing: detect + mask emails / phones / IPv4 with
+        # RE2-safe patterns (byte-identical redaction in both
+        # engines). The test corpus has no organic PII, so plant it
+        # deterministically from doc_id — the oracle plants the SAME
+        # strings, so counts AND redacted text are value-checked.
+        d = _pq(spark, sf, "documents")
+        did = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" reach user"), did.cast("string"),
+                            F.lit("@example.com ok"))).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" dial 415-555-"),
+                            F.lpad((did % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                            F.lit(".7"))).otherwise(F.lit("")),
+        )
+        return d.select(
+            "doc_id",
+            T.pii_count_col(aug, "email").alias("n_email"),
+            T.pii_count_col(aug, "phone").alias("n_phone"),
+            T.pii_count_col(aug, "ip").alias("n_ip"),
+            T.pii_redact_col(aug).alias("redacted"),
+        )
+    q["q88_pii_redaction"] = q88_pii_redaction
+
     def q87_bucketed_batches(spark, sf):
         # SDXL-style resolution-bucketed batch packing: every batch
         # stacks without resize; ragged tails marked full=false
@@ -1422,6 +1452,7 @@ _MUST_VERIFY = [
     "q85_quality_classifier",
     "q86_token_budget_mixture",
     "q87_bucketed_batches",
+    "q88_pii_redaction",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2349,6 +2380,25 @@ def oracle_sql() -> dict[str, str]:
     o["q86_token_budget_mixture"] = token_budget_mixture_sql(
         "documents", "doc_id", "source", "text", _MIX_BUDGETS,
         default_budget=400)
+    from aef_mosaic_spark.functions.text import (pii_count_sql,
+                                                 pii_redact_sql)
+    _aug = (
+        "(text"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' reach user' || doc_id::VARCHAR"
+        " || '@example.com ok' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' dial 415-555-'"
+        " || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'"
+        " || (doc_id % 256)::VARCHAR || '.7' ELSE '' END)"
+    )
+    o["q88_pii_redaction"] = f"""
+    SELECT doc_id,
+           {pii_count_sql(_aug, 'email')} AS n_email,
+           {pii_count_sql(_aug, 'phone')} AS n_phone,
+           {pii_count_sql(_aug, 'ip')} AS n_ip,
+           {pii_redact_sql(_aug)} AS redacted
+    FROM documents
+    """
     o["q87_bucketed_batches"] = bucketed_batches_sql(
         f"read_parquet('{_FIXTURE_DIR}/images_meta_600.parquet')",
         "image_id", "w", "h", 32)

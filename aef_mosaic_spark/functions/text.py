@@ -340,3 +340,43 @@ def quality_classifier_sql(t: str) -> str:
          f" + {w['punct_ratio']!r}e0 * {x_punct}"
          f" + {w['distinct_ratio']!r}e0 * {x_dist})")
     return _q6_sql(f"1e0 / (1e0 + exp(-{z}))")
+
+
+# ---------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------
+# Training-corpus scrubbing pass: detect and mask emails, NANP-style
+# phone numbers, and IPv4 literals. Patterns are RE2-compatible (no
+# lookahead/backreference — DuckDB's regex engine is RE2) and applied
+# in a fixed order, so Spark's regexp_replace and the oracle's produce
+# byte-identical redacted text.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+]
+
+
+def pii_count_col(text: Column, kind: str) -> Column:
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.regexp_count(text, F.lit(pat)).cast("int")
+
+
+def pii_count_sql(t: str, kind: str) -> str:
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return f"len(regexp_extract_all({t}, '{pat}'))::INT"
+
+
+def pii_redact_col(text: Column) -> Column:
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_redact_sql(t: str) -> str:
+    out = t
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

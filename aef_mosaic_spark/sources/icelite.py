@@ -277,12 +277,16 @@ class Icelite:
         s = self.snapshot(snapshot_id)
         if not s or not s["manifests"]:
             raise FileNotFoundError(f"icelite table at {self.path} has no data")
+        return self._read_manifests(spark, s["manifests"], filters)
+
+    def _read_manifests(self, spark: SparkSession, manifest_names: list[str],
+                        filters: dict | None = None) -> DataFrame:
         # one read per snapshot data dir (so hive-style partition columns
         # are inferred), unioned by name — manifests are the file source
         # of truth, never a directory listing of the table root
         dfs = []
         schema_probe = None
-        for m in s["manifests"]:
+        for m in manifest_names:
             man = json.loads(self.store.read_text(self._mpath(m)))
             entries = man["entries"]
             if entries and schema_probe is None:
@@ -312,6 +316,46 @@ class Icelite:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def read_incremental(self, spark: SparkSession, from_snapshot_id: int,
+                         to_snapshot_id: int | None = None,
+                         filters: dict | None = None) -> DataFrame:
+        """Rows ADDED strictly after `from_snapshot_id`, up to and
+        including `to_snapshot_id` (default: current) — the Iceberg
+        incremental append scan, the read side of exactly-once
+        downstream pipelines: consumers remember the last snapshot
+        they processed and only ever touch the new files.
+
+        Only valid over an append-only snapshot range: if a manifest
+        present at `from` is gone at `to` (overwrite/rollback rewrote
+        history), the delta is not expressible as added files and we
+        refuse, exactly as Iceberg's incremental read does for
+        replace snapshots. Ancestry is validated by walking parent
+        ids. Returns an empty frame (table schema) when no data was
+        added. File pruning via `filters` works as in read()."""
+        to_id = (to_snapshot_id if to_snapshot_id is not None
+                 else self.current_snapshot_id())
+        if to_id is None:
+            raise FileNotFoundError(f"icelite table at {self.path} has no data")
+        # ancestry walk: from must be on to's parent chain (or 0 = genesis)
+        cur: int | None = to_id
+        while cur is not None and cur != from_snapshot_id:
+            cur = self.snapshot(cur)["parent_id"]
+        if cur != from_snapshot_id and from_snapshot_id != 0:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_id}; incremental read undefined")
+        from_s = self.snapshot(from_snapshot_id) if from_snapshot_id else None
+        to_s = self.snapshot(to_id)
+        base = set(from_s["manifests"]) if from_s else set()
+        if not base <= set(to_s["manifests"]):
+            raise ValueError(
+                f"snapshots {from_snapshot_id}..{to_id} include an "
+                f"overwrite; the delta is not append-only")
+        new = [m for m in to_s["manifests"] if m not in base]
+        if not new:
+            return self.read(spark, to_id).limit(0)
+        return self._read_manifests(spark, new, filters)
 
     def completed_keys(self, spark: SparkSession, key_cols: list[str],
                        filters: dict | None = None) -> DataFrame:

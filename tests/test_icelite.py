@@ -477,3 +477,63 @@ def test_metadata_plane_fully_store_backed(spark, tmp_path):
     from aef_mosaic_spark.sources.icelite import CommitConflictError
     with pytest.raises(CommitConflictError):
         m._commit([], {}, {}, parent=1)
+
+
+def test_read_incremental_append_only_delta(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(0, 10))                       # snap 1
+    t.append(spark.range(100, 105))                    # snap 2
+    t.append(spark.range(200, 202))                    # snap 3
+    # delta after snap 1 -> rows of snaps 2+3 only
+    got = sorted(r["id"] for r in t.read_incremental(spark, 1).collect())
+    assert got == list(range(100, 105)) + [200, 201]
+    # bounded range: (1, 2]
+    got12 = sorted(r["id"] for r in
+                   t.read_incremental(spark, 1, to_snapshot_id=2).collect())
+    assert got12 == list(range(100, 105))
+    # from genesis = full table
+    assert t.read_incremental(spark, 0).count() == 17
+    # empty delta: same snapshot -> empty frame with the table schema
+    empty = t.read_incremental(spark, 3)
+    assert empty.count() == 0 and empty.columns == ["id"]
+
+
+def test_read_incremental_exactly_once_consumer(spark, tmp_path):
+    # the consumer loop: remember last snapshot, process only deltas;
+    # union of deltas == full table, no row seen twice
+    t = Icelite(str(tmp_path / "t"))
+    seen: list[int] = []
+    last = 0
+    for lo in (0, 50, 90):
+        t.append(spark.range(lo, lo + 10))
+        cur = t.current_snapshot_id()
+        seen += [r["id"] for r in t.read_incremental(spark, last).collect()]
+        last = cur
+    assert sorted(seen) == sorted(r["id"] for r in t.read(spark).collect())
+    assert len(seen) == len(set(seen)) == 30
+
+
+def test_read_incremental_refuses_overwrite_range(spark, tmp_path):
+    import pytest
+
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(5))                            # snap 1
+    t.overwrite(spark.range(7))                         # snaps 2 (empty) + 3
+    with pytest.raises(ValueError, match="overwrite"):
+        t.read_incremental(spark, 1)
+    # but a delta AFTER the overwrite is fine again
+    t.append(spark.range(100, 103))                     # snap 4
+    got = sorted(r["id"] for r in t.read_incremental(spark, 3).collect())
+    assert got == [100, 101, 102]
+
+
+def test_read_incremental_with_file_pruning(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(0, 10).withColumn("p", (F.col("id") % 2).cast("int")),
+             partition_by=["p"])
+    t.append(spark.range(10, 20).withColumn("p", (F.col("id") % 2).cast("int")),
+             partition_by=["p"])
+    got = t.read_incremental(spark, 1, filters={"p": (1, 1)})
+    rows = got.collect()
+    assert all(r["p"] == 1 for r in rows)
+    assert sorted(r["id"] for r in rows) == [11, 13, 15, 17, 19]

@@ -134,3 +134,27 @@ def test_bucketed_batches_pack_and_drop_last(spark, batch_size):
     # 64x64 bucket: 10 rows -> 10 // bs full-batch rows
     n_full = sum(1 for r in by_bucket["64x64"] if r["full"])
     assert n_full == (10 // batch_size) * batch_size
+
+
+def test_pii_redaction_counts_and_text(spark):
+    from aef_mosaic_spark.functions.text import (pii_count_col,
+                                                 pii_redact_col)
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk now"),
+        (2, "call 415-555-0132 or ping 10.0.0.1"),
+        (3, "clean text"),
+        (4, "a@b.io c.d@e.org and 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        pii_count_col(F.col("text"), "email").alias("e"),
+        pii_count_col(F.col("text"), "phone").alias("p"),
+        pii_count_col(F.col("text"), "ip").alias("i"),
+        pii_redact_col(F.col("text")).alias("red"),
+    ).collect()}
+    assert (got[1]["e"], got[1]["red"]) == (1, "mail <EMAIL> now")
+    assert (got[2]["p"], got[2]["i"]) == (1, 1)
+    assert got[2]["red"] == "call <PHONE> or ping <IP>"
+    assert got[3]["red"] == "clean text"
+    assert (got[4]["e"], got[4]["i"]) == (2, 1)
