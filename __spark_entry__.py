@@ -1421,6 +1421,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q88_pii_redaction"] = q88_pii_redaction
 
+    def q89_merge_captions(spark, sf):
+        # copy-on-write MERGE end-to-end through the metadata plane:
+        # append the image table, merge deterministic caption fixes
+        # (phash % 10 = 3) + one insert, read back the final state.
+        # Unique external base path per run (stale-LOCATION gotcha).
+        import tempfile
+
+        from aef_mosaic_spark.sources.icelite import Icelite
+
+        base = tempfile.mkdtemp(prefix="q89_merge_")
+        imgs = spark.read.parquet(
+            f"{_FIXTURE_DIR}/images_meta_600.parquet"
+        ).select("image_id", "caption", "phash")
+        t = Icelite(f"{base}/t")
+        t.append(imgs.repartition(8))
+        upd = imgs.where((F.col("phash") % 10) == 3).select(
+            "image_id",
+            F.concat(F.lit("corrected "), F.col("image_id")).alias("caption"),
+            F.col("phash"),
+        ).unionByName(spark.createDataFrame(
+            [("img_zz_new", "inserted caption", 7)],
+            "image_id string, caption string, phash long"))
+        t.merge(spark, upd, ["image_id"])
+        return t.read(spark).select("image_id", "caption")
+    q["q89_merge_captions"] = q89_merge_captions
+
     def q87_bucketed_batches(spark, sf):
         # SDXL-style resolution-bucketed batch packing: every batch
         # stacks without resize; ragged tails marked full=false
@@ -1453,6 +1479,7 @@ _MUST_VERIFY = [
     "q86_token_budget_mixture",
     "q87_bucketed_batches",
     "q88_pii_redaction",
+    "q89_merge_captions",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2398,6 +2425,15 @@ def oracle_sql() -> dict[str, str]:
            {pii_count_sql(_aug, 'ip')} AS n_ip,
            {pii_redact_sql(_aug)} AS redacted
     FROM documents
+    """
+    o["q89_merge_captions"] = f"""
+    WITH i AS (SELECT image_id, caption, phash
+               FROM read_parquet('{_FIXTURE_DIR}/images_meta_600.parquet')),
+    u AS (SELECT image_id, 'corrected ' || image_id AS caption
+          FROM i WHERE (phash % 10) = 3
+          UNION ALL SELECT 'img_zz_new', 'inserted caption')
+    SELECT image_id, coalesce(u.caption, i.caption) AS caption
+    FROM i FULL OUTER JOIN u USING (image_id)
     """
     o["q87_bucketed_batches"] = bucketed_batches_sql(
         f"read_parquet('{_FIXTURE_DIR}/images_meta_600.parquet')",

@@ -537,3 +537,53 @@ def test_read_incremental_with_file_pruning(spark, tmp_path):
     rows = got.collect()
     assert all(r["p"] == 1 for r in rows)
     assert sorted(r["id"] for r in rows) == [11, 13, 15, 17, 19]
+
+
+def test_merge_copy_on_write_upsert(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(i, f"cap {i}", i % 4) for i in range(40)],
+        "image_id long, caption string, b int")
+    # two snapshots so the table spans several files/manifests
+    t.append(base.where("image_id < 20").repartition(4))
+    t.append(base.where("image_id >= 20").repartition(4))
+    files_before = {e["path"] for e in t.data_files()}
+
+    upd = spark.createDataFrame(
+        [(3, "FIXED 3", 3), (25, "FIXED 25", 1), (99, "NEW 99", 0)],
+        "image_id long, caption string, b int")
+    s = t.merge(spark, upd, ["image_id"])
+    assert s == 3
+
+    got = {r["image_id"]: r["caption"] for r in t.read(spark).collect()}
+    assert len(got) == 41                      # 40 rows + 1 insert
+    assert got[3] == "FIXED 3" and got[25] == "FIXED 25"
+    assert got[99] == "NEW 99"
+    assert got[4] == "cap 4"                   # untouched row intact
+
+    # copy-on-write: only files containing keys 3/25 were replaced
+    files_after = {e["path"] for e in t.data_files()}
+    carried = files_before & files_after
+    assert carried, "untouched files must carry over by reference"
+    assert files_before - files_after, "hit files must be rewritten"
+
+    # time travel: the parent snapshot still shows the old captions
+    old = {r["image_id"]: r["caption"]
+           for r in t.read(spark, snapshot_id=2).collect()}
+    assert old[3] == "cap 3" and 99 not in old
+    # summary records the rewrite scope
+    assert t.snapshot()["summary"]["operation"] == "merge"
+    assert t.snapshot()["summary"]["rewritten_files"] >= 1
+
+
+def test_merge_pure_insert_and_empty_table(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    upd = spark.createDataFrame([(1, "a")], "k long, v string")
+    t.merge(spark, upd, ["k"])                 # empty table -> append
+    assert t.read(spark).count() == 1
+    files_1 = {e["path"] for e in t.data_files()}
+    # no key overlap -> no file rewritten, pure insert
+    t.merge(spark, spark.createDataFrame([(2, "b")], "k long, v string"),
+            ["k"])
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
+    assert files_1 <= {e["path"] for e in t.data_files()}
