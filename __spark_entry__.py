@@ -1421,6 +1421,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q88_pii_redaction"] = q88_pii_redaction
 
+    def q90_ann_cosine_ivfpq(spark, sf):
+        # the FAISS-style composite: IVF coarse lists (q17b recipe)
+        # restrict the probe, PQ codes (q80 recipe) give the in-list
+        # distances; the WHOLE composite pipeline is SQL-mirrored
+        e = _pq(spark, sf, "embeddings")
+        qs = e.where("vec_id < 20").selectExpr("vec_id AS query_id",
+                                               "embedding")
+        items = e.selectExpr("vec_id AS item_id", "embedding")
+        return K.ann_cosine_ivfpq(qs, items, k=5, dim=64)
+    q["q90_ann_cosine_ivfpq"] = q90_ann_cosine_ivfpq
+
     def q89_merge_captions(spark, sf):
         # copy-on-write MERGE end-to-end through the metadata plane:
         # append the image table, merge deterministic caption fixes
@@ -1480,6 +1491,7 @@ _MUST_VERIFY = [
     "q87_bucketed_batches",
     "q88_pii_redaction",
     "q89_merge_captions",
+    "q90_ann_cosine_ivfpq",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2360,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
     o["q17_ann_cosine_lsh"] = _ann_lsh_sql()
     o["q17b_ann_cosine_ivf"] = _ann_ivf_sql()
     o["q80_ann_cosine_pq"] = _ann_pq_sql()
+    o["q90_ann_cosine_ivfpq"] = _ann_ivfpq_sql()
     o["q81_ann_pq_rerank"] = f"""
     WITH sl AS ({_ann_pq_sql(k=20)}),
     ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2503,6 +2516,102 @@ def _ann_pq_sql(dim: int = 64, m: int = 4, ksub: int = 8,
                 (x, y) -> x + y) * 1e6 + 0.5e0) / 1e6 AS dist
           FROM u q, recon r
           WHERE q.vec_id < 20 AND q.vec_id <> r.vec_id)
+    SELECT query_id, item_id, rank FROM (
+      SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, item_id) AS rank
+      FROM d) WHERE rank <= {k}
+    """
+
+
+def _ann_ivfpq_sql(n_lists: int = 16, n_probe: int = 4, m: int = 4,
+                   ksub: int = 8, k: int = 5, dim: int = 64) -> str:
+    """SQL twin of knn.ann_cosine_ivfpq: the q17b coarse-quantizer CTEs
+    (c-prefixed, raw vectors) composed with the q80 PQ CTEs (unit
+    vectors); candidates = equi-join on the coarse list, distance =
+    6dp-quantized PQ reconstruction L2, (dist, id) top-k."""
+    dsub = dim // m
+    h = h32_sql("vec_id::VARCHAR")
+
+    def l2q(a, b):
+        return (f"floor(list_reduce(list_transform("
+                f"generate_series(1, {dsub}), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+                f"(x, y) -> x + y) * 1e9 + 0.5e0) / 1e9")
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- coarse quantizer (q17b recipe, raw vectors)
+    cseeds AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS list, v
+               FROM e ORDER BY {h}, vec_id LIMIT {n_lists}),
+    ca0 AS (SELECT vec_id, v, list FROM (
+        SELECT e.vec_id, e.v, s.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.v) DESC, s.list) AS rk
+        FROM e, cseeds s) WHERE rk = 1),
+    cdims AS (SELECT ca0.list, d.dim, ca0.v[d.dim] AS val
+              FROM ca0, (SELECT unnest(generate_series(1, {dim})) AS dim) d),
+    crefined AS (SELECT list, array_agg(round(mv, 6) ORDER BY dim) AS v
+                 FROM (SELECT list, dim, avg(val) AS mv FROM cdims
+                       GROUP BY 1, 2) GROUP BY list),
+    cents AS (SELECT s.list, coalesce(r.v, s.v) AS v
+              FROM cseeds s LEFT JOIN crefined r USING (list)),
+    ila AS (SELECT vec_id, list FROM (
+        SELECT e.vec_id, c.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list) AS rk
+        FROM e, cents c) WHERE rk = 1),
+    qa AS (SELECT vec_id AS query_id, list FROM (
+        SELECT e.vec_id, c.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list) AS rk
+        FROM e, cents c WHERE e.vec_id < 20) WHERE rk <= {n_probe}),
+    -- PQ codes (q80 recipe, unit vectors)
+    nrm AS MATERIALIZED (SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x * x),
+                           (a, b) -> a + b)) AS n FROM e),
+    u AS MATERIALIZED (SELECT vec_id,
+          list_transform(v, x -> x / greatest(n, 1e-12)) AS v FROM nrm),
+    seeds AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, v
+              FROM u ORDER BY {h}, vec_id LIMIT {ksub}),
+    js AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    subs AS MATERIALIZED (SELECT vec_id, sub,
+          v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv FROM u, js),
+    sseeds AS MATERIALIZED (SELECT c, sub,
+          v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv FROM seeds, js),
+    a0 AS (SELECT vec_id, sub, c FROM (
+        SELECT s.vec_id, s.sub, ss.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {l2q('s.sv', 'ss.sv')}, ss.c) AS rk
+        FROM subs s JOIN sseeds ss ON s.sub = ss.sub) WHERE rk = 1),
+    dims AS (SELECT a0.sub, a0.c, d.dim, s.sv[d.dim] AS val
+             FROM a0 JOIN subs s ON a0.vec_id = s.vec_id
+              AND a0.sub = s.sub,
+             (SELECT unnest(generate_series(1, {dsub})) AS dim) d),
+    refined AS (SELECT sub, c, array_agg(round(mv, 6) ORDER BY dim) AS sv
+                FROM (SELECT sub, c, dim, avg(val) AS mv FROM dims
+                      GROUP BY 1, 2, 3) GROUP BY sub, c),
+    cb AS MATERIALIZED (SELECT ss.sub, ss.c, coalesce(r.sv, ss.sv) AS sv
+          FROM sseeds ss LEFT JOIN refined r
+            ON ss.sub = r.sub AND ss.c = r.c),
+    enc AS (SELECT vec_id, sub, c FROM (
+        SELECT s.vec_id, s.sub, cb.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {l2q('s.sv', 'cb.sv')}, cb.c) AS rk
+        FROM subs s JOIN cb ON s.sub = cb.sub) WHERE rk = 1),
+    recon AS MATERIALIZED (SELECT en.vec_id,
+          flatten(array_agg(cb.sv ORDER BY en.sub)) AS rv
+          FROM enc en JOIN cb ON en.sub = cb.sub AND en.c = cb.c
+          GROUP BY en.vec_id),
+    -- composite: probe lists, PQ distance within
+    d AS (SELECT qa.query_id, r.vec_id AS item_id,
+          floor(list_reduce(list_transform(generate_series(1, {dim}),
+                i -> (q.v[i] - r.rv[i]) * (q.v[i] - r.rv[i])),
+                (x, y) -> x + y) * 1e6 + 0.5e0) / 1e6 AS dist
+          FROM qa JOIN ila ON qa.list = ila.list
+               JOIN recon r ON ila.vec_id = r.vec_id
+               JOIN u q ON qa.query_id = q.vec_id
+          WHERE qa.query_id <> r.vec_id)
     SELECT query_id, item_id, rank FROM (
       SELECT query_id, item_id,
              row_number() OVER (PARTITION BY query_id

@@ -306,6 +306,29 @@ def pq_codebooks(items: DataFrame, vec: str, dim: int, m: int = 4,
     return books
 
 
+def _pq_recon_df(it_u: DataFrame, id_col: str, uv: str, books,
+                 m: int, dsub: int) -> DataFrame:
+    """(id, _rv reconstruction) for unit vectors in column `uv`.
+    Subspace slices materialize once as their own columns, then the
+    ksub distance exprs per sub reference the slice COLUMN (cheap
+    re-eval, no O(dim) CSE inside the lambdas)."""
+    it = it_u.select(id_col, *[F.slice(uv, j * dsub + 1, dsub)
+                               .alias(f"_s{j}") for j in range(m)])
+    codes = []
+    for j in range(m):
+        dists = F.array(*[_l2_to_lit(F.col(f"_s{j}"), c) for c in books[j]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int").alias(f"_c{j}"))
+    it = it.select(id_col, *codes)
+    recon = F.concat(*[
+        F.element_at(
+            F.array(*[F.array(*[F.lit(float(x)) for x in cbc])
+                      for cbc in books[j]]),
+            F.col(f"_c{j}") + 1)
+        for j in range(m)])
+    return it.select(id_col, recon.alias("_rv"))
+
+
 def ann_cosine_pq(queries: DataFrame, items: DataFrame, k: int, dim: int,
                   q_id: str = "query_id", i_id: str = "item_id",
                   vec: str = "embedding", m: int = 4, ksub: int = 8,
@@ -328,23 +351,7 @@ def ann_cosine_pq(queries: DataFrame, items: DataFrame, k: int, dim: int,
     it = unit_normalized(items.select(F.col(i_id), F.col(vec)), vec, "_uv")
     if books is None:
         books = pq_codebooks(it.select(i_id, "_uv"), "_uv", dim, m, ksub)
-    # materialize subspace slices once, then the 8 distance exprs per
-    # sub reference the slice COLUMN (cheap re-eval, no O(dim) CSE)
-    it = it.select(i_id, *[F.slice("_uv", j * dsub + 1, dsub)
-                           .alias(f"_s{j}") for j in range(m)])
-    codes = []
-    for j in range(m):
-        dists = F.array(*[_l2_to_lit(F.col(f"_s{j}"), c) for c in books[j]])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int").alias(f"_c{j}"))
-    it = it.select(i_id, *codes)
-    recon = F.concat(*[
-        F.element_at(
-            F.array(*[F.array(*[F.lit(float(x)) for x in cbc])
-                      for cbc in books[j]]),
-            F.col(f"_c{j}") + 1)
-        for j in range(m)])
-    it = it.select(i_id, recon.alias("_rv"))
+    it = _pq_recon_df(it, i_id, "_uv", books, m, dsub)
     qs = unit_normalized(queries.select(F.col(q_id), F.col(vec)),
                          vec, "_qv").select(q_id, "_qv")
     d2 = F.aggregate(F.zip_with("_qv", "_rv",
@@ -386,4 +393,59 @@ def ann_cosine_pq_rerank(queries: DataFrame, items: DataFrame, k: int,
     w = Window.partitionBy(q_id).orderBy(F.col("_sim").desc(),
                                          F.col(i_id).asc())
     return (pairs.select(q_id, i_id, F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k))
+
+
+def ann_cosine_ivfpq(queries: DataFrame, items: DataFrame, k: int, dim: int,
+                     q_id: str = "query_id", i_id: str = "item_id",
+                     vec: str = "embedding", n_lists: int = 16,
+                     n_probe: int = 4, m: int = 4, ksub: int = 8,
+                     centroids: list[list[float]] | None = None,
+                     books: list | None = None) -> DataFrame:
+    """The FAISS-style composite index (Jégou et al. 2011): IVF coarse
+    quantizer restricts the scan to n_probe inverted lists, PQ codes
+    give the in-list distances — the memory/compute shape that serves
+    10^12-vector corpora (codes are m*log2(ksub) bits/vector; a probe
+    touches ~n_probe/n_lists of the corpus, in the compressed domain).
+
+    Both stages reuse the deterministic md5-h32 recipes (ivf_centroids
+    for the coarse codebook on raw vectors — cosine ranking is norm-
+    invariant — and pq_codebooks on unit vectors), so the ENTIRE
+    composite pipeline has a SQL twin. Distance is the PQ
+    reconstruction L2 (== ADC lookup sum), quantized to 6dp;
+    ties rank by item id. -> (query_id, item_id, rank).
+
+    Plan shape: items carry (list, codes); candidates come from an
+    EQUI-join on list (queries exploded to n_probe rows, broadcast);
+    no crossJoin anywhere. The exact re-rank composes on top exactly
+    as ann_cosine_pq_rerank does over ann_cosine_pq.
+    """
+    dsub = dim // m
+    if centroids is None:
+        centroids = ivf_centroids(items.select(i_id, vec), vec,
+                                  n_lists, dim)
+    it_u = unit_normalized(items.select(F.col(i_id), F.col(vec)),
+                           vec, "_uv")
+    if books is None:
+        books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv", dim, m, ksub)
+    il = _assign_lists(items.select(F.col(i_id), F.col(vec).alias("_cv")),
+                       "_cv", centroids, "_il", 1)
+    il = il.select(i_id, F.element_at("_il", 1).alias("_list"))
+    it = _pq_recon_df(it_u, i_id, "_uv", books, m, dsub).join(il, i_id)
+    qs = unit_normalized(queries.select(F.col(q_id), F.col(vec)),
+                         vec, "_qv").select(q_id, "_qv")
+    ql = _assign_lists(queries.select(F.col(q_id), F.col(vec).alias("_cv")),
+                       "_cv", centroids, "_ql", n_probe)
+    ql = ql.select(q_id, F.explode("_ql").alias("_list"))
+    qj = F.broadcast(ql.join(qs, q_id))
+    d2 = F.aggregate(F.zip_with("_qv", "_rv",
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda a, b: a + b)
+    cand = (qj.join(it, "_list")
+            .where(F.col(q_id) != F.col(i_id))
+            .select(q_id, i_id,
+                    (F.floor(d2 * 1e6 + 0.5) / 1e6).alias("_d")))
+    w = Window.partitionBy(q_id).orderBy(F.col("_d").asc(),
+                                         F.col(i_id).asc())
+    return (cand.select(q_id, i_id, F.row_number().over(w).alias("rank"))
             .where(F.col("rank") <= k))

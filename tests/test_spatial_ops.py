@@ -358,3 +358,33 @@ def test_ann_pq_rerank_beats_raw_pq(spark):
     exact_nn = {r.query_id: r.item_id for r in exact}
     rr_nn = {r.query_id: r.item_id for r in rr}
     assert rr_nn == exact_nn
+
+
+def test_ann_ivfpq_full_probe_equals_pq(spark):
+    """IVF+PQ composite: probing ALL coarse lists degenerates to the
+    full compressed-domain scan, so the result must EQUAL
+    ann_cosine_pq bit-for-bit (same codebooks, same quantized
+    distances, same tie-breaks). With a partial probe the result is a
+    subset-restricted ranking that still finds the true cluster on
+    clustered data."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 16) * 3
+    vecs = np.vstack([c + rng.randn(15, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(120),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::30].rename(columns={"item_id": "query_id"})
+    sq, si = spark.createDataFrame(qs), spark.createDataFrame(items)
+
+    pq = K.ann_cosine_pq(sq, si, k=3, dim=16, m=4, ksub=8).collect()
+    full = K.ann_cosine_ivfpq(sq, si, k=3, dim=16, n_lists=4, n_probe=4,
+                              m=4, ksub=8).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, full))
+
+    part = K.ann_cosine_ivfpq(sq, si, k=1, dim=16, n_lists=4, n_probe=2,
+                              m=4, ksub=8).collect()
+    exact = K.knn_cosine_exact(sq, si, k=1).collect()
+    exact_nn = {r.query_id: r.item_id for r in exact}
+    part_nn = {r.query_id: r.item_id for r in part}
+    hits = sum(part_nn.get(kq) // 15 == v // 15
+               for kq, v in exact_nn.items())
+    assert hits == len(exact_nn)  # cluster recall under partial probe
