@@ -350,6 +350,124 @@ class Icelite:
         }
         return self._commit(manifests, prev["properties"], summ, parent)
 
+    def delete(self, spark: SparkSession, predicate: str,
+               partition_by: list[str] | None = None,
+               compression: str = "zstd") -> int:
+        """Copy-on-write row-level DELETE: rows matching `predicate`
+        (a SQL boolean expression over the table's columns) are
+        removed; only the files that CONTAIN a matching row are
+        rewritten, everything else carries over by manifest reference.
+        Old snapshots keep the rows (time travel). The GDPR/erasure
+        write path over the image table: cost is proportional to files
+        hit, and manifest stats pruning on the predicate's key range
+        keeps that set small if the table is sorted/partitioned on it."""
+        from urllib.parse import unquote, urlparse
+
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise FileNotFoundError(f"icelite table at {self.path} has no data")
+        snap_id = parent + 1
+        cur = self.read(spark).withColumn("_file", F.input_file_name())
+        aff_files = [r["_file"] for r in
+                     cur.where(predicate).select("_file").distinct().collect()]
+        rel_aff = {
+            os.path.relpath(unquote(urlparse(f).path), self.path)
+            for f in aff_files
+        }
+        prev = self.snapshot(parent)
+        if not rel_aff:
+            # nothing matches: commit a no-op snapshot for audit
+            return self._commit(list(prev["manifests"]), prev["properties"],
+                                {"operation": "delete", "rewritten_files": 0,
+                                 "deleted_rows": 0}, parent)
+        survivors = (cur.where(F.col("_file").isin(aff_files))
+                     .where(f"NOT ({predicate})").drop("_file"))
+
+        entries: list[dict] = []
+        new_manifest = None
+        data_dir = os.path.join(self.path, "data",
+                                f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
+        writer = (survivors.write.mode("errorifexists")
+                  .option("compression", compression))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        paths = sorted(glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                                 recursive=True))
+        entries = _manifest_entries(spark, self.path, paths)
+        if entries:
+            new_manifest = f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.json"
+            self.store.put(self._mpath(new_manifest),
+                           json.dumps({"snapshot_id": snap_id,
+                                       "entries": entries}, indent=1))
+
+        manifests: list[str] = []
+        rows_before = 0
+        for m in prev["manifests"]:
+            man = json.loads(self.store.read_text(self._mpath(m)))
+            keep = [e for e in man["entries"] if e["path"] not in rel_aff]
+            rows_before += sum(e["rows"] for e in man["entries"]
+                               if e["path"] in rel_aff)
+            if len(keep) == len(man["entries"]):
+                manifests.append(m)
+            elif keep:
+                name = f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.json"
+                self.store.put(self._mpath(name),
+                               json.dumps({"snapshot_id": snap_id,
+                                           "entries": keep}, indent=1))
+                manifests.append(name)
+        if new_manifest:
+            manifests.append(new_manifest)
+        summ = {
+            "operation": "delete",
+            "rewritten_files": len(rel_aff),
+            "deleted_rows": rows_before - sum(e["rows"] for e in entries),
+        }
+        return self._commit(manifests, prev["properties"], summ, parent)
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files under the table root that no snapshot's
+        manifests reference — the garbage left by crashed writers
+        (append/merge write data BEFORE the snapshot commit; a crash
+        in between leaves an unreferenced dir, by design). Returns the
+        removed paths (table-relative). Production caveat, as with
+        Iceberg's action: only run when no writer is mid-commit, or
+        gate on file age — a LIVE writer's un-committed files look
+        exactly like orphans."""
+        referenced: set[str] = set()
+        sid = self.current_snapshot_id()
+        # every snapshot in history, not just the current one: time
+        # travel must keep working after the sweep
+        seen_manifests: set[str] = set()
+        while sid:
+            s = self.snapshot(sid)
+            for m in s["manifests"]:
+                if m in seen_manifests:
+                    continue
+                seen_manifests.add(m)
+                man = json.loads(self.store.read_text(self._mpath(m)))
+                referenced.update(e["path"] for e in man["entries"])
+            sid = s["parent_id"]
+        removed: list[str] = []
+        for fp in glob.glob(os.path.join(self.path, "data", "**", "*"),
+                            recursive=True):
+            if not os.path.isfile(fp):
+                continue
+            # Spark job markers (_SUCCESS, .crc) are never manifest
+            # entries; leave committed snapshots' markers in place
+            if os.path.basename(fp).startswith(("_", ".")):
+                continue
+            rel = os.path.relpath(fp, self.path)
+            if rel not in referenced:
+                os.remove(fp)
+                removed.append(rel)
+        # sweep now-empty snapshot dirs
+        for d in sorted(glob.glob(os.path.join(self.path, "data", "*")),
+                        reverse=True):
+            if os.path.isdir(d) and not any(os.scandir(d)):
+                os.rmdir(d)
+        return sorted(removed)
+
     # ------------------------------------------------------------ read
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              filters: dict | None = None) -> DataFrame:
@@ -398,7 +516,10 @@ class Icelite:
             raise FileNotFoundError(f"icelite table at {self.path} has no data files")
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # allowMissingColumns: snapshots may have been written with
+            # evolved schemas (added columns) — older files surface the
+            # new columns as NULL, Iceberg's add-column semantics
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def read_incremental(self, spark: SparkSession, from_snapshot_id: int,

@@ -587,3 +587,63 @@ def test_merge_pure_insert_and_empty_table(spark, tmp_path):
             ["k"])
     assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
     assert files_1 <= {e["path"] for e in t.data_files()}
+
+
+def test_delete_copy_on_write(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, i % 5) for i in range(50)],
+                               "id long, g int")
+    t.append(df.repartition(5))
+    files_before = {e["path"] for e in t.data_files()}
+    s = t.delete(spark, "g = 2")
+    assert s == 2
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [i for i in range(50) if i % 5 != 2]
+    assert t.snapshot()["summary"]["deleted_rows"] == 10
+    # time travel keeps the deleted rows
+    assert t.read(spark, snapshot_id=1).count() == 50
+    # untouched/rewritten file split exists (repartition(5) spreads g
+    # values, so typically all files are hit — assert the mechanism
+    # via a targeted second delete on a fresh single-value partition)
+    t2 = Icelite(str(tmp_path / "t2"))
+    a = spark.createDataFrame([(i, 0) for i in range(10)], "id long, g int")
+    b = spark.createDataFrame([(i, 1) for i in range(10, 20)], "id long, g int")
+    t2.append(a.coalesce(1)); t2.append(b.coalesce(1))
+    before = {e["path"] for e in t2.data_files()}
+    t2.delete(spark, "g = 1 AND id >= 15")
+    after = {e["path"] for e in t2.data_files()}
+    assert (before & after), "file without matches must carry over"
+    assert t2.read(spark).count() == 15
+    # no-match delete commits an auditable no-op
+    s0 = t2.delete(spark, "g = 99")
+    assert t2.snapshot()["summary"]["rewritten_files"] == 0
+    assert t2.read(spark, snapshot_id=s0).count() == 15
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    import os
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(10))
+    t.append(spark.range(10, 20))
+    # fake a crashed writer: an un-committed data dir + stray file
+    orphan_dir = tmp_path / "t" / "data" / "snap-99-deadbeef"
+    orphan_dir.mkdir(parents=True)
+    (orphan_dir / "part-00000.parquet").write_bytes(b"junk")
+    removed = t.remove_orphan_files()
+    assert removed == [os.path.join("data", "snap-99-deadbeef",
+                                    "part-00000.parquet")]
+    assert not orphan_dir.exists()          # empty dir swept
+    # every committed row still readable, incl. time travel
+    assert t.read(spark).count() == 20
+    assert t.read(spark, snapshot_id=1).count() == 10
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b", 9.5)],
+                                   "id long, v string, score double"))
+    got = {r["id"]: r for r in t.read(spark).collect()}
+    assert set(t.read(spark).columns) == {"id", "v", "score"}
+    assert got[1]["score"] is None          # old rows NULL-fill
+    assert got[2]["score"] == 9.5
