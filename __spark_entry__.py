@@ -1432,6 +1432,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.ann_cosine_ivfpq(qs, items, k=5, dim=64)
     q["q90_ann_cosine_ivfpq"] = q90_ann_cosine_ivfpq
 
+    def q91_crossmodal_alignment(spark, sf):
+        # CLIP-score-shape image-caption alignment filter: caption
+        # embedding from the declared deterministic stub encoder (md5
+        # per dim — no model runtime in this container), image
+        # embedding real, cosine + threshold all JVM-side
+        from aef_mosaic_spark.functions.multimodal import alignment_scores
+        d = _pq(spark, sf, "documents").select("doc_id", "text")
+        e = _pq(spark, sf, "embeddings")
+        pairs = d.join(e, d.doc_id == e.vec_id).select(
+            "doc_id", "text", "embedding")
+        return alignment_scores(pairs, "text", "embedding",
+                                threshold=0.0).select(
+            "doc_id", "alignment", "keep")
+    q["q91_crossmodal_alignment"] = q91_crossmodal_alignment
+
     def q89_merge_captions(spark, sf):
         # copy-on-write MERGE end-to-end through the metadata plane:
         # append the image table, merge deterministic caption fixes
@@ -1492,6 +1507,7 @@ _MUST_VERIFY = [
     "q88_pii_redaction",
     "q89_merge_captions",
     "q90_ann_cosine_ivfpq",
+    "q91_crossmodal_alignment",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2373,6 +2389,16 @@ def oracle_sql() -> dict[str, str]:
     o["q17b_ann_cosine_ivf"] = _ann_ivf_sql()
     o["q80_ann_cosine_pq"] = _ann_pq_sql()
     o["q90_ann_cosine_ivfpq"] = _ann_ivfpq_sql()
+    from aef_mosaic_spark.functions.multimodal import pseudo_text_embedding_sql
+    o["q91_crossmodal_alignment"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             round(list_cosine_similarity({pseudo_text_embedding_sql('text')},
+                                          embedding::DOUBLE[]), 6) AS alignment
+      FROM documents JOIN embeddings ON doc_id = vec_id
+    )
+    SELECT doc_id, alignment, (alignment >= 0.0e0) AS keep FROM p
+    """
     o["q81_ann_pq_rerank"] = f"""
     WITH sl AS ({_ann_pq_sql(k=20)}),
     ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

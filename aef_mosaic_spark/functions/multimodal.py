@@ -124,3 +124,58 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.mapInPandas(
         _gen, schema="image_id string, bytes binary, w int, h int, "
                      "fmt string, caption string, phash long")
+
+
+# ---------------------------------------------------------------------
+# cross-modal alignment (CLIP-score filter shape)
+# ---------------------------------------------------------------------
+# The image-caption alignment filter every paired-data pipeline runs
+# (LAION/DataComp style, public): embed the caption, embed the image,
+# keep pairs whose cosine clears a threshold. The image embedding is a
+# real column; the TEXT ENCODER here is the declared deterministic
+# stub (this container has no model runtime — same policy as the
+# audio/video decoders above): dim j of the caption embedding is the
+# md5-h32 of (text || ':' || j) mapped into [-1, 1]. The Spark-side
+# plumbing — per-dim JVM exprs, the cosine join, the threshold — is
+# the real scale path and has an exact SQL twin.
+
+ALIGN_DIM = 64
+
+
+def pseudo_text_embedding_col(text):
+    """array<double>[ALIGN_DIM]: deterministic stand-in caption
+    embedding, identical in both engines (md5-h32 per dim)."""
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.functions.hashes import h32_col
+
+    return F.array(*[
+        ((h32_col(F.concat(text, F.lit(f":{j}"))) % 2001 - 1000) / 1000.0)
+        for j in range(ALIGN_DIM)
+    ])
+
+
+def pseudo_text_embedding_sql(t: str) -> str:
+    from aef_mosaic_spark.functions.hashes import h32_sql
+
+    dims = ", ".join(
+        "(({h} % 2001 - 1000) / 1000.0)".format(
+            h=h32_sql(f"({t} || ':{j}')"))
+        for j in range(ALIGN_DIM)
+    )
+    return f"[{dims}]::DOUBLE[]"
+
+
+def alignment_scores(pairs: DataFrame, text_col: str, vec_col: str,
+                     threshold: float = 0.0) -> DataFrame:
+    """Add (alignment DOUBLE 6dp, keep BOOLEAN) to image+caption pairs.
+    Pure Column exprs — at 10^12 pairs this is a single codegen stage
+    over the joined table, no shuffle of its own."""
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.operators.knn import cosine_sim
+
+    a = F.round(cosine_sim(pseudo_text_embedding_col(F.col(text_col)),
+                           F.col(vec_col).cast("array<double>")), 6)
+    return (pairs.withColumn("alignment", a)
+            .withColumn("keep", F.col("alignment") >= threshold))

@@ -592,16 +592,63 @@ class Icelite:
 
     # ----------------------------------------------------- maintenance
     def compact(self, spark: SparkSession, partition_by: list[str] | None = None,
-                target_files: int | None = None) -> int:
+                target_files: int | None = None,
+                cluster_by: list[str] | None = None) -> int:
         """Rewrite all live data into one snapshot (small-file
         compaction after many incremental appends — e.g. the streaming
-        patch table). Old snapshots stay readable until expired."""
+        patch table). Old snapshots stay readable until expired.
+
+        cluster_by: range-partition + sort the rewrite on these
+        columns (Iceberg's rewrite_data_files with a sort order). Each
+        output file then covers a NARROW value range, so the footer
+        [min, max] stats in the new manifest make read(filters=) prune
+        most files — the data-layout half of scan planning. For 2-D
+        spatial keys pass a space-filling-curve column (grid.hilbert_d)
+        as the cluster key, as the write path does for chunks."""
         df = self.read(spark)
-        if target_files:
+        if cluster_by:
+            n = target_files or df.rdd.getNumPartitions()
+            df = (df.repartitionByRange(n, *cluster_by)
+                  .sortWithinPartitions(*cluster_by))
+        elif target_files:
             df = df.coalesce(target_files)
         return self.overwrite(df, partition_by=partition_by,
                               properties=self.properties(),
-                              summary={"operation": "compact"})
+                              summary={"operation": "compact",
+                                       "cluster_by": cluster_by or []})
+
+    # ------------------------------------------------------------ tags
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Named immutable ref to a snapshot (Iceberg tag): the commit
+        is the store's put-if-absent of the tag file, so two writers
+        cannot both claim a name. Tags pin snapshots for reproducible
+        training runs ('the corpus as of dataset-v3') independent of
+        the moving current pointer."""
+        if not name or any(c in name for c in "/\\"):
+            raise ValueError(f"invalid tag name {name!r}")
+        sid = (snapshot_id if snapshot_id is not None
+               else self.current_snapshot_id())
+        if sid is None or not self.store.exists(self._mpath(f"snap-{sid}.json")):
+            raise FileNotFoundError(f"no snapshot {sid} to tag")
+        if not self.store.put_if_absent(self._mpath(f"tag-{name}.json"),
+                                        json.dumps({"snapshot_id": sid})):
+            raise CommitConflictError(f"tag {name!r} already exists")
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for p in self.store.list(self.meta, "tag-*.json"):
+            base = os.path.basename(p)
+            out[base[len("tag-"):-len(".json")]] = json.loads(
+                self.store.read_text(p))["snapshot_id"]
+        return out
+
+    def read_tag(self, spark: SparkSession, name: str,
+                 filters: dict | None = None) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise FileNotFoundError(f"no tag {name!r}")
+        return self.read(spark, snapshot_id=tags[name], filters=filters)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest `keep_last` snapshots: their JSONs,
@@ -614,6 +661,9 @@ class Icelite:
             chain.append(sid)
             sid = self.snapshot(sid)["parent_id"]
         keep = set(chain[:keep_last])
+        # tagged snapshots are pinned (Iceberg semantics): a tag is a
+        # promise that the snapshot stays readable until the tag goes
+        keep |= {sid for sid in self.tags().values() if sid in set(chain)}
         live_manifests: set[str] = set()
         for s in keep:
             live_manifests |= set(self.snapshot(s)["manifests"])
@@ -623,6 +673,8 @@ class Icelite:
                 self.store.read_text(self._mpath(m)))["entries"]}
         removed = {"snapshots": 0, "manifests": 0, "data_files": 0}
         for s in chain[keep_last:]:
+            if s in keep:  # tag-pinned
+                continue
             self.store.delete(self._mpath(f"snap-{s}.json"))
             removed["snapshots"] += 1
         for m in self.store.list(self.meta, "manifest-*.json"):
@@ -634,14 +686,13 @@ class Icelite:
             if os.path.relpath(fp, self.path) not in live_files:
                 os.remove(fp)
                 removed["data_files"] += 1
-        # keep-list parents may be gone: rewrite the oldest kept
-        # snapshot's parent pointer to None
-        if keep:
-            oldest = min(keep)
-            snap = self.snapshot(oldest)
-            if snap["parent_id"] not in keep and snap["parent_id"] is not None:
+        # kept snapshots whose parents were expired get their parent
+        # pointer cut (tags can pin non-contiguous snapshots)
+        for sid in keep:
+            snap = self.snapshot(sid)
+            if snap["parent_id"] is not None and snap["parent_id"] not in keep:
                 snap["parent_id"] = None
-                self.store.put(self._mpath(f"snap-{oldest}.json"),
+                self.store.put(self._mpath(f"snap-{sid}.json"),
                                json.dumps(snap, indent=1))
         return removed
 

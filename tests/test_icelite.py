@@ -647,3 +647,46 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert set(t.read(spark).columns) == {"id", "v", "score"}
     assert got[1]["score"] is None          # old rows NULL-fill
     assert got[2]["score"] == 9.5
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    import pytest
+
+    from aef_mosaic_spark.sources.icelite import CommitConflictError
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(5))                    # snap 1
+    t.tag("dataset-v1")
+    t.append(spark.range(5, 9))                 # snap 2
+    t.append(spark.range(9, 12))                # snap 3
+    assert t.tags() == {"dataset-v1": 1}
+    assert sorted(r["id"] for r in
+                  t.read_tag(spark, "dataset-v1").collect()) == [0, 1, 2, 3, 4]
+    with pytest.raises(CommitConflictError):
+        t.tag("dataset-v1", snapshot_id=2)      # names are immutable
+    # expiry keeps the tagged snapshot alive, drops the untagged middle
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] == 1            # only snap 2 went
+    assert t.read_tag(spark, "dataset-v1").count() == 5
+    assert t.read(spark).count() == 12
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=2)
+
+
+def test_compact_cluster_by_tightens_stats(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    # interleaved appends: every file spans the whole key range
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    t.append(df.repartition(8))
+    wide = t.data_files()
+    spans_before = [e["stats"]["id"][1] - e["stats"]["id"][0]
+                    for e in wide if "id" in e.get("stats", {})]
+    t.compact(spark, target_files=8, cluster_by=["id"])
+    narrow = t.data_files()
+    spans_after = [e["stats"]["id"][1] - e["stats"]["id"][0]
+                   for e in narrow if "id" in e.get("stats", {})]
+    assert max(spans_after) < max(spans_before) / 2
+    # pruning now hits a fraction of the files
+    pruned = t.scan_files({"id": (10, 20)})
+    assert 0 < len(pruned) < len(narrow)
+    assert t.read(spark, filters={"id": (10, 20)}).where(
+        "id BETWEEN 10 AND 20").count() == 11

@@ -158,3 +158,27 @@ def test_pii_redaction_counts_and_text(spark):
     assert got[2]["red"] == "call <PHONE> or ping <IP>"
     assert got[3]["red"] == "clean text"
     assert (got[4]["e"], got[4]["i"]) == (2, 1)
+
+
+def test_crossmodal_alignment_identity_and_threshold(spark):
+    from aef_mosaic_spark.functions.multimodal import (
+        ALIGN_DIM, alignment_scores, pseudo_text_embedding_col)
+    caps = spark.createDataFrame(
+        [(1, "a red square"), (2, "blue noise")], "doc_id long, text string")
+    # image embedding == the caption's own pseudo-embedding -> cos = 1
+    selfpairs = caps.select(
+        "doc_id", "text",
+        pseudo_text_embedding_col(F.col("text")).alias("embedding"))
+    out = {r["doc_id"]: r for r in alignment_scores(
+        selfpairs, "text", "embedding", threshold=0.99).collect()}
+    assert out[1]["alignment"] == 1.0 and out[1]["keep"]
+    assert out[2]["alignment"] == 1.0 and out[2]["keep"]
+    # mismatched pair (shifted embedding) scores below the identity
+    cross = caps.where("doc_id = 1").select(
+        "doc_id", "text",
+        pseudo_text_embedding_col(F.lit("unrelated caption"))
+        .alias("embedding"))
+    low = alignment_scores(cross, "text", "embedding",
+                           threshold=0.99).collect()[0]
+    assert low["alignment"] < 0.5 and not low["keep"]
+    assert ALIGN_DIM == 64
