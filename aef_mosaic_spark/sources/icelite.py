@@ -269,7 +269,8 @@ class Icelite:
 
     def merge(self, spark: SparkSession, updates: DataFrame,
               key_cols: list[str], partition_by: list[str] | None = None,
-              compression: str = "zstd") -> int:
+              compression: str = "zstd",
+              filters: dict | None = None) -> int:
         """Copy-on-write MERGE (Iceberg MERGE INTO semantics): rows
         whose key matches an `updates` row are replaced by it;
         unmatched update rows are inserted. Only the FILES that
@@ -294,7 +295,13 @@ class Icelite:
             return self.append(updates, partition_by,
                                compression=compression)
         snap_id = parent + 1
-        cur = self.read(spark).withColumn("_file", F.input_file_name())
+        # filters={key: (lo, hi)} bounds the update keys: the affected-
+        # file DISCOVERY scan then prunes on manifest stats and never
+        # opens files outside the range (a clustered table — see
+        # compact(cluster_by=) — makes this the dominant saving: a
+        # merge touching one key range reads one key range)
+        cur = (self.read(spark, filters=filters)
+               .withColumn("_file", F.input_file_name()))
         upd_keys = updates.select(*key_cols).distinct()
         aff_files = [r["_file"] for r in
                      cur.join(upd_keys, key_cols, "leftsemi")

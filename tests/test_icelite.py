@@ -690,3 +690,16 @@ def test_compact_cluster_by_tightens_stats(spark, tmp_path):
     assert 0 < len(pruned) < len(narrow)
     assert t.read(spark, filters={"id": (10, 20)}).where(
         "id BETWEEN 10 AND 20").count() == 11
+
+
+def test_merge_with_filter_pruned_discovery(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(1000).selectExpr("id", "'v' || id AS v")
+             .repartition(1))
+    t.compact(spark, target_files=8, cluster_by=["id"])
+    upd = spark.createDataFrame([(42, "FIXED")], "id long, v string")
+    t.merge(spark, upd, ["id"], filters={"id": (42, 42)})
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 1000 and got[42] == "FIXED" and got[41] == "v41"
+    # the clustered layout means only ONE file was rewritten
+    assert t.snapshot()["summary"]["rewritten_files"] == 1
