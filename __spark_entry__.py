@@ -1432,6 +1432,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.ann_cosine_ivfpq(qs, items, k=5, dim=64)
     q["q90_ann_cosine_ivfpq"] = q90_ann_cosine_ivfpq
 
+    def q92_quality_keep_policy(spark, sf):
+        # the end-to-end dedup DECISION: near-dup clusters (q73
+        # machinery) x model-based quality (q85) -> keep the highest-
+        # quality member of every cluster (ties -> min id). This is
+        # what a curation pipeline actually emits: one keep bit per
+        # row, quality-aware instead of min-id-wins.
+        from pyspark.sql import Window
+        d = _pq(spark, sf, "documents").where("doc_id % 7 < 2")
+        cc = D.near_duplicate_clusters(d, "doc_id", "text",
+                                       threshold=0.8, k=16, bands=4)
+        scored = d.select(
+            "doc_id", T.quality_classifier_col(F.col("text")).alias("q_score"))
+        j = cc.join(scored, "doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("q_score").desc(), F.col("doc_id").asc())
+        return j.select(
+            "doc_id", "cluster_id", "q_score",
+            (F.row_number().over(w) == 1).cast("int").alias("keep"))
+    q["q92_quality_keep_policy"] = q92_quality_keep_policy
+
     def q91_crossmodal_alignment(spark, sf):
         # CLIP-score-shape image-caption alignment filter: caption
         # embedding from the declared deterministic stub encoder (md5
@@ -1508,6 +1528,7 @@ _MUST_VERIFY = [
     "q89_merge_captions",
     "q90_ann_cosine_ivfpq",
     "q91_crossmodal_alignment",
+    "q92_quality_keep_policy",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2253,6 +2274,28 @@ def oracle_sql() -> dict[str, str]:
     # q75's oracle IS q73's full-recompute closure: incremental must
     # equal full recompute exactly
     o["q75_incremental_clusters"] = o["q73_near_dup_clusters"]
+
+    from aef_mosaic_spark.functions.text import quality_classifier_sql
+    _qc92 = quality_classifier_sql("text")
+    o["q92_quality_keep_policy"] = f"""
+    WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({_p23})),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+    n AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 7 < 2),
+    reach(id, label) AS (
+        SELECT id, id FROM n
+      UNION
+        SELECT e.dst, r.label FROM e JOIN reach r ON r.id = e.src
+    ),
+    cl AS (SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+           FROM reach GROUP BY id),
+    sc AS (SELECT doc_id, {_qc92} AS q_score
+           FROM documents WHERE doc_id % 7 < 2)
+    SELECT doc_id, cluster_id, q_score,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY q_score DESC, doc_id) = 1)::INT AS keep
+    FROM cl JOIN sc USING (doc_id)
+    """
 
     from aef_mosaic_spark.functions.geo import (
         haversine_km_sql, initial_bearing_deg_sql,

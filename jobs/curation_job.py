@@ -1,0 +1,167 @@
+"""Corpus curation job — the spark-submit surface for the full
+training-data assembly pipeline over a text corpus (the caption/text
+side of the image+caption table; mosaic_job and dedup_job's sibling).
+
+Stages (each optional via flags, all pure DataFrame ops):
+
+  1. quality   — fixed-weight logistic quality model (functions/text),
+                 drop rows under --min-quality
+  2. pii       — redact emails/phones/IPv4 in place (RE2-safe)
+  3. spans     — duplicated n-gram span stats; drop rows whose
+                 duplicated-gram ratio exceeds --max-dup-ratio
+  4. dedup     — near-dup clusters (MinHash-LSH -> verify -> CC),
+                 keep the HIGHEST-QUALITY member per cluster
+  5. mixture   — per-domain token budgets (h32-ordered greedy fill)
+
+Commits the surviving rows as an icelite table (zstd), optionally
+tagged, with a per-stage row-count funnel in the snapshot summary and
+ONE metrics JSON line on stdout.
+
+    spark-submit --master local[16] --driver-memory 16g \
+      --py-files dist/engine.zip jobs/curation_job.py \
+      --input /root/testdata/sf0.1/documents.parquet \
+      --id-col doc_id --text-col text --domain-col source \
+      --min-quality 0.4 --max-dup-ratio 0.6 --dedup \
+      --budget src0=20000 --budget src1=20000 --default-budget 5000 \
+      --tag dataset-v1 --output /tmp/curated
+
+Scale notes: every stage is a filter/groupBy/window over the corpus —
+no collect() of row-sized data, no Python UDFs; the only iterative
+piece is connected components (localCheckpoint per round). The funnel
+numbers come from ONE count per enabled stage (each a cheap
+count-aggregate job over the cached frame).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_budgets(items: list[str]) -> dict[str, int]:
+    out = {}
+    for it in items:
+        k, _, v = it.partition("=")
+        if not _ or not v.isdigit():
+            raise SystemExit(f"--budget expects NAME=TOKENS, got {it!r}")
+        out[k] = int(v)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True,
+                    help="icelite table path for the curated corpus")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--domain-col", default="source")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="drop rows with quality_classifier < X")
+    ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--max-dup-ratio", type=float, default=None,
+                    help="drop rows whose duplicated 8-gram ratio > X")
+    ap.add_argument("--dedup", action="store_true",
+                    help="near-dup clusters; keep best-quality member")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--budget", action="append", default=[],
+                    metavar="DOMAIN=TOKENS")
+    ap.add_argument("--default-budget", type=int, default=0)
+    ap.add_argument("--tag", default=None,
+                    help="tag the committed snapshot (immutable ref)")
+    args = ap.parse_args(argv)
+    budgets = _parse_budgets(args.budget)
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.functions import text as T
+    from aef_mosaic_spark.operators import dedup as D
+    from aef_mosaic_spark.operators.sampling import token_budget_mixture
+    from aef_mosaic_spark.operators.spans import duplicated_span_stats
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    spark = SparkSession.builder.getOrCreate()
+    t0 = time.time()
+    idc, txt = args.id_col, args.text_col
+
+    _prev = []
+
+    def _stage(d, name, funnel):
+        # cache each stage boundary: funnel counts and downstream
+        # stages reuse the materialized frame instead of recomputing
+        # the whole lineage per count (and CC's localCheckpoint keeps
+        # the plan short); previous stage cache is dropped eagerly
+        d = d.persist()
+        funnel[name] = d.count()
+        while _prev:
+            _prev.pop().unpersist()
+        _prev.append(d)
+        return d
+
+    funnel: dict[str, int] = {}
+    df = _stage(spark.read.parquet(args.input), "input", funnel)
+
+    df = df.withColumn("q_score",
+                       T.quality_classifier_col(F.col(txt)))
+    if args.min_quality is not None:
+        df = _stage(df.where(F.col("q_score") >= args.min_quality),
+                    "after_quality", funnel)
+
+    if args.redact_pii:
+        df = df.withColumn(txt, T.pii_redact_col(F.col(txt)))
+
+    if args.max_dup_ratio is not None:
+        spans = duplicated_span_stats(df, idc, txt, n=8)
+        bad = spans.where(F.col("dup_ratio") > args.max_dup_ratio) \
+                   .select(F.col(idc))
+        df = _stage(df.join(bad, idc, "left_anti"),
+                    "after_spans", funnel)
+
+    if args.dedup:
+        cc = D.near_duplicate_clusters(df, idc, txt,
+                                       threshold=args.threshold)
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("q_score").desc(), F.col(idc).asc())
+        keep = (df.select(idc, "q_score").join(cc, idc)
+                .withColumn("_rn", F.row_number().over(w))
+                .where("_rn = 1").select(idc))
+        df = _stage(df.join(keep, idc, "left_semi"),
+                    "after_dedup", funnel)
+
+    if budgets or args.default_budget:
+        kept = token_budget_mixture(df, idc, args.domain_col, txt,
+                                    budgets, args.default_budget)
+        df = _stage(df.join(kept.select(idc), idc, "left_semi"),
+                    "after_mixture", funnel)
+
+    funnel["output"] = funnel[list(funnel)[-1]]
+    table = Icelite(args.output)
+    snap = table.append(
+        df,
+        properties={"input": args.input,
+                    "pipeline": "quality/pii/spans/dedup/mixture"},
+        summary={"operation": "curate", "funnel": funnel})
+    if args.tag:
+        table.tag(args.tag, snapshot_id=snap)
+    wall = time.time() - t0
+    print(json.dumps({
+        "snapshot_id": snap,
+        "wall_s": round(wall, 3),
+        "funnel": funnel,
+        "docs_per_sec": round(funnel["input"] / wall, 1),
+        "tag": args.tag,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

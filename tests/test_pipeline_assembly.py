@@ -182,3 +182,49 @@ def test_crossmodal_alignment_identity_and_threshold(spark):
                            threshold=0.99).collect()[0]
     assert low["alignment"] < 0.5 and not low["keep"]
     assert ALIGN_DIM == 64
+
+
+def test_curation_job_end_to_end(spark, tmp_path):
+    """The full curation CLI pipeline as a library call: funnel is
+    monotone non-increasing, every stage leaves a count, the committed
+    table matches the funnel tail, and the tag pins the snapshot."""
+    import json
+
+    from jobs.curation_job import main
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    src = str(tmp_path / "docs.parquet")
+    base = ["the quick brown fox jumps over the lazy dog today",
+            "@@ ## $$ %% ^^ && ** (( ))"]  # junk fails min-quality
+    rows = []
+    for i in range(60):
+        text = base[0] + f" extra {i}" if i % 3 else base[0]  # dups
+        if i % 10 == 9:
+            text = base[1]
+        rows.append((i, "A" if i % 2 else "B", text))
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "curated")
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", src, "--output", out,
+                   "--min-quality", "0.4", "--redact-pii",
+                   "--max-dup-ratio", "1.1",  # keep all (stats still run)
+                   "--dedup", "--threshold", "0.8",
+                   "--budget", "A=200", "--budget", "B=200",
+                   "--tag", "v1"])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    f = m["funnel"]
+    order = ["input", "after_quality", "after_spans", "after_dedup",
+             "after_mixture", "output"]
+    vals = [f[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert f["input"] == 60
+    assert f["after_quality"] == 54          # the 6 junk docs dropped
+    assert f["after_dedup"] < f["after_spans"]  # dup cluster collapsed
+    t = Icelite(out)
+    assert t.read(spark).count() == f["output"]
+    assert t.tags() == {"v1": m["snapshot_id"]}
