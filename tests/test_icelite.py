@@ -703,3 +703,29 @@ def test_merge_with_filter_pruned_discovery(spark, tmp_path):
     assert len(got) == 1000 and got[42] == "FIXED" and got[41] == "v41"
     # the clustered layout means only ONE file was rewritten
     assert t.snapshot()["summary"]["rewritten_files"] == 1
+
+
+def test_maintenance_job_composes_actions(spark, tmp_path):
+    import contextlib
+    import io
+    import json
+
+    from jobs.maintenance_job import main
+    t = Icelite(str(tmp_path / "t"))
+    for lo in (0, 100, 200, 300):
+        t.append(spark.range(lo, lo + 50).selectExpr("id"), )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--table", str(tmp_path / "t"), "--compact",
+                   "--target-files", "2", "--cluster-by", "id",
+                   "--tag", "weekly", "--expire-keep-last", "1",
+                   "--remove-orphans"])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["compacted_snapshot"] == 6       # 4 appends + overwrite pair
+    assert m["files_after_compact"] == 2
+    assert m["tagged"] == {"weekly": 6}
+    assert m["expired"]["snapshots"] >= 4     # pre-compact history gone
+    assert m["orphans_removed"] == 0          # expiry already deleted data
+    assert t.read(spark).count() == 200
+    assert t.read_tag(spark, "weekly").count() == 200
