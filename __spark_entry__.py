@@ -1432,6 +1432,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.ann_cosine_ivfpq(qs, items, k=5, dim=64)
     q["q90_ann_cosine_ivfpq"] = q90_ann_cosine_ivfpq
 
+    def q93_token_estimators(spark, sf):
+        # token-count estimators for budget math: whitespace tokens
+        # vs the BPE-ish pre-tokenizer (GPT-2 pattern shape, lookahead
+        # dropped for RE2); ratio rounded 6dp
+        d = _pq(spark, sf, "documents")
+        n_ws = T.token_count_col(F.col("text"))
+        n_bpe = T.bpe_pretoken_count_col(F.col("text"))
+        return d.select(
+            "doc_id", n_ws.alias("n_ws"), n_bpe.alias("n_bpe"),
+            F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 6).alias("bpe_ratio"))
+    q["q93_token_estimators"] = q93_token_estimators
+
     def q92_quality_keep_policy(spark, sf):
         # the end-to-end dedup DECISION: near-dup clusters (q73
         # machinery) x model-based quality (q85) -> keep the highest-
@@ -1529,6 +1541,7 @@ _MUST_VERIFY = [
     "q90_ann_cosine_ivfpq",
     "q91_crossmodal_alignment",
     "q92_quality_keep_policy",
+    "q93_token_estimators",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2432,6 +2445,14 @@ def oracle_sql() -> dict[str, str]:
     o["q17b_ann_cosine_ivf"] = _ann_ivf_sql()
     o["q80_ann_cosine_pq"] = _ann_pq_sql()
     o["q90_ann_cosine_ivfpq"] = _ann_ivfpq_sql()
+    o["q93_token_estimators"] = f"""
+    SELECT doc_id,
+           {T.token_count_sql('text')}::INT AS n_ws,
+           {T.bpe_pretoken_count_sql('text')} AS n_bpe,
+           round({T.bpe_pretoken_count_sql('text')}::DOUBLE
+                 / greatest({T.token_count_sql('text')}, 1), 6) AS bpe_ratio
+    FROM documents
+    """
     from aef_mosaic_spark.functions.multimodal import pseudo_text_embedding_sql
     o["q91_crossmodal_alignment"] = f"""
     WITH p AS (

@@ -380,3 +380,29 @@ def pii_redact_sql(t: str) -> str:
     for _, pat, repl in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------
+# BPE-ish pre-tokenization count
+# ---------------------------------------------------------------------
+# The GPT-2 pre-tokenizer pattern shape (Radford et al. 2019, public):
+# contractions, optionally-space-prefixed letter runs, digit runs, and
+# punctuation runs. The upstream pattern's trailing-space lookahead is
+# dropped (RE2 — hence DuckDB — has no lookahead); whitespace itself
+# is not counted as a token. This is the "how many tokens will the
+# tokenizer roughly see" estimator used for budget math — a real BPE
+# merge table would only split these pre-tokens further.
+
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_pretoken_count_col(text: Column) -> Column:
+    return F.regexp_count(F.lower(text),
+                          F.lit(BPE_PRETOKEN_PATTERN)).cast("int")
+
+
+def bpe_pretoken_count_sql(t: str) -> str:
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")  # SQL-literal escape
+    return f"len(regexp_extract_all(lower({t}), '{pat}'))::INT"

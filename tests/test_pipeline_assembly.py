@@ -228,3 +228,14 @@ def test_curation_job_end_to_end(spark, tmp_path):
     t = Icelite(out)
     assert t.read(spark).count() == f["output"]
     assert t.tags() == {"v1": m["snapshot_id"]}
+
+
+def test_bpe_pretoken_count(spark):
+    from aef_mosaic_spark.functions.text import bpe_pretoken_count_col
+    rows = [(1, "it's we're they'll"),      # 6: 3 words + 3 contractions
+            (2, "hello,world"),             # 3: hello , world
+            (3, "abc 123 !!")]              # 3: letters digits punct
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", bpe_pretoken_count_col(F.col("text")).alias("n")).collect()}
+    assert got == {1: 6, 2: 3, 3: 3}
