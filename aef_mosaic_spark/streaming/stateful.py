@@ -123,3 +123,48 @@ def streaming_mosaic_mean(patches: DataFrame, grid) -> DataFrame:
         .applyInPandasWithState(
             fn, outputStructType=out_schema, stateStructType=state_schema,
             outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def streaming_token_budget_admission(df: DataFrame, id_col: str,
+                                     domain_col: str, text_col: str,
+                                     budgets: dict[str, int],
+                                     default_budget: int = 0) -> DataFrame:
+    """Streaming corpus admission: documents arriving on a stream are
+    admitted into the training corpus until their domain's token
+    budget fills — the applyInPandasWithState twin of
+    sampling.token_budget_mixture. State per domain = tokens admitted
+    so far; admission is greedy in (batch, id) order (a stream has no
+    h32 global order — the batch operator is the reproducible-corpus
+    path, this is the live-ingest path) with the same overshoot-
+    at-most-one-doc rule. Admitted rows are final (append output mode,
+    never retracted) — the exactly-once property downstream consumers
+    need.
+    """
+    out_schema = (f"{id_col} long, {domain_col} string, "
+                  f"n_tok long, cum_tokens long")
+    state_schema = "admitted long"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        dom = key[0]
+        budget = int(budgets.get(dom, default_budget))
+        admitted = int(state.get[0]) if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(id_col, kind="stable")
+        toks = batch[text_col].str.split().str.len().astype("int64")
+        cum_before = admitted + toks.cumsum() - toks
+        mask = cum_before < budget
+        kept = batch.loc[mask]
+        ktoks = toks.loc[mask]
+        out = pd.DataFrame({
+            id_col: kept[id_col].astype("int64"),
+            domain_col: dom,
+            "n_tok": ktoks,
+            "cum_tokens": (cum_before.loc[mask] + ktoks).astype("int64"),
+        })
+        admitted = int(out["cum_tokens"].iloc[-1]) if len(out) else admitted
+        state.update((admitted,))
+        yield out
+
+    return df.groupBy(domain_col).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

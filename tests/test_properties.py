@@ -4,7 +4,7 @@ property testing; these pin the invariants its production bug class
 lived in: round-trips, top-down conventions, containment)."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from aef_mosaic_spark import cells, proj
@@ -145,3 +145,31 @@ def test_token_bucket_invariants(rate, cap_mult, costs, gaps):
     paid = sum(costs)
     # refill is capped, so paid <= cap + elapsed*rate always holds
     assert paid <= cap + elapsed * rate + 1e-6 * max(1.0, paid)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from("abcdefg"), min_size=1,
+                         max_size=12), min_size=1, max_size=6))
+def test_span_stats_gram_count_law(spark, docs):
+    """For ANY corpus: n_grams == len - n + 1 per doc (docs shorter
+    than n absent), 0 <= n_dup <= n_grams, first_dup_pos in
+    [-1, n_grams), and a doc duplicated verbatim has dup_ratio 1."""
+    from aef_mosaic_spark.operators.spans import duplicated_span_stats
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # plant a verbatim duplicate of doc 0 when it's long enough
+    rows.append((1000, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, "doc_id", "text", n=n).collect()}
+    for i, toks in enumerate(docs):
+        if len(toks) < n:
+            assert i not in out
+            continue
+        r = out[i]
+        assert r["n_grams"] == len(toks) - n + 1
+        assert 0 <= r["n_dup"] <= r["n_grams"]
+        assert -1 <= r["first_dup_pos"] < r["n_grams"]
+    if len(docs[0]) >= n:
+        assert out[1000]["dup_ratio"] == 1.0  # verbatim twin all-dup

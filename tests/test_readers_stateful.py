@@ -104,3 +104,34 @@ def test_streaming_running_stats(spark, tmp_path):
     assert final[1].n == 3 and final[1].total == 6.0 and final[1].mx == 3.0
     assert final[2].n == 2 and final[2].total == 12.0 and final[2].mx == 7.0
     q.stop()
+
+
+def test_streaming_token_budget_admission(spark, tmp_path):
+    from aef_mosaic_spark.streaming.stateful import (
+        streaming_token_budget_admission)
+    # 3 files -> 3 microbatches; domain A budget 10 tokens fills
+    # mid-stream, B never fills
+    rows = []
+    for i in range(9):
+        rows.append((i, "A" if i % 2 == 0 else "B", "w x y z"))  # 4 tokens
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, source string, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (streaming_token_budget_admission(stream, "doc_id", "source", "text",
+                                          {"A": 10, "B": 1000})
+         .writeStream.format("memory").queryName("admit_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM admit_t").collect()
+    a = sorted(r.doc_id for r in got if r.source == "A")
+    b = sorted(r.doc_id for r in got if r.source == "B")
+    # A: 5 docs x 4 tokens, budget 10 -> admits until >= 10: 3 docs
+    assert len(a) == 3
+    # overshoot bound: max cum <= budget + one doc
+    assert max(r.cum_tokens for r in got if r.source == "A") <= 10 + 4
+    assert b == [1, 3, 5, 7]                 # B admits everything
+    # no doc admitted twice (exactly-once)
+    assert len(set(r.doc_id for r in got)) == len(got)
+    q.stop()
