@@ -1432,6 +1432,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.ann_cosine_ivfpq(qs, items, k=5, dim=64)
     q["q90_ann_cosine_ivfpq"] = q90_ann_cosine_ivfpq
 
+    def q94_ann_ivfpq_adc(spark, sf):
+        # IVF+PQ with TRUE ADC lookup tables: per-query m x ksub
+        # distance table once, per-candidate distance = m lookups
+        # (O(m), not O(dim)) — the probe inner loop that serves 10^12
+        # vectors; partial-sum order mirrored in the oracle
+        e = _pq(spark, sf, "embeddings")
+        qs = e.where("vec_id < 20").selectExpr("vec_id AS query_id",
+                                               "embedding")
+        items = e.selectExpr("vec_id AS item_id", "embedding")
+        return K.ann_cosine_ivfpq_adc(qs, items, k=5, dim=64)
+    q["q94_ann_ivfpq_adc"] = q94_ann_ivfpq_adc
+
     def q93_token_estimators(spark, sf):
         # token-count estimators for budget math: whitespace tokens
         # vs the BPE-ish pre-tokenizer (GPT-2 pattern shape, lookahead
@@ -1542,6 +1554,7 @@ _MUST_VERIFY = [
     "q91_crossmodal_alignment",
     "q92_quality_keep_policy",
     "q93_token_estimators",
+    "q94_ann_ivfpq_adc",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2445,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
     o["q17b_ann_cosine_ivf"] = _ann_ivf_sql()
     o["q80_ann_cosine_pq"] = _ann_pq_sql()
     o["q90_ann_cosine_ivfpq"] = _ann_ivfpq_sql()
+    o["q94_ann_ivfpq_adc"] = _ann_ivfpq_adc_sql()
     o["q93_token_estimators"] = f"""
     SELECT doc_id,
            {T.token_count_sql('text')}::INT AS n_ws,
@@ -2702,6 +2716,101 @@ def _ann_ivfpq_sql(n_lists: int = 16, n_probe: int = 4, m: int = 4,
                JOIN recon r ON ila.vec_id = r.vec_id
                JOIN u q ON qa.query_id = q.vec_id
           WHERE qa.query_id <> r.vec_id)
+    SELECT query_id, item_id, rank FROM (
+      SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, item_id) AS rank
+      FROM d) WHERE rank <= {k}
+    """
+
+
+def _ann_ivfpq_adc_sql(n_lists: int = 16, n_probe: int = 4, m: int = 4,
+                       ksub: int = 8, k: int = 5, dim: int = 64) -> str:
+    """SQL twin of knn.ann_cosine_ivfpq_adc: identical coarse + PQ
+    CTEs, but the distance is the ADC partial-sum — per-subspace
+    9dp-quantized L2 of (query slice, CHOSEN codeword), summed in
+    subspace order (ordered array_agg -> list_reduce mirrors Spark's
+    left-to-right lut0+lut1+lut2+lut3), floor-6dp on the sum."""
+    dsub = dim // m
+    h = h32_sql("vec_id::VARCHAR")
+
+    def l2q(a, b):
+        return (f"floor(list_reduce(list_transform("
+                f"generate_series(1, {dsub}), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+                f"(x, y) -> x + y) * 1e9 + 0.5e0) / 1e9")
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cseeds AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS list, v
+               FROM e ORDER BY {h}, vec_id LIMIT {n_lists}),
+    ca0 AS (SELECT vec_id, v, list FROM (
+        SELECT e.vec_id, e.v, s.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.v) DESC, s.list) AS rk
+        FROM e, cseeds s) WHERE rk = 1),
+    cdims AS (SELECT ca0.list, d.dim, ca0.v[d.dim] AS val
+              FROM ca0, (SELECT unnest(generate_series(1, {dim})) AS dim) d),
+    crefined AS (SELECT list, array_agg(round(mv, 6) ORDER BY dim) AS v
+                 FROM (SELECT list, dim, avg(val) AS mv FROM cdims
+                       GROUP BY 1, 2) GROUP BY list),
+    cents AS (SELECT s.list, coalesce(r.v, s.v) AS v
+              FROM cseeds s LEFT JOIN crefined r USING (list)),
+    ila AS (SELECT vec_id, list FROM (
+        SELECT e.vec_id, c.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list) AS rk
+        FROM e, cents c) WHERE rk = 1),
+    qa AS (SELECT vec_id AS query_id, list FROM (
+        SELECT e.vec_id, c.list,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.list) AS rk
+        FROM e, cents c WHERE e.vec_id < 20) WHERE rk <= {n_probe}),
+    nrm AS MATERIALIZED (SELECT vec_id, v,
+          sqrt(list_reduce(list_transform(v, x -> x * x),
+                           (a, b) -> a + b)) AS n FROM e),
+    u AS MATERIALIZED (SELECT vec_id,
+          list_transform(v, x -> x / greatest(n, 1e-12)) AS v FROM nrm),
+    seeds AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, v
+              FROM u ORDER BY {h}, vec_id LIMIT {ksub}),
+    js AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    subs AS MATERIALIZED (SELECT vec_id, sub,
+          v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv FROM u, js),
+    sseeds AS MATERIALIZED (SELECT c, sub,
+          v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv FROM seeds, js),
+    a0 AS (SELECT vec_id, sub, c FROM (
+        SELECT s.vec_id, s.sub, ss.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {l2q('s.sv', 'ss.sv')}, ss.c) AS rk
+        FROM subs s JOIN sseeds ss ON s.sub = ss.sub) WHERE rk = 1),
+    dims AS (SELECT a0.sub, a0.c, d.dim, s.sv[d.dim] AS val
+             FROM a0 JOIN subs s ON a0.vec_id = s.vec_id
+              AND a0.sub = s.sub,
+             (SELECT unnest(generate_series(1, {dsub})) AS dim) d),
+    refined AS (SELECT sub, c, array_agg(round(mv, 6) ORDER BY dim) AS sv
+                FROM (SELECT sub, c, dim, avg(val) AS mv FROM dims
+                      GROUP BY 1, 2, 3) GROUP BY sub, c),
+    cb AS MATERIALIZED (SELECT ss.sub, ss.c, coalesce(r.sv, ss.sv) AS sv
+          FROM sseeds ss LEFT JOIN refined r
+            ON ss.sub = r.sub AND ss.c = r.c),
+    enc AS (SELECT vec_id, sub, c FROM (
+        SELECT s.vec_id, s.sub, cb.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {l2q('s.sv', 'cb.sv')}, cb.c) AS rk
+        FROM subs s JOIN cb ON s.sub = cb.sub) WHERE rk = 1),
+    -- ADC: per-(query,item) subspace distances of the CHOSEN codeword
+    dsub_ AS (SELECT qa.query_id, ila.vec_id AS item_id, en.sub,
+          {l2q('qs.sv', 'cb.sv')} AS dv
+          FROM qa JOIN ila ON qa.list = ila.list
+               JOIN enc en ON en.vec_id = ila.vec_id
+               JOIN subs qs ON qs.vec_id = qa.query_id
+                AND qs.sub = en.sub
+               JOIN cb ON cb.sub = en.sub AND cb.c = en.c
+          WHERE qa.query_id <> ila.vec_id),
+    d AS (SELECT query_id, item_id,
+          floor(list_reduce(array_agg(dv ORDER BY sub),
+                            (x, y) -> x + y) * 1e6 + 0.5e0) / 1e6 AS dist
+          FROM dsub_ GROUP BY query_id, item_id)
     SELECT query_id, item_id, rank FROM (
       SELECT query_id, item_id,
              row_number() OVER (PARTITION BY query_id

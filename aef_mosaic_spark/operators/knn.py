@@ -449,3 +449,71 @@ def ann_cosine_ivfpq(queries: DataFrame, items: DataFrame, k: int, dim: int,
                                          F.col(i_id).asc())
     return (cand.select(q_id, i_id, F.row_number().over(w).alias("rank"))
             .where(F.col("rank") <= k))
+
+
+def ann_cosine_ivfpq_adc(queries: DataFrame, items: DataFrame, k: int,
+                         dim: int, q_id: str = "query_id",
+                         i_id: str = "item_id", vec: str = "embedding",
+                         n_lists: int = 16, n_probe: int = 4, m: int = 4,
+                         ksub: int = 8,
+                         centroids: list[list[float]] | None = None,
+                         books: list | None = None) -> DataFrame:
+    """IVF+PQ with true ADC lookup tables (Jégou et al. 2011 §IV):
+    each query precomputes the m x ksub table of subspace distances
+    to every codeword ONCE (32 values at the defaults, on the tiny
+    broadcast side); each candidate's distance is then m table
+    LOOKUPS summed — not a dim-wide array scan. Per-candidate work
+    drops from O(dim) to O(m) (16x at 64-dim/4-sub), which is the
+    entire point of PQ at 10^12 scale: the probe's inner loop never
+    touches a full vector.
+
+    Distance semantics: sum over subspaces of the 9dp-quantized
+    subspace L2 (same quantization the ENCODE path uses), final sum
+    quantized to 6dp. This differs from ann_cosine_ivfpq's single
+    64-dim fold only in summation structure (4 partials vs one fold)
+    — values agree except at sub-ulp floor boundaries; the SQL twin
+    mirrors the partial-sum structure exactly (ordered list_reduce).
+    """
+    dsub = dim // m
+    if centroids is None:
+        centroids = ivf_centroids(items.select(i_id, vec), vec,
+                                  n_lists, dim)
+    it_u = unit_normalized(items.select(F.col(i_id), F.col(vec)),
+                           vec, "_uv")
+    if books is None:
+        books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv", dim, m, ksub)
+    # item side: coarse list + m int codes (NO reconstruction arrays)
+    il = _assign_lists(items.select(F.col(i_id), F.col(vec).alias("_cv")),
+                       "_cv", centroids, "_il", 1)
+    il = il.select(i_id, F.element_at("_il", 1).alias("_list"))
+    enc = it_u.select(i_id, *[F.slice("_uv", j * dsub + 1, dsub)
+                              .alias(f"_s{j}") for j in range(m)])
+    codes = []
+    for j in range(m):
+        dists = F.array(*[_l2_to_lit(F.col(f"_s{j}"), c) for c in books[j]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int").alias(f"_c{j}"))
+    it = enc.select(i_id, *codes).join(il, i_id)
+    # query side: probe lists + the ADC table (m arrays of ksub dists)
+    qs = unit_normalized(queries.select(F.col(q_id), F.col(vec)),
+                         vec, "_qv")
+    qs = qs.select(q_id, *[F.slice("_qv", j * dsub + 1, dsub)
+                           .alias(f"_q{j}") for j in range(m)])
+    luts = [F.array(*[_l2_to_lit(F.col(f"_q{j}"), c) for c in books[j]])
+            .alias(f"_lut{j}") for j in range(m)]
+    qs = qs.select(q_id, *luts)
+    ql = _assign_lists(queries.select(F.col(q_id), F.col(vec).alias("_cv")),
+                       "_cv", centroids, "_ql", n_probe)
+    ql = ql.select(q_id, F.explode("_ql").alias("_list"))
+    qj = F.broadcast(ql.join(qs, q_id))
+    d = sum((F.element_at(F.col(f"_lut{j}"), F.col(f"_c{j}") + 1)
+             for j in range(1, m)),
+            F.element_at(F.col("_lut0"), F.col("_c0") + 1))
+    cand = (qj.join(it, "_list")
+            .where(F.col(q_id) != F.col(i_id))
+            .select(q_id, i_id,
+                    (F.floor(d * 1e6 + 0.5) / 1e6).alias("_d")))
+    w = Window.partitionBy(q_id).orderBy(F.col("_d").asc(),
+                                         F.col(i_id).asc())
+    return (cand.select(q_id, i_id, F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k))

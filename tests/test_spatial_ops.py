@@ -388,3 +388,21 @@ def test_ann_ivfpq_full_probe_equals_pq(spark):
     hits = sum(part_nn.get(kq) // 15 == v // 15
                for kq, v in exact_nn.items())
     assert hits == len(exact_nn)  # cluster recall under partial probe
+
+
+def test_ann_ivfpq_adc_equals_recon_variant(spark):
+    """ADC lookup-table distances rank identically to the recon-based
+    composite on the fixture corpus (values agree except at sub-ulp
+    floor boundaries, none of which occur here)."""
+    rng = np.random.RandomState(13)
+    centers = rng.randn(8, 16) * 3
+    vecs = np.vstack([c + rng.randn(15, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(120),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::30].rename(columns={"item_id": "query_id"})
+    sq, si = spark.createDataFrame(qs), spark.createDataFrame(items)
+    recon = K.ann_cosine_ivfpq(sq, si, k=3, dim=16, n_lists=4,
+                               n_probe=2, m=4, ksub=8).collect()
+    adc = K.ann_cosine_ivfpq_adc(sq, si, k=3, dim=16, n_lists=4,
+                                 n_probe=2, m=4, ksub=8).collect()
+    assert sorted(map(tuple, recon)) == sorted(map(tuple, adc))
