@@ -1444,6 +1444,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.ann_cosine_ivfpq_adc(qs, items, k=5, dim=64)
     q["q94_ann_ivfpq_adc"] = q94_ann_ivfpq_adc
 
+    def q95_ann_index_probe(spark, sf):
+        # the PRODUCTION ANN split: codes persisted once as an
+        # icelite table partitioned by coarse list (codebooks in
+        # snapshot properties), probe = partition-pruned code scan +
+        # ADC lookups; must equal q94's direct computation, so the
+        # oracle IS the ADC SQL
+        import tempfile
+
+        e = _pq(spark, sf, "embeddings")
+        qs = e.where("vec_id < 20").selectExpr("vec_id AS query_id",
+                                               "embedding")
+        items = e.selectExpr("vec_id AS item_id", "embedding")
+        base = tempfile.mkdtemp(prefix="q95_ivfpq_")
+        K.build_ivfpq_index(items, f"{base}/idx", dim=64)
+        return K.probe_ivfpq_index(qs, f"{base}/idx", k=5)
+    q["q95_ann_index_probe"] = q95_ann_index_probe
+
     def q93_token_estimators(spark, sf):
         # token-count estimators for budget math: whitespace tokens
         # vs the BPE-ish pre-tokenizer (GPT-2 pattern shape, lookahead
@@ -1555,6 +1572,7 @@ _MUST_VERIFY = [
     "q92_quality_keep_policy",
     "q93_token_estimators",
     "q94_ann_ivfpq_adc",
+    "q95_ann_index_probe",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2459,6 +2477,9 @@ def oracle_sql() -> dict[str, str]:
     o["q80_ann_cosine_pq"] = _ann_pq_sql()
     o["q90_ann_cosine_ivfpq"] = _ann_ivfpq_sql()
     o["q94_ann_ivfpq_adc"] = _ann_ivfpq_adc_sql()
+    # q95 persists the index then probes; the result must equal the
+    # direct ADC computation, so the oracle is the same SQL
+    o["q95_ann_index_probe"] = _ann_ivfpq_adc_sql()
     o["q93_token_estimators"] = f"""
     SELECT doc_id,
            {T.token_count_sql('text')}::INT AS n_ws,

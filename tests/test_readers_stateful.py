@@ -135,3 +135,33 @@ def test_streaming_token_budget_admission(spark, tmp_path):
     # no doc admitted twice (exactly-once)
     assert len(set(r.doc_id for r in got)) == len(got)
     q.stop()
+
+
+def test_streaming_stateless_quality_and_pii(spark, tmp_path):
+    """The curation Column exprs (quality model, PII redaction) run
+    unchanged on a structured stream — stateless codegen stages need
+    no stream-specific variant."""
+    import pandas as pd
+
+    from aef_mosaic_spark.functions.text import (pii_redact_col,
+                                                 quality_classifier_col)
+    from pyspark.sql import functions as F
+    rows = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox mails bob@example.com daily today",
+                 "@@ ## $$ %%"],
+    })
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = stream.select(
+        "doc_id",
+        quality_classifier_col(F.col("text")).alias("q"),
+        pii_redact_col(F.col("text")).alias("red"))
+    q = (out.writeStream.format("memory").queryName("cur_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM cur_t").collect()}
+    assert got[1].q >= 0.5 > got[2].q
+    assert "<EMAIL>" in got[1].red and "@" not in got[1].red.replace("<EMAIL>", "")
+    q.stop()

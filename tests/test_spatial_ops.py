@@ -406,3 +406,27 @@ def test_ann_ivfpq_adc_equals_recon_variant(spark):
     adc = K.ann_cosine_ivfpq_adc(sq, si, k=3, dim=16, n_lists=4,
                                  n_probe=2, m=4, ksub=8).collect()
     assert sorted(map(tuple, recon)) == sorted(map(tuple, adc))
+
+
+def test_persisted_ivfpq_index_probe_matches_direct(spark, tmp_path):
+    """build_ivfpq_index -> probe_ivfpq_index == the direct ADC
+    operator; the index table stores codes partitioned by coarse
+    list, and the probe scans codes only."""
+    rng = np.random.RandomState(17)
+    centers = rng.randn(8, 16) * 3
+    vecs = np.vstack([c + rng.randn(15, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(120),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::30].rename(columns={"item_id": "query_id"})
+    sq, si = spark.createDataFrame(qs), spark.createDataFrame(items)
+
+    path = str(tmp_path / "ivfpq_idx")
+    K.build_ivfpq_index(si, path, dim=16, n_lists=4, m=4, ksub=8)
+    got = K.probe_ivfpq_index(sq, path, k=3, n_probe=2).collect()
+    direct = K.ann_cosine_ivfpq_adc(sq, si, k=3, dim=16, n_lists=4,
+                                    n_probe=2, m=4, ksub=8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
+    # the index table really is codes-only (no raw vectors)
+    from aef_mosaic_spark.sources.icelite import Icelite
+    idx = Icelite(path).read(spark)
+    assert set(idx.columns) == {"item_id", "list", "c0", "c1", "c2", "c3"}
