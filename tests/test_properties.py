@@ -173,3 +173,35 @@ def test_span_stats_gram_count_law(spark, docs):
         assert -1 <= r["first_dup_pos"] < r["n_grams"]
     if len(docs[0]) >= n:
         assert out[1000]["dup_ratio"] == 1.0  # verbatim twin all-dup
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_merge_then_delete_matches_pandas_oracle(spark, tmp_path_factory, data):
+    """Random base + random upserts + random delete predicate: the
+    icelite CoW table must equal a pandas simulation exactly."""
+    import pandas as pd
+
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    base_ids = data.draw(st.lists(st.integers(0, 30), min_size=1,
+                                  max_size=20, unique=True))
+    upd_ids = data.draw(st.lists(st.integers(0, 40), min_size=1,
+                                 max_size=10, unique=True))
+    cut = data.draw(st.integers(0, 40))
+
+    tmp = tmp_path_factory.mktemp("cow")
+    t = Icelite(str(tmp / "t"))
+    base = pd.DataFrame({"k": base_ids,
+                         "v": [f"b{i}" for i in base_ids]})
+    upd = pd.DataFrame({"k": upd_ids,
+                        "v": [f"u{i}" for i in upd_ids]})
+    t.append(spark.createDataFrame(base, "k long, v string")
+             .repartition(3))
+    t.merge(spark, spark.createDataFrame(upd, "k long, v string"), ["k"])
+    t.delete(spark, f"k >= {cut}")
+
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    oracle = pd.concat([base[~base.k.isin(upd.k)], upd])
+    oracle = oracle[oracle.k < cut]
+    assert got == sorted(map(tuple, oracle.itertuples(index=False)))
