@@ -39,6 +39,13 @@ def main(argv=None):
                     help="icelite table path for the cluster/keep list")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--mode", choices=["text", "semdedup"], default="text",
+                    help="text = MinHash near-dup clusters; semdedup = "
+                         "embedding cluster-then-prune (Abbas 2023)")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--tau", type=float, default=0.95)
+    ap.add_argument("--n-lists", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--minhash-k", type=int, default=16)
     ap.add_argument("--bands", type=int, default=4)
@@ -58,6 +65,30 @@ def main(argv=None):
     t0 = time.time()
     df = spark.read.parquet(args.input)
     n_docs = df.count()
+
+    if args.mode == "semdedup":
+        sd = D.semdedup(df, args.id_col, args.vec_col, tau=args.tau,
+                        n_lists=args.n_lists, dim=args.dim)
+        out = sd.select(args.id_col, "list", "cent_sim",
+                        (~F.col("pruned")).alias("keep"))
+        table = Icelite(args.output)
+        snap = table.append(out, properties={
+            "mode": "semdedup", "tau": str(args.tau),
+            "n_lists": str(args.n_lists), "input": args.input,
+        }, summary={"operation": "semdedup"})
+        stats = table.read(spark).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]
+        print(json.dumps({
+            "snapshot_id": snap,
+            "wall_s": round(time.time() - t0, 3),
+            "docs": n_docs,
+            "clusters_kept": int(stats.kept),
+            "removed": n_docs - int(stats.kept),
+            "removed_frac": round(1.0 - stats.kept / max(n_docs, 1), 6),
+            "docs_per_sec": round(n_docs / (time.time() - t0), 1),
+        }))
+        return 0
 
     pairs = D.minhash_near_duplicates(
         df, args.id_col, args.text_col, threshold=args.threshold,
