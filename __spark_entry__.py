@@ -1444,6 +1444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.ann_cosine_ivfpq_adc(qs, items, k=5, dim=64)
     q["q94_ann_ivfpq_adc"] = q94_ann_ivfpq_adc
 
+    def q96_span_removal(spark, sf):
+        # substring-level remediation (Lee 2022 part 2): duplicated
+        # 8-gram regions CUT from all but the min-id owner doc;
+        # cleaned TEXT is value-checked, not just counts
+        from aef_mosaic_spark.operators.spans import remove_duplicated_spans
+        d = _pq(spark, sf, "documents")
+        return remove_duplicated_spans(d, "doc_id", "text", n=8)
+    q["q96_span_removal"] = q96_span_removal
+
     def q95_ann_index_probe(spark, sf):
         # the PRODUCTION ANN split: codes persisted once as an
         # icelite table partitioned by coarse list (codebooks in
@@ -1573,6 +1582,7 @@ _MUST_VERIFY = [
     "q93_token_estimators",
     "q94_ann_ivfpq_adc",
     "q95_ann_index_probe",
+    "q96_span_removal",
     "q67_bucketed_enrich",
     "q68_simhash_exploded",
     "q69_zonal_stats_shuffle",
@@ -2530,6 +2540,9 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.operators.spans import duplicated_span_stats_sql
 
     o["q83_dup_spans"] = duplicated_span_stats_sql(
+        "documents", "doc_id", "text", n=8)
+    from aef_mosaic_spark.operators.spans import remove_duplicated_spans_sql
+    o["q96_span_removal"] = remove_duplicated_spans_sql(
         "documents", "doc_id", "text", n=8)
     o["q84_semdedup"] = D.semdedup_sql(tau=0.95, source="""
       SELECT vec_id, v FROM (

@@ -133,3 +133,120 @@ def duplicated_span_stats_sql(table: str, id_col: str, text_col: str,
            coalesce(min(CASE WHEN is_dup THEN pos END), -1)::INT AS first_dup_pos
     FROM m GROUP BY {id_col}
     """
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 8, min_docs: int = 2) -> DataFrame:
+    """Substring-level REMEDIATION (the second half of Lee et al.
+    2022): duplicated regions are CUT from every document except the
+    owner (the minimum doc id among the gram's occurrences), leaving
+    exactly one copy of each duplicated passage in the corpus.
+
+    A token is removed iff at least one duplicated n-gram covering it
+    occurs in this doc while the gram's owner is another doc. Tokens
+    of the owner doc — and all non-duplicated text — survive, so the
+    common case (boilerplate shared by thousands of docs) keeps one
+    canonical copy.
+
+    -> (id, clean_text, n_tokens, n_removed). Documents shorter than
+    n tokens pass through unchanged.
+
+    Scale shape: gram hashing + one groupBy(h) for owner = the q83
+    plan; coverage is an explode of at most n positions per dup gram
+    followed by a distinct on (doc, pos) and a groupBy(doc) rebuild —
+    everything keyed, combiner-friendly, no crossJoin, no Python.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_ts"),
+    )
+    g = _gram_rows(df, id_col, text_col, n)
+    owners = (
+        g.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("_nd"),
+             F.min(id_col).alias("_owner"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h", "_owner")
+    )
+    covered = (
+        g.join(owners, "h")
+        .where(F.col(id_col) != F.col("_owner"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("tp"),
+        )
+        .distinct()
+    )
+    kept = (
+        toks.select(id_col, F.posexplode("_ts").alias("tp", "_tok"))
+        .join(covered, [id_col, "tp"], "left_anti")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("tp", "_tok")))
+             .alias("_kept"))
+        .select(
+            id_col,
+            F.expr("array_join(transform(_kept, x -> x._tok), ' ')")
+            .alias("clean_text"),
+            F.size("_kept").cast("long").alias("n_kept"),
+        )
+    )
+    counts = toks.select(id_col, F.size("_ts").cast("long").alias("n_tokens"))
+    return (
+        counts.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
+def remove_duplicated_spans_sql(table: str, id_col: str, text_col: str,
+                                n: int = 8, min_docs: int = 2) -> str:
+    """DuckDB twin: identical owner rule, coverage explode, and
+    position-ordered rebuild."""
+    h = h32_sql(f"array_to_string(ts[i : i + {n - 1}], ' ')")
+    return f"""
+    WITH d AS (
+      SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS ts
+      FROM {table}
+    ),
+    gi AS (
+      SELECT {id_col}, ts,
+             unnest(generate_series(1, greatest(len(ts) - {n - 1}, 0))) AS i
+      FROM d
+    ),
+    g AS (SELECT {id_col}, i - 1 AS pos, {h} AS h FROM gi),
+    owners AS (
+      SELECT h, min({id_col}) AS owner FROM g
+      GROUP BY h HAVING count(DISTINCT {id_col}) >= {min_docs}
+    ),
+    cov0 AS (
+      SELECT g.{id_col}, g.pos FROM g JOIN owners USING (h)
+      WHERE g.{id_col} <> owners.owner
+    ),
+    covered AS (
+      SELECT DISTINCT {id_col}, pos + j AS tp
+      FROM cov0, (SELECT unnest(generate_series(0, {n - 1})) AS j) js
+    ),
+    tokens AS (
+      SELECT d.{id_col}, t.j - 1 AS tp, ts[t.j] AS tok
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS j) t
+    ),
+    kept AS (
+      SELECT t.{id_col},
+             array_to_string(array_agg(t.tok ORDER BY t.tp), ' ') AS clean_text,
+             count(*)::BIGINT AS n_kept
+      FROM tokens t LEFT JOIN covered c
+        ON c.{id_col} = t.{id_col} AND c.tp = t.tp
+      WHERE c.tp IS NULL
+      GROUP BY t.{id_col}
+    )
+    SELECT d.{id_col},
+           coalesce(k.clean_text, '') AS clean_text,
+           len(d.ts)::BIGINT AS n_tokens,
+           (len(d.ts) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+    FROM d LEFT JOIN kept k USING ({id_col})
+    """

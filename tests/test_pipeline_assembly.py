@@ -239,3 +239,28 @@ def test_bpe_pretoken_count(spark):
     got = {r["doc_id"]: r["n"] for r in df.select(
         "doc_id", bpe_pretoken_count_col(F.col("text")).alias("n")).collect()}
     assert got == {1: 6, 2: 3, 3: 3}
+
+
+def test_span_removal_keeps_owner_copy(spark):
+    from aef_mosaic_spark.operators.spans import remove_duplicated_spans
+    shared = " ".join(f"s{i}" for i in range(6))   # 6 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared),     # owner (min id) keeps the span
+            (2, "p q r " + shared),     # span cut
+            (3, "x y z w v u"),         # untouched
+            (4, "t1 t2 t3"),            # shorter than n: pass-through
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_spans(docs, "doc_id", "text", n=4).collect()}
+    assert out[1]["clean_text"] == "a b c " + shared    # owner intact
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "p q r"              # span removed
+    assert out[2]["n_removed"] == 6
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "t1 t2 t3"           # short doc kept
+    # corpus-level: exactly ONE copy of the shared passage survives
+    survivors = sum(shared in out[i]["clean_text"] for i in (1, 2, 3, 4))
+    assert survivors == 1
