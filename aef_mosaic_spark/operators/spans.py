@@ -155,6 +155,13 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     plan; coverage is an explode of at most n positions per dup gram
     followed by a distinct on (doc, pos) and a groupBy(doc) rebuild —
     everything keyed, combiner-friendly, no crossJoin, no Python.
+
+    Note the gram subtree `g` feeds two branches (owner aggregation
+    and coverage join), so the tokenize+hash SCAN runs twice — a
+    deliberate trade: the recompute is shuffle-free codegen, while
+    materializing the gram table would write a corpus-sized
+    intermediate. At 100 TB, persist/checkpoint `g` iff scan CPU is
+    the bottleneck rather than I/O.
     """
     toks = df.select(
         F.col(id_col),
