@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 import uuid
 
 import pyarrow.parquet as pq
@@ -196,6 +197,7 @@ class Icelite:
         snap = {
             "snapshot_id": snap_id,
             "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
             "manifests": manifests,
             "properties": properties,
             "summary": summary,
@@ -657,17 +659,27 @@ class Icelite:
             raise FileNotFoundError(f"no tag {name!r}")
         return self.read(spark, snapshot_id=tags[name], filters=filters)
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1,
+                         older_than_ms: int | None = None) -> dict:
         """Drop all but the newest `keep_last` snapshots: their JSONs,
         manifests not referenced by survivors, and data files no
         surviving manifest references (physical delete — time travel
-        beyond the horizon is gone, like Iceberg's expire_snapshots)."""
+        beyond the horizon is gone, like Iceberg's expire_snapshots).
+
+        older_than_ms: additionally RETAIN any snapshot committed
+        within the last `older_than_ms` milliseconds (Iceberg's
+        retention window) — expiry then removes only snapshots that
+        are BOTH beyond keep_last AND older than the window."""
         sid = self.current_snapshot_id()
         chain = []
         while sid:
             chain.append(sid)
             sid = self.snapshot(sid)["parent_id"]
         keep = set(chain[:keep_last])
+        if older_than_ms is not None:
+            cutoff = int(time.time() * 1000) - older_than_ms
+            keep |= {s for s in chain
+                     if self.snapshot(s).get("timestamp_ms", 0) >= cutoff}
         # tagged snapshots are pinned (Iceberg semantics): a tag is a
         # promise that the snapshot stays readable until the tag goes
         keep |= {sid for sid in self.tags().values() if sid in set(chain)}
@@ -721,6 +733,48 @@ class Icelite:
         sid = self.current_snapshot_id()
         while sid:
             s = self.snapshot(sid)
-            out.append({"snapshot_id": sid, "summary": s["summary"]})
+            out.append({"snapshot_id": sid, "summary": s["summary"],
+                        "timestamp_ms": s.get("timestamp_ms")})
             sid = s["parent_id"]
         return out
+
+    # --------------------------------------------------- metadata tables
+    def metadata_df(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Iceberg-style metadata tables as DataFrames (the
+        `SELECT * FROM tbl.files / tbl.snapshots / tbl.history`
+        surface): inspectable with the same engine that reads data.
+
+        kind='files'     -> (path, snapshot_id, rows, bytes, partition
+                             as JSON string) for every LIVE file
+        kind='snapshots' -> (snapshot_id, parent_id, timestamp_ms,
+                             operation, added_files, added_rows)
+        kind='history'   -> current lineage chain, newest first
+        """
+        import pandas as pd
+
+        if kind == "files":
+            rows = [{
+                "path": e["path"],
+                "snapshot_id": e["snapshot_id"],
+                "rows": e["rows"], "bytes": e["bytes"],
+                "partition": json.dumps(e["partition"], sort_keys=True),
+            } for e in self.lineage()]
+            schema = ("path string, snapshot_id long, rows long, "
+                      "bytes long, partition string")
+        elif kind in ("snapshots", "history"):
+            hist = self.history()
+            rows = [{
+                "snapshot_id": h["snapshot_id"],
+                "parent_id": self.snapshot(h["snapshot_id"])["parent_id"],
+                "timestamp_ms": h["timestamp_ms"],
+                "operation": str(h["summary"].get("operation", "append")),
+                "added_files": int(h["summary"].get("added_files", 0)),
+                "added_rows": int(h["summary"].get("added_rows", 0)),
+            } for h in hist]
+            schema = ("snapshot_id long, parent_id long, timestamp_ms long, "
+                      "operation string, added_files long, added_rows long")
+        else:
+            raise ValueError(f"unknown metadata table {kind!r}")
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(pd.DataFrame(rows), schema)

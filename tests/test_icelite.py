@@ -729,3 +729,40 @@ def test_maintenance_job_composes_actions(spark, tmp_path):
     assert m["orphans_removed"] == 0          # expiry already deleted data
     assert t.read(spark).count() == 200
     assert t.read_tag(spark, "weekly").count() == 200
+
+
+def test_snapshot_timestamps_and_age_expiry(spark, tmp_path):
+    import time as _time
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(3))                    # old snapshot
+    # age it artificially: rewrite its timestamp into the past
+    import json as _json
+    s1 = _json.loads(t.store.read_text(t._mpath("snap-1.json")))
+    s1["timestamp_ms"] -= 10_000_000
+    t.store.put(t._mpath("snap-1.json"), _json.dumps(s1))
+    t.append(spark.range(3, 6))                 # fresh snapshot
+    assert all(h["timestamp_ms"] for h in t.history())
+    # retention window keeps the fresh one even beyond keep_last
+    removed = t.expire_snapshots(keep_last=0, older_than_ms=3_600_000)
+    assert removed["snapshots"] == 1            # only the aged snap 1
+    assert t.read(spark).count() == 6           # current data intact
+
+
+def test_metadata_tables(spark, tmp_path):
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(10).withColumn("p", (F.col("id") % 2).cast("int")),
+             partition_by=["p"])
+    t.append(spark.range(10, 15))
+    files = t.metadata_df(spark, "files")
+    assert files.count() == len(t.data_files())
+    assert {r["snapshot_id"] for r in files.collect()} == {1, 2}
+    snaps = t.metadata_df(spark, "snapshots").orderBy("snapshot_id").collect()
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent_id"] == 1 and snaps[0]["parent_id"] is None
+    assert all(s["operation"] == "append" and s["added_rows"] > 0
+               for s in snaps)
+    # metadata tables answer real questions with plain SQL
+    files.createOrReplaceTempView("tfiles")
+    small = spark.sql(
+        "SELECT count(*) AS n FROM tfiles WHERE bytes < 1024").collect()[0]
+    assert small["n"] >= 0
