@@ -37,6 +37,9 @@ def main(argv=None):
                     help="comma-separated sort columns for the rewrite")
     ap.add_argument("--tag", default=None)
     ap.add_argument("--expire-keep-last", type=int, default=None)
+    ap.add_argument("--retain-hours", type=float, default=None,
+                    help="retention window: snapshots younger than "
+                         "this are kept regardless of --expire-keep-last")
     ap.add_argument("--remove-orphans", action="store_true")
     args = ap.parse_args(argv)
 
@@ -56,7 +59,10 @@ def main(argv=None):
     if args.tag:
         out["tagged"] = {args.tag: t.tag(args.tag)}
     if args.expire_keep_last is not None:
-        out["expired"] = t.expire_snapshots(keep_last=args.expire_keep_last)
+        older = (int(args.retain_hours * 3_600_000)
+                 if args.retain_hours is not None else None)
+        out["expired"] = t.expire_snapshots(
+            keep_last=args.expire_keep_last, older_than_ms=older)
     if args.remove_orphans:
         out["orphans_removed"] = len(t.remove_orphan_files())
     out["current_snapshot"] = t.current_snapshot_id()
