@@ -77,6 +77,10 @@ def main(argv=None):
     ap.add_argument("--default-budget", type=int, default=0)
     ap.add_argument("--tag", default=None,
                     help="tag the committed snapshot (immutable ref)")
+    ap.add_argument("--analyze", action="store_true",
+                    help="plan-only: print per-stage physical-plan "
+                         "shape (exchanges/joins/python stages) and "
+                         "exit without reading data or committing")
     args = ap.parse_args(argv)
     budgets = _parse_budgets(args.budget)
 
@@ -106,6 +110,51 @@ def main(argv=None):
             _prev.pop().unpersist()
         _prev.append(d)
         return d
+
+    if args.analyze:
+        # plan-only report: build each stage's lineage, never execute.
+        # The dedup stage is iterative (connected components cuts
+        # lineage with localCheckpoint per round) so it is described,
+        # not planned.
+        import re
+
+        def shape(d):
+            s = d._jdf.queryExecution().executedPlan().toString()
+            return {
+                "exchanges": len(re.findall(r"Exchange (hash|range|Single)", s)),
+                "broadcast_joins": len(re.findall(r"BroadcastHashJoin", s)),
+                "python_stages": len(re.findall(
+                    r"MapInPandas|ArrowEvalPython|BatchEvalPython"
+                    r"|FlatMapGroupsInPandas", s)),
+            }
+
+        d0 = spark.read.parquet(args.input)
+        rep: dict = {"analyze": True,
+                     "input_partitions": d0.rdd.getNumPartitions()}
+        d = d0.withColumn("q_score", T.quality_classifier_col(F.col(txt)))
+        if args.min_quality is not None:
+            d = d.where(F.col("q_score") >= args.min_quality)
+            rep["quality"] = shape(d)
+        if args.redact_pii:
+            d = d.withColumn(txt, T.pii_redact_col(F.col(txt)))
+            rep["pii"] = shape(d)
+        if args.max_dup_ratio is not None:
+            spans = duplicated_span_stats(d, idc, txt, n=8)
+            bad = spans.where(F.col("dup_ratio") > args.max_dup_ratio) \
+                       .select(F.col(idc))
+            d = d.join(bad, idc, "left_anti")
+            rep["spans"] = shape(d)
+        if args.dedup:
+            rep["dedup"] = ("iterative: minhash-LSH candidates -> exact "
+                            "verify -> connected components "
+                            "(localCheckpoint per round)")
+        if budgets or args.default_budget:
+            kept = token_budget_mixture(d, idc, args.domain_col, txt,
+                                        budgets, args.default_budget)
+            rep["mixture"] = shape(d.join(kept.select(idc), idc,
+                                          "left_semi"))
+        print(json.dumps(rep))
+        return 0
 
     funnel: dict[str, int] = {}
     df = _stage(spark.read.parquet(args.input), "input", funnel)

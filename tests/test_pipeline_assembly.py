@@ -264,3 +264,30 @@ def test_span_removal_keeps_owner_copy(spark):
     # corpus-level: exactly ONE copy of the shared passage survives
     survivors = sum(shared in out[i]["clean_text"] for i in (1, 2, 3, 4))
     assert survivors == 1
+
+
+def test_curation_job_analyze_and_bad_budget(spark, tmp_path):
+    import contextlib, io, json
+
+    import pytest
+
+    from jobs.curation_job import main
+    src = str(tmp_path / "d.parquet")
+    spark.createDataFrame([(1, "A", "a b c")],
+                          "doc_id long, source string, text string") \
+        .write.parquet(src)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", src, "--output", str(tmp_path / "o"),
+                   "--min-quality", "0.3", "--max-dup-ratio", "0.5",
+                   "--dedup", "--budget", "A=10", "--analyze"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["analyze"] and "iterative" in rep["dedup"]
+    assert rep["quality"]["exchanges"] == 0      # pure codegen filter
+    assert rep["mixture"]["exchanges"] >= 1      # window shuffle
+    # nothing committed in analyze mode
+    assert not (tmp_path / "o").exists()
+    with pytest.raises(SystemExit):
+        main(["--input", src, "--output", str(tmp_path / "o"),
+              "--budget", "A=notanumber"])
