@@ -320,3 +320,33 @@ def test_incremental_span_index_equals_full_recompute(spark, tmp_path):
     t = Icelite(idx)
     v1 = t.read(spark, snapshot_id=1)
     assert v1.where("nd >= 2").count() == 0
+
+
+def test_dedup_job_semdedup_mode(spark, tmp_path):
+    import contextlib, io, json
+
+    import numpy as np
+
+    from jobs.dedup_job import main
+    from aef_mosaic_spark.sources.icelite import Icelite
+    rng = np.random.RandomState(3)
+    base = [rng.randn(8).tolist() for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # plant near-identical twins for ids 100+
+    rows += [(100 + i, [x * 1.001 for x in v])
+             for i, v in enumerate(base[:5])]
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(src)
+    out = str(tmp_path / "sd")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", src, "--id-col", "vec_id",
+                   "--mode", "semdedup", "--tau", "0.999",
+                   "--n-lists", "4", "--dim", "8", "--output", out])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["docs"] == 25 and m["removed"] == 5   # one of each twin pair
+    t = Icelite(out)
+    got = {r["vec_id"]: r["keep"] for r in t.read(spark).collect()}
+    assert sum(not k for k in got.values()) == 5
