@@ -266,7 +266,8 @@ def _doc_stats(g: DataFrame, dup_hashes: DataFrame, id_col: str) -> DataFrame:
 
 
 def update_span_index(spark, index_path: str, new_docs: DataFrame,
-                      id_col: str, text_col: str, n: int = 8) -> DataFrame:
+                      id_col: str, text_col: str, n: int = 8,
+                      summary: dict | None = None) -> DataFrame:
     """Incremental substring-dedup: a persisted gram index (icelite
     table `h -> (owner, nd)` = min doc id and distinct-doc count per
     n-gram hash) absorbs each new document batch via a copy-on-write
@@ -301,8 +302,9 @@ def update_span_index(spark, index_path: str, new_docs: DataFrame,
                 .alias("nd"),
             )
         )
-        t.merge(spark, upsert, ["h"])
+        t.merge(spark, upsert, ["h"], summary=summary)
     else:
-        t.append(batch.select("h", "owner", "nd"))
+        t.append(batch.select("h", "owner", "nd"),
+                 summary=summary)
     dup = t.read(spark).where(F.col("nd") >= 2).select("h")
     return _doc_stats(g, dup, id_col)

@@ -272,7 +272,8 @@ class Icelite:
     def merge(self, spark: SparkSession, updates: DataFrame,
               key_cols: list[str], partition_by: list[str] | None = None,
               compression: str = "zstd",
-              filters: dict | None = None) -> int:
+              filters: dict | None = None,
+              summary: dict | None = None) -> int:
         """Copy-on-write MERGE (Iceberg MERGE INTO semantics): rows
         whose key matches an `updates` row are replaced by it;
         unmatched update rows are inserted. Only the FILES that
@@ -357,6 +358,7 @@ class Icelite:
             "added_rows": sum(e["rows"] for e in entries),
             "added_bytes": sum(e["bytes"] for e in entries),
         }
+        summ.update(summary or {})
         return self._commit(manifests, prev["properties"], summ, parent)
 
     def delete(self, spark: SparkSession, predicate: str,

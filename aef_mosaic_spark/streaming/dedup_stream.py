@@ -101,3 +101,48 @@ def stream_clusters_to_table(docs_stream: DataFrame, corpus_path: str,
          .start())
     q.awaitTermination(timeout_s)
     return clusters
+
+
+def make_span_stats_sink(index: Icelite, stats: Icelite, id_col: str,
+                         text_col: str, n: int = 8):
+    """Streaming substring-dedup: each microbatch merges its gram
+    counts into the persisted gram index (spans.update_span_index —
+    CoW MERGE, O(batch grams)) and appends the batch's span stats to
+    a stats table. Exactly-once on batch_id by the standard recipe:
+    both sinks idempotent, replays of applied batches skipped. Stats
+    rows are FINAL per doc (a doc's dup ratio reflects the corpus as
+    of its arrival — the live-ingest semantics; the batch operator is
+    the retrospective path)."""
+    from aef_mosaic_spark.operators.spans import update_span_index
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied_batch_ids(stats):
+            return
+        spark = batch_df.sparkSession
+        if batch_id in applied_batch_ids(index):
+            # index already absorbed this batch (crash between
+            # commits): recompute stats against the CURRENT index
+            # without re-merging
+            from aef_mosaic_spark.operators.spans import (_doc_stats,
+                                                          _gram_rows)
+            g = _gram_rows(batch_df, id_col, text_col, n)
+            dup = index.read(spark).where(F.col("nd") >= 2).select("h")
+            out = _doc_stats(g, dup, id_col)
+        else:
+            out = update_span_index(spark, index.path, batch_df,
+                                    id_col, text_col, n=n,
+                                    summary={"batch_id": batch_id})
+        stats.append(out, summary={"batch_id": batch_id})
+
+    return _sink
+
+
+def stream_span_stats_to_table(doc_stream: DataFrame, index_path: str,
+                               stats_path: str, checkpoint: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 8):
+    sink = make_span_stats_sink(Icelite(index_path), Icelite(stats_path),
+                                id_col, text_col, n=n)
+    return (doc_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

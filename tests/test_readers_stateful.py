@@ -165,3 +165,62 @@ def test_streaming_stateless_quality_and_pii(spark, tmp_path):
     assert got[1].q >= 0.5 > got[2].q
     assert "<EMAIL>" in got[1].red and "@" not in got[1].red.replace("<EMAIL>", "")
     q.stop()
+
+
+def test_stream_span_stats_to_table(spark, tmp_path):
+    from aef_mosaic_spark.sources.icelite import Icelite
+    from aef_mosaic_spark.streaming.dedup_stream import (
+        stream_span_stats_to_table)
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [(1, "a b c d " + shared),
+            (2, "p q r s t u v w x y"),
+            (10, "m n o k " + shared),          # dups batch-1's span
+            (11, "fresh words only here now there")]
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 2 files -> 2 microbatches in arrival order
+    df.where("doc_id < 10").coalesce(1).write.parquet(src)
+    df.where("doc_id >= 10").coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_span_stats_to_table(stream, str(tmp_path / "idx"),
+                                   str(tmp_path / "stats"),
+                                   str(tmp_path / "ckpt"), n=4)
+    q.awaitTermination(180)
+    stats = {r["doc_id"]: r for r in
+             Icelite(str(tmp_path / "stats")).read(spark).collect()}
+    assert len(stats) == 4
+    # live-ingest semantics: whichever batch arrived FIRST saw no dup
+    first_batch_doc, second_batch_doc = (1, 10) if stats[1]["n_dup"] == 0 \
+        else (10, 1)
+    assert stats[first_batch_doc]["n_dup"] == 0
+    assert stats[second_batch_doc]["n_dup"] > 0
+    assert stats[2]["n_dup"] == 0 and stats[11]["n_dup"] == 0
+    # the gram index absorbed both batches
+    idx = Icelite(str(tmp_path / "idx")).read(spark)
+    assert idx.where("nd >= 2").count() > 0
+
+
+def test_span_sink_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: a batch whose id is already on the
+    index is NOT re-merged (nd would double-count), and an applied
+    stats batch is skipped entirely."""
+    from aef_mosaic_spark.sources.icelite import Icelite
+    from aef_mosaic_spark.streaming.dedup_stream import make_span_stats_sink
+    idx = Icelite(str(tmp_path / "idx"))
+    stats = Icelite(str(tmp_path / "stats"))
+    sink = make_span_stats_sink(idx, stats, "doc_id", "text", n=4)
+    b = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    sink(b, 0)
+    nd_after_first = {r["h"]: r["nd"] for r in idx.read(spark).collect()}
+    # full replay (both applied) -> no-op
+    sink(b, 0)
+    assert stats.read(spark).count() == 1
+    # partial replay: stats missing, index applied -> stats appended
+    # WITHOUT re-merging the index
+    stats2 = Icelite(str(tmp_path / "stats2"))
+    sink2 = make_span_stats_sink(idx, stats2, "doc_id", "text", n=4)
+    sink2(b, 0)
+    nd_after_replay = {r["h"]: r["nd"] for r in idx.read(spark).collect()}
+    assert nd_after_replay == nd_after_first       # no double count
+    assert stats2.read(spark).count() == 1
