@@ -69,6 +69,10 @@ def main(argv=None):
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--max-dup-ratio", type=float, default=None,
                     help="drop rows whose duplicated 8-gram ratio > X")
+    ap.add_argument("--clean-spans", action="store_true",
+                    help="instead of (or before) dropping, CUT "
+                         "duplicated 8-gram regions from every doc "
+                         "except the min-id owner (Lee 2022 part 2)")
     ap.add_argument("--dedup", action="store_true",
                     help="near-dup clusters; keep best-quality member")
     ap.add_argument("--threshold", type=float, default=0.8)
@@ -174,6 +178,15 @@ def main(argv=None):
                    .select(F.col(idc))
         df = _stage(df.join(bad, idc, "left_anti"),
                     "after_spans", funnel)
+
+    if args.clean_spans:
+        from aef_mosaic_spark.operators.spans import remove_duplicated_spans
+        cleaned = remove_duplicated_spans(df, idc, txt, n=8) \
+            .select(idc, F.col("clean_text"))
+        df = _stage(
+            df.drop(txt).join(cleaned, idc)
+            .withColumnRenamed("clean_text", txt),
+            "after_clean_spans", funnel)
 
     if args.dedup:
         cc = D.near_duplicate_clusters(df, idc, txt,
