@@ -214,6 +214,8 @@ def main(argv=None):
         summary={"operation": "curate", "funnel": funnel})
     if args.tag:
         table.tag(args.tag, snapshot_id=snap)
+    while _prev:  # release the final stage cache (library callers)
+        _prev.pop().unpersist()
     wall = time.time() - t0
     print(json.dumps({
         "snapshot_id": snap,

@@ -205,3 +205,21 @@ def test_merge_then_delete_matches_pandas_oracle(spark, tmp_path_factory, data):
     oracle = pd.concat([base[~base.k.isin(upd.k)], upd])
     oracle = oracle[oracle.k < cut]
     assert got == sorted(map(tuple, oracle.itertuples(index=False)))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=126),
+                        min_size=1, max_size=60), min_size=1, max_size=5))
+def test_quality_classifier_bounded_on_arbitrary_text(spark, texts):
+    """sigmoid output stays strictly inside (0, 1) and never NaN for
+    ANY printable-ASCII input, including whitespace-only and
+    punctuation-soup strings."""
+    from aef_mosaic_spark.functions.text import quality_classifier_col
+    from pyspark.sql import functions as F
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(quality_classifier_col(F.col("text")).alias("s")).collect()
+    for r in got:
+        assert r["s"] is not None and 0.0 < r["s"] < 1.0
