@@ -206,12 +206,24 @@ def main(argv=None):
                     "after_mixture", funnel)
 
     funnel["output"] = funnel[list(funnel)[-1]]
+    # per-domain observability: docs + tokens of the FINAL corpus
+    # (one small aggregate over the cached last stage)
+    from aef_mosaic_spark.functions.text import token_count_col
+    domain_rows = (df.groupBy(args.domain_col)
+                   .agg(F.count(F.lit(1)).alias("docs"),
+                        F.sum(token_count_col(F.col(txt)).cast("long"))
+                        .alias("tokens"))
+                   .collect())
+    domain_stats = {r[args.domain_col]: {"docs": r["docs"],
+                                         "tokens": int(r["tokens"])}
+                    for r in domain_rows}
     table = Icelite(args.output)
     snap = table.append(
         df,
         properties={"input": args.input,
                     "pipeline": "quality/pii/spans/dedup/mixture"},
-        summary={"operation": "curate", "funnel": funnel})
+        summary={"operation": "curate", "funnel": funnel,
+                 "domains": domain_stats})
     if args.tag:
         table.tag(args.tag, snapshot_id=snap)
     while _prev:  # release the final stage cache (library callers)
