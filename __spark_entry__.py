@@ -1453,6 +1453,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return remove_duplicated_spans(d, "doc_id", "text", n=8)
     q["q96_span_removal"] = q96_span_removal
 
+    def q97_ann_cosine_opq(spark, sf):
+        # OPQ-style rotated PQ (Ge 2013): deterministic seeded
+        # orthonormal rotation (QR, sign-fixed, 6dp literals) applied
+        # dim-sequentially, then the exact q80 PQ pipeline in the
+        # rotated space; the oracle prepends the rotation CTE to the
+        # same PQ SQL
+        e = _pq(spark, sf, "embeddings")
+        qs = e.where("vec_id < 20").selectExpr("vec_id AS query_id",
+                                               "embedding")
+        items = e.selectExpr("vec_id AS item_id", "embedding")
+        return K.ann_cosine_opq(qs, items, k=5, dim=64)
+    q["q97_ann_cosine_opq"] = q97_ann_cosine_opq
+
     def q95_ann_index_probe(spark, sf):
         # the PRODUCTION ANN split: codes persisted once as an
         # icelite table partitioned by coarse list (codebooks in
@@ -2490,6 +2503,8 @@ def oracle_sql() -> dict[str, str]:
     # q95 persists the index then probes; the result must equal the
     # direct ADC computation, so the oracle is the same SQL
     o["q95_ann_index_probe"] = _ann_ivfpq_adc_sql()
+    o["q97_ann_cosine_opq"] = _ann_pq_sql(
+        source=_rotated_embeddings_sql())
     o["q93_token_estimators"] = f"""
     SELECT doc_id,
            {T.token_count_sql('text')}::INT AS n_ws,
@@ -2593,8 +2608,28 @@ def oracle_sql() -> dict[str, str]:
     return o
 
 
+def _rotated_embeddings_sql(dim: int = 64, seed: int = 7) -> str:
+    """SELECT vec_id, v for the OPQ-rotated embeddings: each output
+    dim is a dim-sequential fold (list_reduce) of v0[j] * R[i][j],
+    floor-quantized at 6dp — mirroring rotate_vectors exactly."""
+    from aef_mosaic_spark.operators.knn import make_rotation
+
+    R = make_rotation(dim, seed)
+    dims = []
+    for i in range(dim):
+        row = "[" + ", ".join(repr(x) for x in R[i]) + "]::DOUBLE[]"
+        dims.append(
+            f"floor(list_reduce(list_transform(generate_series(1, {dim}),"
+            f" jj -> v0[jj] * ({row})[jj]), (x, y) -> x + y)"
+            f" * 1e6 + 0.5e0) / 1e6"
+        )
+    vec = "[" + ", ".join(dims) + "]"
+    return (f"SELECT vec_id, {vec} AS v FROM "
+            f"(SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)")
+
+
 def _ann_pq_sql(dim: int = 64, m: int = 4, ksub: int = 8,
-                k: int = 5) -> str:
+                k: int = 5, source: str | None = None) -> str:
     """SQL twin of knn.ann_cosine_pq: unit normalization, the same
     md5-h32 hash-ordered seeds, ONE Lloyd step per subspace with 6dp-
     rounded means, encode by 9dp-quantized subspace L2 (ties -> lower
@@ -2610,8 +2645,10 @@ def _ann_pq_sql(dim: int = 64, m: int = 4, ksub: int = 8,
                 f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
                 f"(x, y) -> x + y) * 1e9 + 0.5e0) / 1e9")
 
+    if source is None:
+        source = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS MATERIALIZED ({source}),
     nrm AS MATERIALIZED (SELECT vec_id, v,
           sqrt(list_reduce(list_transform(v, x -> x * x),
                            (a, b) -> a + b)) AS n FROM e),

@@ -662,3 +662,70 @@ def append_to_ivfpq_index(new_items: DataFrame, table_path: str,
         .select(i_id, "list", *[f"c{j}" for j in range(m)])
     return t.append(idx.repartition("list"), partition_by=["list"],
                     summary={"operation": "append-ivfpq-index"})
+
+
+def make_rotation(dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic orthonormal rotation (OPQ's R, Ge et al. 2013,
+    public): QR of a seeded Gaussian matrix, sign-fixed so R is unique,
+    entries rounded to 6dp — literal-embeddable in both engines. The
+    paper LEARNS R per corpus; a random rotation already captures most
+    of the benefit on unbalanced-variance data (it decorrelates the
+    subspace energy split) and keeps the whole pipeline deterministic."""
+    rng = np.random.RandomState(seed)
+    q, r = np.linalg.qr(rng.randn(dim, dim))
+    q = q * np.sign(np.diag(r))  # unique orientation
+    return [[round(float(x), 6) for x in row] for row in q]
+
+
+def rotate_vectors(df: DataFrame, vec: str, rotation: list[list[float]],
+                   out: str) -> DataFrame:
+    """out[i] = round(dot(vec, R[i]), 6) — vectorized numpy per Arrow
+    batch (a 64x64 literal matrix as 64 JVM dot-aggregates would bloat
+    the plan), accumulated dim-sequentially so the fold order matches
+    the SQL twin's list_reduce; 6dp rounding then snaps both engines
+    to identical doubles."""
+    import pandas as pd
+
+    R = np.asarray(rotation, dtype=np.float64)
+    keep = df.columns
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + f", {out} array<double>"
+
+    def _gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec].to_numpy()])
+            # SEQUENTIAL accumulation over input dims (not BLAS/pairwise):
+            # the SQL twin folds left-to-right (list_reduce), and IEEE
+            # addition order must match or floor-boundary flips appear
+            W = np.zeros((len(V), R.shape[0]))
+            for j in range(R.shape[1]):
+                W += np.outer(V[:, j], R[:, j])
+            W = np.floor(W * 1e6 + 0.5) / 1e6
+            pdf = pdf.copy()
+            pdf[out] = [row.tolist() for row in W]
+            yield pdf
+
+    return df.mapInPandas(_gen, schema=schema)
+
+
+def ann_cosine_opq(queries: DataFrame, items: DataFrame, k: int, dim: int,
+                   q_id: str = "query_id", i_id: str = "item_id",
+                   vec: str = "embedding", m: int = 4, ksub: int = 8,
+                   seed: int = 7) -> DataFrame:
+    """OPQ-style PQ: rotate every vector by the deterministic R, then
+    run the standard PQ pipeline in the rotated space. Rotation is
+    norm-preserving, so rotated-space L2 == original-space L2 and the
+    ranking semantics are unchanged — what changes is the QUANTIZER'S
+    fit (subspace energy is decorrelated, codewords waste fewer bits
+    on correlated dims). Same oracle recipe as q80 with the rotation
+    CTE prepended."""
+    rot = make_rotation(dim, seed)
+    qr = rotate_vectors(queries.select(F.col(q_id), F.col(vec)),
+                        vec, rot, "_rv").select(q_id, F.col("_rv").alias(vec))
+    ir = rotate_vectors(items.select(F.col(i_id), F.col(vec)),
+                        vec, rot, "_rv").select(i_id, F.col("_rv").alias(vec))
+    return ann_cosine_pq(qr, ir, k, dim, q_id=q_id, i_id=i_id, vec=vec,
+                         m=m, ksub=ksub)

@@ -466,3 +466,29 @@ def test_ivfpq_index_incremental_append(spark, tmp_path):
     # appended second-batch ids — proof the new snapshot is probed
     assert found & set(range(80, 90))
     assert found <= set(range(75, 90))  # and it's the right cluster
+
+
+def test_opq_rotation_orthonormal_and_recall(spark):
+    R = np.asarray(K.make_rotation(16, seed=7))
+    assert np.abs(R @ R.T - np.eye(16)).max() < 1e-4   # 6dp literals
+    # determinism
+    assert K.make_rotation(16, seed=7) == K.make_rotation(16, seed=7)
+    # rotated-space PQ keeps cluster recall (norm-preserving rotation
+    # cannot change the true ranking; only the quantizer fit moves)
+    rng = np.random.RandomState(29)
+    centers = rng.randn(8, 16) * 3
+    vecs = np.vstack([c + rng.randn(15, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(120),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::30].rename(columns={"item_id": "query_id"})
+    sq, si = spark.createDataFrame(qs), spark.createDataFrame(items)
+    exact = {r.query_id: r.item_id for r in
+             K.knn_cosine_exact(sq, si, k=1).collect()}
+    opq = {r.query_id: r.item_id for r in
+           K.ann_cosine_opq(sq, si, k=1, dim=16, m=4, ksub=8).collect()}
+    hits = sum(opq[kq] // 15 == v // 15 for kq, v in exact.items())
+    assert hits == len(exact)
+    # repeated invocation bit-identical
+    opq2 = {r.query_id: r.item_id for r in
+            K.ann_cosine_opq(sq, si, k=1, dim=16, m=4, ksub=8).collect()}
+    assert opq == opq2
