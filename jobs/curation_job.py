@@ -81,6 +81,13 @@ def main(argv=None):
     ap.add_argument("--default-budget", type=int, default=0)
     ap.add_argument("--tag", default=None,
                     help="tag the committed snapshot (immutable ref)")
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpoint every stage to --stage-store and "
+                         "resume a killed run from the last completed "
+                         "stage (config-hash guarded)")
+    ap.add_argument("--stage-store", default=None,
+                    help="icelite table for stage checkpoints "
+                         "(default: <output>_stages)")
     ap.add_argument("--analyze", action="store_true",
                     help="plan-only: print per-stage physical-plan "
                          "shape (exchanges/joins/python stages) and "
@@ -160,50 +167,103 @@ def main(argv=None):
         print(json.dumps(rep))
         return 0
 
-    funnel: dict[str, int] = {}
-    df = _stage(spark.read.parquet(args.input), "input", funnel)
-
-    df = df.withColumn("q_score",
-                       T.quality_classifier_col(F.col(txt)))
+    # ---- declarative stage list (order is the pipeline contract) ----
+    stage_list: list = []
     if args.min_quality is not None:
-        df = _stage(df.where(F.col("q_score") >= args.min_quality),
-                    "after_quality", funnel)
-
+        stage_list.append(("after_quality", lambda d: d.where(
+            F.col("q_score") >= args.min_quality)))
     if args.redact_pii:
-        df = df.withColumn(txt, T.pii_redact_col(F.col(txt)))
-
+        stage_list.append(("after_pii", lambda d: d.withColumn(
+            txt, T.pii_redact_col(F.col(txt)))))
     if args.max_dup_ratio is not None:
-        spans = duplicated_span_stats(df, idc, txt, n=8)
-        bad = spans.where(F.col("dup_ratio") > args.max_dup_ratio) \
-                   .select(F.col(idc))
-        df = _stage(df.join(bad, idc, "left_anti"),
-                    "after_spans", funnel)
-
+        def _spans_stage(d):
+            spans = duplicated_span_stats(d, idc, txt, n=8)
+            bad = spans.where(F.col("dup_ratio") > args.max_dup_ratio) \
+                       .select(F.col(idc))
+            return d.join(bad, idc, "left_anti")
+        stage_list.append(("after_spans", _spans_stage))
     if args.clean_spans:
-        from aef_mosaic_spark.operators.spans import remove_duplicated_spans
-        cleaned = remove_duplicated_spans(df, idc, txt, n=8) \
-            .select(idc, F.col("clean_text"))
-        df = _stage(
-            df.drop(txt).join(cleaned, idc)
-            .withColumnRenamed("clean_text", txt),
-            "after_clean_spans", funnel)
-
+        def _clean_stage(d):
+            from aef_mosaic_spark.operators.spans import (
+                remove_duplicated_spans)
+            cleaned = remove_duplicated_spans(d, idc, txt, n=8) \
+                .select(idc, F.col("clean_text"))
+            return (d.drop(txt).join(cleaned, idc)
+                    .withColumnRenamed("clean_text", txt))
+        stage_list.append(("after_clean_spans", _clean_stage))
     if args.dedup:
-        cc = D.near_duplicate_clusters(df, idc, txt,
-                                       threshold=args.threshold)
-        w = Window.partitionBy("cluster_id").orderBy(
-            F.col("q_score").desc(), F.col(idc).asc())
-        keep = (df.select(idc, "q_score").join(cc, idc)
-                .withColumn("_rn", F.row_number().over(w))
-                .where("_rn = 1").select(idc))
-        df = _stage(df.join(keep, idc, "left_semi"),
-                    "after_dedup", funnel)
-
+        def _dedup_stage(d):
+            cc = D.near_duplicate_clusters(d, idc, txt,
+                                           threshold=args.threshold)
+            w = Window.partitionBy("cluster_id").orderBy(
+                F.col("q_score").desc(), F.col(idc).asc())
+            keep = (d.select(idc, "q_score").join(cc, idc)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .where("_rn = 1").select(idc))
+            return d.join(keep, idc, "left_semi")
+        stage_list.append(("after_dedup", _dedup_stage))
     if budgets or args.default_budget:
-        kept = token_budget_mixture(df, idc, args.domain_col, txt,
-                                    budgets, args.default_budget)
-        df = _stage(df.join(kept.select(idc), idc, "left_semi"),
-                    "after_mixture", funnel)
+        def _mix_stage(d):
+            kept = token_budget_mixture(d, idc, args.domain_col, txt,
+                                        budgets, args.default_budget)
+            return d.join(kept.select(idc), idc, "left_semi")
+        stage_list.append(("after_mixture", _mix_stage))
+
+    import hashlib
+    cfg_hash = hashlib.md5(json.dumps({
+        "input": args.input, "min_quality": args.min_quality,
+        "redact_pii": args.redact_pii,
+        "max_dup_ratio": args.max_dup_ratio,
+        "clean_spans": args.clean_spans, "dedup": args.dedup,
+        "threshold": args.threshold, "budgets": budgets,
+        "default_budget": args.default_budget,
+    }, sort_keys=True).encode()).hexdigest()
+
+    funnel: dict[str, int] = {}
+    work = Icelite(args.stage_store or args.output + "_stages") \
+        if args.resume else None
+    start_idx = 0
+    if work is not None and work.exists():
+        # stage-checkpoint resume: config must match, completed stages
+        # (a prefix of the current list, newest-first in history) are
+        # loaded instead of recomputed
+        props = work.properties()
+        if props.get("config_hash") != cfg_hash:
+            raise SystemExit("resume refused: config_hash mismatch "
+                             "(pipeline flags differ from the "
+                             "checkpointed run)")
+        done = [h["summary"]["stage"] for h in reversed(work.history())
+                if h.get("summary", {}).get("stage") not in (None, "input")]
+        names = [n for n, _ in stage_list]
+        while start_idx < len(done) and start_idx < len(names) \
+                and done[start_idx] == names[start_idx]:
+            start_idx += 1
+        for h in work.history():
+            st = h.get("summary", {})
+            if st.get("stage") in names[:start_idx] or \
+                    st.get("stage") == "input":
+                funnel[st["stage"]] = st["rows"]
+        funnel = {k: funnel[k] for k in ["input"] + names[:start_idx]
+                  if k in funnel}
+
+    if start_idx > 0:
+        df = _stage(work.read(spark), f"resumed@{start_idx}",
+                    {"_": 0})  # cache; funnel already restored
+    else:
+        df = _stage(spark.read.parquet(args.input), "input", funnel)
+        df = df.withColumn("q_score",
+                           T.quality_classifier_col(F.col(txt)))
+        if work is not None:
+            work.overwrite(df, properties={"config_hash": cfg_hash},
+                           summary={"stage": "input",
+                                    "rows": funnel["input"]})
+
+    for name, fn in stage_list[start_idx:]:
+        df = _stage(fn(df), name, funnel)
+        if work is not None:
+            work.overwrite(df, properties={"config_hash": cfg_hash},
+                           summary={"stage": name,
+                                    "rows": funnel[name]})
 
     funnel["output"] = funnel[list(funnel)[-1]]
     # per-domain observability: docs + tokens of the FINAL corpus

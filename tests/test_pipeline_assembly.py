@@ -350,3 +350,73 @@ def test_dedup_job_semdedup_mode(spark, tmp_path):
     t = Icelite(out)
     got = {r["vec_id"]: r["keep"] for r in t.read(spark).collect()}
     assert sum(not k for k in got.values()) == 5
+
+
+def test_curation_job_stage_resume(spark, tmp_path, monkeypatch):
+    """Kill-and-resume via stage checkpoints: a crash mid-pipeline
+    leaves the completed stages committed; the rerun recomputes ONLY
+    the missing stages and produces the same output as an
+    uninterrupted run. Config drift refuses to resume."""
+    import contextlib, io, json
+
+    import pytest
+
+    import jobs.curation_job as J
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [(i, "A" if i % 2 else "B",
+             "the quick brown fox jumps over the lazy dog number "
+             + str(i % 7)) for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .write.parquet(src)
+    argv = ["--input", src, "--output", str(tmp_path / "o"),
+            "--min-quality", "0.3", "--dedup", "--threshold", "0.8",
+            "--budget", "A=120", "--budget", "B=120", "--resume"]
+
+    # reference: uninterrupted run (no resume machinery)
+    ref_out = str(tmp_path / "ref")
+    with contextlib.redirect_stdout(io.StringIO()):
+        J.main(["--input", src, "--output", ref_out,
+                "--min-quality", "0.3", "--dedup", "--threshold", "0.8",
+                "--budget", "A=120", "--budget", "B=120"])
+    ref = sorted(r["doc_id"] for r in Icelite(ref_out).read(spark).collect())
+
+    # crash INSIDE the mixture stage
+    def _boom(*a, **k):
+        raise RuntimeError("simulated executor loss")
+    monkeypatch.setattr(J, "token_budget_mixture", _boom, raising=False)
+    import aef_mosaic_spark.operators.sampling as SA
+    real_mix = SA.token_budget_mixture
+    monkeypatch.setattr(SA, "token_budget_mixture", _boom)
+    with pytest.raises(RuntimeError):
+        with contextlib.redirect_stdout(io.StringIO()):
+            J.main(argv)
+    work = Icelite(str(tmp_path / "o_stages"))
+    stages_after_crash = [h["summary"].get("stage")
+                          for h in work.history()
+                          if h["summary"].get("stage")]
+    assert "after_dedup" in stages_after_crash
+    assert "after_mixture" not in stages_after_crash
+
+    # resume: only the mixture stage runs
+    monkeypatch.setattr(SA, "token_budget_mixture", real_mix)
+    monkeypatch.setattr(J, "token_budget_mixture", real_mix,
+                        raising=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = J.main(argv)
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = sorted(r["doc_id"]
+                 for r in Icelite(str(tmp_path / "o")).read(spark).collect())
+    assert got == ref                       # identical final corpus
+    assert m["funnel"]["after_mixture"] == len(ref)
+    stages_final = [h["summary"].get("stage") for h in work.history()
+                    if h["summary"].get("stage")]
+    assert stages_final.count("after_dedup") == 1   # NOT recomputed
+
+    # config drift refuses
+    with pytest.raises(SystemExit, match="config_hash"):
+        with contextlib.redirect_stdout(io.StringIO()):
+            J.main(argv[:-1] + ["--threshold", "0.9", "--resume"])
