@@ -224,3 +224,44 @@ def test_span_sink_replay_is_idempotent(spark, tmp_path):
     nd_after_replay = {r["h"]: r["nd"] for r in idx.read(spark).collect()}
     assert nd_after_replay == nd_after_first       # no double count
     assert stats2.read(spark).count() == 1
+
+
+def test_streaming_admission_and_batch_mixture_same_budget_law(spark, tmp_path):
+    """The two mixture policies (arrival-order streaming admission vs
+    h32-order batch sampling) pick DIFFERENT docs by design, but both
+    are greedy fills of the same budget: each stops within one doc of
+    the budget and never admits after crossing it."""
+    import pandas as pd
+
+    from aef_mosaic_spark.operators.sampling import token_budget_mixture
+    from aef_mosaic_spark.streaming.stateful import (
+        streaming_token_budget_admission)
+    rows = [(i, "A", " ".join(["t"] * (2 + i % 6))) for i in range(50)]
+    budget = {"A": 60}
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.repartition(4).write.parquet(src)
+
+    batch_kept = token_budget_mixture(df, "doc_id", "source", "text",
+                                      budget).collect()
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (streaming_token_budget_admission(stream, "doc_id", "source",
+                                          "text", budget)
+         .writeStream.format("memory").queryName("mix_law_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_kept = spark.sql("SELECT * FROM mix_law_t").collect()
+    q.stop()
+
+    max_doc = 7  # longest doc in this corpus (2 + 5 tokens)
+    for kept in (batch_kept, stream_kept):
+        tot = sum(r["n_tok"] for r in kept)
+        assert tot >= 60            # budget reached (corpus is ample)
+        assert tot < 60 + max_doc   # overshoot bounded by one doc
+    # both respect per-row cumulative accounting
+    assert max(r["cum_tokens"] for r in batch_kept) == \
+        sum(r["n_tok"] for r in batch_kept)
+    assert max(r["cum_tokens"] for r in stream_kept) == \
+        sum(r["n_tok"] for r in stream_kept)
