@@ -1453,6 +1453,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return remove_duplicated_spans(d, "doc_id", "text", n=8)
     q["q96_span_removal"] = q96_span_removal
 
+    def q98_spatial_balanced_sample(spark, sf):
+        # spatially-stratified sampling: at most 3 points per res-6
+        # cell in deterministic h32 order — the anti-city-oversampling
+        # knob for imagery corpora (spatial x curation composition)
+        from aef_mosaic_spark.operators.sampling import (
+            spatially_balanced_sample)
+        p = _points(spark, sf)
+        return spatially_balanced_sample(p, "point_id", "lon", "lat",
+                                         res=6, cap=3)
+    q["q98_spatial_balanced_sample"] = q98_spatial_balanced_sample
+
     def q97_ann_cosine_opq(spark, sf):
         # OPQ-style rotated PQ (Ge 2013): deterministic seeded
         # orthonormal rotation (QR, sign-fixed, 6dp literals) applied
@@ -2505,6 +2516,10 @@ def oracle_sql() -> dict[str, str]:
     o["q95_ann_index_probe"] = _ann_ivfpq_adc_sql()
     o["q97_ann_cosine_opq"] = _ann_pq_sql(
         source=_rotated_embeddings_sql())
+    from aef_mosaic_spark.operators.sampling import (
+        spatially_balanced_sample_sql)
+    o["q98_spatial_balanced_sample"] = spatially_balanced_sample_sql(
+        POINT_SQL, "point_id", "lon", "lat", res=6, cap=3)
     o["q93_token_estimators"] = f"""
     SELECT doc_id,
            {T.token_count_sql('text')}::INT AS n_ws,

@@ -195,3 +195,58 @@ def bucketed_batches_sql(table: str, id_col: str, w_col: str, h_col: str,
            ((_slot0 // {batch_size}) + 1) * {batch_size} <= _n AS full
     FROM b
     """
+
+
+def spatially_balanced_sample(df: DataFrame, id_col: str,
+                              lon_col: str, lat_col: str,
+                              res: int, cap: int,
+                              salt: str = "geo-v1") -> DataFrame:
+    """Spatially-stratified sampling: at most `cap` rows per spatial
+    cell (functions/cells grid at `res`), chosen in deterministic h32
+    order — the geo-training anti-oversampling knob (imagery corpora
+    are massively skewed toward cities; a per-cell cap flattens the
+    spatial prior without rand()).
+
+    -> kept rows (id, cell, rk) with rk in [1, cap].
+
+    Scale shape: one window per cell partition; the cell key is the
+    shuffle key, so the skew that motivates the op is also its risk —
+    at 10^12 rows cap the window by pre-filtering with an approximate
+    per-cell count (or sub-bucket by h32 prefix as in
+    token_budget_mixture's hierarchical note).
+    """
+    from pyspark.sql import Window
+
+    from aef_mosaic_spark.cells import cell_id_col
+
+    w = Window.partitionBy("cell").orderBy(
+        sample_bucket_col(id_col, salt), F.col(id_col))
+    out = df.select(
+        F.col(id_col),
+        cell_id_col(F.col(lon_col), F.col(lat_col), res).alias("cell"),
+    ).withColumn("rk", F.row_number().over(w))
+    return out.where(F.col("rk") <= cap)
+
+
+def spatially_balanced_sample_sql(source: str, id_col: str,
+                                  lon_col: str, lat_col: str,
+                                  res: int, cap: int,
+                                  salt: str = "geo-v1") -> str:
+    """DuckDB twin: identical cell encoding (cells.cell_id_sql) and
+    h32 in-cell order. `source` is a SELECT yielding (id, lon, lat)."""
+    from aef_mosaic_spark.cells import cell_id_sql
+
+    h = h32_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    return f"""
+    WITH p AS ({source}),
+    c AS (
+      SELECT {id_col},
+             {cell_id_sql(lon_col, lat_col, res)} AS cell,
+             row_number() OVER (
+               PARTITION BY {cell_id_sql(lon_col, lat_col, res)}
+               ORDER BY ({h} % {BUCKETS}), {id_col}) AS rk
+      FROM p
+    )
+    SELECT {id_col}, cell::BIGINT AS cell, rk::INT AS rk
+    FROM c WHERE rk <= {cap}
+    """

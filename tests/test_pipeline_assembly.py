@@ -420,3 +420,23 @@ def test_curation_job_stage_resume(spark, tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="config_hash"):
         with contextlib.redirect_stdout(io.StringIO()):
             J.main(argv[:-1] + ["--threshold", "0.9", "--resume"])
+
+
+def test_spatially_balanced_sample_caps_cells(spark):
+    from aef_mosaic_spark.operators.sampling import spatially_balanced_sample
+    # 30 points crammed into one spot + 5 spread out
+    rows = [(i, 10.001 + i * 1e-4, 20.001) for i in range(30)] \
+        + [(100 + i, -60.0 + i * 30.0, -40.0 + i * 15.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "point_id long, lon double, lat double")
+    out = spatially_balanced_sample(df, "point_id", "lon", "lat",
+                                    res=6, cap=4).collect()
+    per_cell: dict = {}
+    for r in out:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    assert max(per_cell.values()) <= 4          # cap enforced
+    assert sum(1 for r in out if r["point_id"] >= 100) == 5  # sparse kept
+    assert all(1 <= r["rk"] <= 4 for r in out)
+    # deterministic under repartition
+    out2 = spatially_balanced_sample(df.repartition(7), "point_id",
+                                     "lon", "lat", res=6, cap=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
