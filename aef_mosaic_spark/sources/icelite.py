@@ -306,6 +306,31 @@ class Icelite:
         cur = (self.read(spark, filters=filters)
                .withColumn("_file", F.input_file_name()))
         upd_keys = updates.select(*key_cols).distinct()
+        if filters:
+            # Enforce the documented contract: every update key must
+            # fall inside the pruning bounds, or a matching row living
+            # in a pruned file is silently re-inserted (duplicate key).
+            # One small agg over the (distinct) update keys — cheap
+            # relative to the rewrite it guards.
+            checked = [c for c in filters if c in upd_keys.columns]
+            if checked:
+                aggs = []
+                for c in checked:
+                    aggs += [F.min(c).alias(f"_lo_{c}"),
+                             F.max(c).alias(f"_hi_{c}")]
+                row = upd_keys.agg(*aggs).collect()[0]
+                for c in checked:
+                    lo, hi = filters[c]
+                    ulo, uhi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+                    if ulo is None:
+                        continue
+                    if (lo is not None and ulo < lo) or \
+                       (hi is not None and uhi > hi):
+                        raise ValueError(
+                            f"merge(filters=) pruning bound {c}=({lo}, {hi}) "
+                            f"does not cover update keys [{ulo}, {uhi}]: a "
+                            f"matched row in a pruned file would be silently "
+                            f"duplicated. Widen the filter or drop it.")
         aff_files = [r["_file"] for r in
                      cur.join(upd_keys, key_cols, "leftsemi")
                      .select("_file").distinct().collect()]
@@ -446,19 +471,26 @@ class Icelite:
         gate on file age — a LIVE writer's un-committed files look
         exactly like orphans."""
         referenced: set[str] = set()
-        sid = self.current_snapshot_id()
-        # every snapshot in history, not just the current one: time
-        # travel must keep working after the sweep
+        # Reachability roots: the current pointer AND every tag —
+        # expire_snapshots cuts an expired parent out of a pinned
+        # snapshot's chain, so a tag-pinned snapshot can be
+        # disconnected from current; walking only the current chain
+        # would GC its data files and break the tag-pin promise.
+        roots = [self.current_snapshot_id(), *self.tags().values()]
         seen_manifests: set[str] = set()
-        while sid:
-            s = self.snapshot(sid)
-            for m in s["manifests"]:
-                if m in seen_manifests:
-                    continue
-                seen_manifests.add(m)
-                man = json.loads(self.store.read_text(self._mpath(m)))
-                referenced.update(e["path"] for e in man["entries"])
-            sid = s["parent_id"]
+        seen_snaps: set[int] = set()
+        for root in roots:
+            sid = root
+            while sid and sid not in seen_snaps:
+                seen_snaps.add(sid)
+                s = self.snapshot(sid)
+                for m in s["manifests"]:
+                    if m in seen_manifests:
+                        continue
+                    seen_manifests.add(m)
+                    man = json.loads(self.store.read_text(self._mpath(m)))
+                    referenced.update(e["path"] for e in man["entries"])
+                sid = s["parent_id"]
         removed: list[str] = []
         for fp in glob.glob(os.path.join(self.path, "data", "**", "*"),
                             recursive=True):

@@ -238,7 +238,10 @@ def main(argv=None):
         while start_idx < len(done) and start_idx < len(names) \
                 and done[start_idx] == names[start_idx]:
             start_idx += 1
-        for h in work.history():
+        # oldest-first so a stage re-run after a mid-stage crash keeps
+        # its NEWEST row count (history() is newest-first; forward
+        # iteration would let the stale pre-crash row win)
+        for h in reversed(work.history()):
             st = h.get("summary", {})
             if st.get("stage") in names[:start_idx] or \
                     st.get("stage") == "input":

@@ -183,6 +183,10 @@ def main(argv=None):
         return 1 if issues else 0
     if not args.output:
         ap.error("--output is required (unless --validate/--generate-config)")
+    if args.rate_mbps is not None and args.commit_groups <= 1:
+        ap.error("--rate-mbps requires --commit-groups > 1 (pacing "
+                 "happens between group commits; with one group the "
+                 "backfill would run unthrottled)")
 
     from aef_mosaic_spark.grid import OutputGrid
     from aef_mosaic_spark.plans.pipeline import MosaicJob

@@ -672,6 +672,25 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
         t.read(spark, snapshot_id=2)
 
 
+def test_orphan_gc_keeps_tag_pinned_files(spark, tmp_path):
+    # Regression: tag -> compact -> expire cuts the pinned snapshot
+    # out of the current parent chain (its parent pointer is severed),
+    # so an orphan sweep rooted only at `current` would GC the tagged
+    # snapshot's data files and break read_tag with PATH_NOT_FOUND.
+    t = Icelite(str(tmp_path / "t"))
+    t.append(spark.range(20).repartition(4))        # snap 1
+    t.tag("dataset-v1")
+    t.compact(spark, target_files=1)                # snap 2: new files
+    t.append(spark.range(20, 25))                   # snap 3
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] >= 1                # snap 2 expired
+    swept = t.remove_orphan_files()
+    assert swept == []                              # nothing is orphaned
+    assert sorted(r["id"] for r in
+                  t.read_tag(spark, "dataset-v1").collect()) == list(range(20))
+    assert t.read(spark).count() == 25
+
+
 def test_compact_cluster_by_tightens_stats(spark, tmp_path):
     t = Icelite(str(tmp_path / "t"))
     # interleaved appends: every file spans the whole key range
@@ -703,6 +722,15 @@ def test_merge_with_filter_pruned_discovery(spark, tmp_path):
     assert len(got) == 1000 and got[42] == "FIXED" and got[41] == "v41"
     # the clustered layout means only ONE file was rewritten
     assert t.snapshot()["summary"]["rewritten_files"] == 1
+    # the pruning contract is ENFORCED: an update key outside the
+    # filter bounds would silently duplicate (old row in a pruned
+    # file + new insert), so merge refuses instead
+    import pytest
+    bad = spark.createDataFrame([(900, "OUT")], "id long, v string")
+    before = t.current_snapshot_id()
+    with pytest.raises(ValueError, match="does not cover update keys"):
+        t.merge(spark, bad, ["id"], filters={"id": (0, 100)})
+    assert t.current_snapshot_id() == before    # nothing committed
 
 
 def test_maintenance_job_composes_actions(spark, tmp_path):
