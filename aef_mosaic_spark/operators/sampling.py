@@ -119,11 +119,11 @@ def token_budget_mixture_sql(table: str, id_col: str, domain_col: str,
       SELECT {id_col}, {domain_col},
              {token_count_sql(text_col)}::BIGINT AS n_tok,
              {budget} AS _budget,
-             sum({token_count_sql(text_col)}::BIGINT) OVER (
+             (sum({token_count_sql(text_col)}::BIGINT) OVER (
                PARTITION BY {domain_col}
                ORDER BY ({h} % {BUCKETS}), {id_col}
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum_tokens
+             ))::BIGINT AS cum_tokens
       FROM {table}
     )
     SELECT {id_col}, {domain_col}, n_tok, cum_tokens

@@ -13,6 +13,7 @@ import time
 sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from aef_mosaic_spark.session import get_spark  # noqa: E402
@@ -80,11 +81,35 @@ def main():
                 print(f"  WARNING {name}: zero rows")
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [c.lower() for c in rel.columns]
-            orows = rel.fetchall()
+            # Arrow-faithful fetch, like the round driver: DuckDB
+            # HUGEINT / un-cast aggregates surface as decimal128 here,
+            # which the driver renders differently from Spark's
+            # int64/float64 (silent hash mismatch at the gate even
+            # though float(Decimal) compares equal). Fail loudly
+            # instead of normalizing the difference away.
+            atbl = con.sql(oracles[name]).fetch_arrow_table()
+            ocols = [c.lower() for c in atbl.column_names]
+            bad = [f"{c}: {t}" for c, t in
+                   zip(atbl.column_names, atbl.schema.types)
+                   if pa.types.is_decimal(t)]
+            if bad:
+                print(f"FAIL {name}: oracle emits decimal columns "
+                      f"[{', '.join(bad)}] — cast ::BIGINT/::DOUBLE in "
+                      f"the oracle SQL or the driver hash-mismatches")
+                n_fail += 1
+                continue
+            orows = [tuple(col[i].as_py() for col in atbl.columns)
+                     for i in range(atbl.num_rows)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        sdec = [f.name for f in sdf.schema.fields
+                if f.dataType.typeName().startswith("decimal")]
+        if sdec:
+            print(f"FAIL {name}: Spark result has decimal columns "
+                  f"{sdec} — cast to bigint/double for a stable "
+                  f"driver hash")
             n_fail += 1
             continue
         ok_cols = sorted(c.lower() for c in scols) == sorted(ocols)
