@@ -35,6 +35,77 @@ def sample_bucket_sql(id_expr: str, salt: str) -> str:
     return f"({h32_sql(keyed)} % {BUCKETS})::INT"
 
 
+def sharded_keyed_rank(df: DataFrame, key_cols: list[str],
+                       hb_col: str, id_col: str,
+                       sum_col: str | None = None,
+                       n_shards: int = 64,
+                       rank_cap: int | None = None) -> DataFrame:
+    """Exact per-key row_number (`_rk`, 1-based) — and, with sum_col,
+    the per-key running sum INCLUDING the current row (`_cum`) — in
+    (hb_col, id_col) order, WITHOUT a single window task per key.
+
+    The naive `Window.partitionBy(key)` puts every row of a key in
+    one task: one heavy domain/bucket/cell at 10^12 rows = one task
+    doing a running sum over billions of rows. Because the in-key
+    order starts with the uniform deterministic bucket hb_col (h32 %
+    BUCKETS, functions/hashes.py), `shard = floor(hb * S / BUCKETS)`
+    is a pure function of the row that is MONOTONE in the order key:
+    every row of shard s precedes every row of shard s+1 in global
+    order, and shards are near-equal sized. So:
+
+      1. local window per (key, shard) — task size ~ n_key / S, one
+         hash exchange, no range partitioner, fully deterministic
+         (no spark_partition_id: a recomputed branch always sees the
+         same shard assignment).
+      2. per-(key, shard) counts/sums (map-side-combined agg, one row
+         per key per shard) -> running offsets per key over shards (a
+         window over the tiny agg) -> joined back;
+         `_rk = offset_rows + local_rank`,
+         `_cum = offset_sum + local_cumsum`.
+
+    Bit-identical to the single-window formulation. Shard granularity
+    is capped by hb_col's BUCKETS distinct values (10000).
+
+    rank_cap: when only rows with _rk <= cap are wanted (top-k per
+    key), rows whose LOCAL rank already exceeds cap are dropped
+    before the offsets join (global rank >= local rank), bounding the
+    join input to n_shards * cap rows per key.
+    """
+    from pyspark.sql import Window
+
+    n_shards = max(1, min(int(n_shards), BUCKETS))
+    shard = F.floor(F.col(hb_col) * n_shards / BUCKETS).cast("int")
+    base = df.withColumn("_shard", shard)
+    wl = Window.partitionBy("_shard", *key_cols).orderBy(hb_col, id_col)
+    loc = base.withColumn("_lrk", F.row_number().over(wl))
+    aggs = [F.count(F.lit(1)).alias("_n_part")]
+    if sum_col is not None:
+        loc = loc.withColumn("_lcum", F.sum(sum_col).over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        aggs.append(F.sum(sum_col).alias("_s_part"))
+    counts = base.groupBy("_shard", *key_cols).agg(*aggs)
+    wo = (Window.partitionBy(*key_cols).orderBy("_shard")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.withColumn(
+        "_rk_off", F.coalesce(F.sum("_n_part").over(wo), F.lit(0)))
+    off_cols = ["_shard", *key_cols, "_rk_off"]
+    if sum_col is not None:
+        off = off.withColumn(
+            "_cum_off", F.coalesce(F.sum("_s_part").over(wo), F.lit(0)))
+        off_cols.append("_cum_off")
+    if rank_cap is not None:
+        loc = loc.where(F.col("_lrk") <= rank_cap)
+    # join key == the local window's partitioning, so the big side
+    # needs no re-exchange; the offsets side is (keys x shards)-sized
+    # and AQE broadcasts it when small
+    out = loc.join(off.select(*off_cols), ["_shard", *key_cols])
+    out = out.withColumn("_rk", (F.col("_rk_off") + F.col("_lrk"))
+                         .cast("long"))
+    if sum_col is not None:
+        out = out.withColumn("_cum", F.col("_cum_off") + F.col("_lcum"))
+    return out.drop("_shard", "_lrk", "_lcum", "_rk_off", "_cum_off")
+
+
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
                       rates: dict[str, float], default_rate: float = 0.0,
                       salt: str = "sample-v1") -> DataFrame:
@@ -69,7 +140,8 @@ def stratified_sample_sql(table: str, id_col: str, strata_col: str,
 def token_budget_mixture(df: DataFrame, id_col: str, domain_col: str,
                          text_col: str, budgets: dict[str, int],
                          default_budget: int = 0,
-                         salt: str = "mix-v1") -> DataFrame:
+                         salt: str = "mix-v1",
+                         sharded: bool = True) -> DataFrame:
     """Domain-mixture corpus assembly to a per-domain TOKEN budget
     (the DoReMi / Pile-style mixture knob, public): docs in each
     domain are taken in deterministic h32 order until the domain's
@@ -80,10 +152,11 @@ def token_budget_mixture(df: DataFrame, id_col: str, domain_col: str,
     -> kept rows (id, domain, n_tok, cum_tokens), where cum_tokens is
     the running total INCLUDING the row.
 
-    Scale shape: one window per domain partition — the shuffle key is
-    the domain, so heavy domains are the skew risk; at 10^12 docs the
-    same greedy rule runs hierarchically (sub-bucket by h32 prefix,
-    fill sub-budgets) without changing the kept set's distribution.
+    Scale shape: sharded=True (default) computes the running sum via
+    sharded_keyed_rank — a heavy domain spreads over many range
+    partitions instead of one window task, with bit-identical output.
+    sharded=False is the single-window-per-domain formulation kept for
+    equivalence tests.
     """
     from aef_mosaic_spark.functions.text import token_count_col
     from pyspark.sql import Window
@@ -91,14 +164,21 @@ def token_budget_mixture(df: DataFrame, id_col: str, domain_col: str,
     budget = F.lit(int(default_budget))
     for k, v in sorted(budgets.items()):
         budget = F.when(F.col(domain_col) == k, F.lit(int(v))).otherwise(budget)
-    w = (Window.partitionBy(domain_col)
-         .orderBy(sample_bucket_col(id_col, salt), F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = df.select(
         F.col(id_col), F.col(domain_col),
         token_count_col(F.col(text_col)).cast("long").alias("n_tok"),
         budget.alias("_budget"),
-    ).withColumn("cum_tokens", F.sum("n_tok").over(w))
+        sample_bucket_col(id_col, salt).alias("_hb"),
+    )
+    if sharded:
+        out = (sharded_keyed_rank(out, [domain_col], "_hb", id_col,
+                                  sum_col="n_tok")
+               .withColumnRenamed("_cum", "cum_tokens"))
+    else:
+        w = (Window.partitionBy(domain_col)
+             .orderBy(F.col("_hb"), F.col(id_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = out.withColumn("cum_tokens", F.sum("n_tok").over(w))
     return (out.where(F.col("cum_tokens") - F.col("n_tok") < F.col("_budget"))
             .select(id_col, domain_col, "n_tok", "cum_tokens"))
 
@@ -133,7 +213,8 @@ def token_budget_mixture_sql(table: str, id_col: str, domain_col: str,
 
 def bucketed_batches(df: DataFrame, id_col: str, w_col: str, h_col: str,
                      batch_size: int = 32,
-                     salt: str = "batch-v1") -> DataFrame:
+                     salt: str = "batch-v1",
+                     sharded: bool = True) -> DataFrame:
     """Resolution-bucketed batch assignment for image training (the
     SDXL aspect-/resolution-bucketing recipe, public): images are
     grouped by exact (w, h) bucket so every training batch stacks
@@ -145,29 +226,40 @@ def bucketed_batches(df: DataFrame, id_col: str, w_col: str, h_col: str,
     -> (id, bucket, batch_idx, slot, full). Deterministic at any
     parallelism: ordering is (h32, id), never partition order.
 
-    Scale shape: one window per (w, h) bucket — tens of buckets at
-    10^12 images means heavy partitions; production shards the window
-    by a h32 prefix (sub-bucket) and offsets batch_idx by shard, which
-    preserves batch membership exactly.
+    Scale shape: sharded=True (default) numbers slots with
+    sharded_keyed_rank — tens of buckets at 10^12 images each spread
+    over many range partitions instead of one window task each, with
+    bit-identical batch assignment; the per-bucket total feeding
+    `full` is a map-side-combined groupBy, not a window.
+    sharded=False is the single-window-per-bucket formulation kept
+    for equivalence tests.
     """
     from pyspark.sql import Window
 
     bucket = F.concat_ws("x", F.col(w_col).cast("string"),
                          F.col(h_col).cast("string"))
-    w = Window.partitionBy("bucket").orderBy(
-        sample_bucket_col(id_col, salt), F.col(id_col))
-    out = df.select(F.col(id_col), bucket.alias("bucket")).withColumn(
-        "_slot0", F.row_number().over(w) - 1)
-    n = Window.partitionBy("bucket")
+    out = df.select(F.col(id_col), bucket.alias("bucket"),
+                    sample_bucket_col(id_col, salt).alias("_hb"))
+    if sharded:
+        # per-bucket totals from the slim pre-rank projection (scan +
+        # map-side-combined agg, bucket-count-sized result)
+        totals = out.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+        out = (sharded_keyed_rank(out, ["bucket"], "_hb", id_col)
+               .withColumn("_slot0", F.col("_rk") - 1)
+               .join(totals, "bucket"))
+        full = (F.col("batch_idx") + 1) * batch_size <= F.col("_n")
+    else:
+        w = Window.partitionBy("bucket").orderBy(
+            F.col("_hb"), F.col(id_col))
+        out = out.withColumn("_slot0", F.row_number().over(w) - 1)
+        n = Window.partitionBy("bucket")
+        full = ((F.col("batch_idx") + 1) * batch_size
+                <= F.max(F.col("_slot0") + 1).over(n))
     return (
         out.withColumn("batch_idx",
                        (F.col("_slot0") / batch_size).cast("int"))
         .withColumn("slot", (F.col("_slot0") % batch_size).cast("int"))
-        .withColumn(
-            "full",
-            (F.col("batch_idx") + 1) * batch_size
-            <= F.max(F.col("_slot0") + 1).over(n),
-        )
+        .withColumn("full", full)
         .select(id_col, "bucket", "batch_idx", "slot", "full")
     )
 
@@ -200,7 +292,8 @@ def bucketed_batches_sql(table: str, id_col: str, w_col: str, h_col: str,
 def spatially_balanced_sample(df: DataFrame, id_col: str,
                               lon_col: str, lat_col: str,
                               res: int, cap: int,
-                              salt: str = "geo-v1") -> DataFrame:
+                              salt: str = "geo-v1",
+                              sharded: bool = True) -> DataFrame:
     """Spatially-stratified sampling: at most `cap` rows per spatial
     cell (functions/cells grid at `res`), chosen in deterministic h32
     order — the geo-training anti-oversampling knob (imagery corpora
@@ -209,23 +302,31 @@ def spatially_balanced_sample(df: DataFrame, id_col: str,
 
     -> kept rows (id, cell, rk) with rk in [1, cap].
 
-    Scale shape: one window per cell partition; the cell key is the
-    shuffle key, so the skew that motivates the op is also its risk —
-    at 10^12 rows cap the window by pre-filtering with an approximate
-    per-cell count (or sub-bucket by h32 prefix as in
-    token_budget_mixture's hierarchical note).
+    Scale shape: sharded=True (default) ranks via sharded_keyed_rank
+    with rank_cap=cap — the hot-city cell that motivates the op (and
+    was its own skew risk as a single window task) spreads over many
+    range partitions, and rows whose local rank already exceeds cap
+    are dropped before the offsets join; output is bit-identical.
+    sharded=False is the single-window-per-cell formulation kept for
+    equivalence tests.
     """
     from pyspark.sql import Window
 
     from aef_mosaic_spark.cells import cell_id_col
 
-    w = Window.partitionBy("cell").orderBy(
-        sample_bucket_col(id_col, salt), F.col(id_col))
     out = df.select(
         F.col(id_col),
         cell_id_col(F.col(lon_col), F.col(lat_col), res).alias("cell"),
-    ).withColumn("rk", F.row_number().over(w))
-    return out.where(F.col("rk") <= cap)
+        sample_bucket_col(id_col, salt).alias("_hb"),
+    )
+    if sharded:
+        out = (sharded_keyed_rank(out, ["cell"], "_hb", id_col,
+                                  rank_cap=cap)
+               .withColumn("rk", F.col("_rk").cast("int")))
+    else:
+        w = Window.partitionBy("cell").orderBy(F.col("_hb"), F.col(id_col))
+        out = out.withColumn("rk", F.row_number().over(w))
+    return out.where(F.col("rk") <= cap).select(id_col, "cell", "rk")
 
 
 def spatially_balanced_sample_sql(source: str, id_col: str,

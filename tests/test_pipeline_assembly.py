@@ -440,3 +440,51 @@ def test_spatially_balanced_sample_caps_cells(spark):
     out2 = spatially_balanced_sample(df.repartition(7), "point_id",
                                      "lon", "lat", res=6, cap=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_sharded_rank_matches_single_window(spark):
+    # The sharded two-phase ranking must be BIT-IDENTICAL to the
+    # single-window-per-key formulation on a deliberately skewed
+    # input (one domain/bucket/cell holds most rows), while spreading
+    # the heavy key over many range partitions.
+    from aef_mosaic_spark.operators.sampling import (
+        bucketed_batches, spatially_balanced_sample, token_budget_mixture)
+
+    docs = spark.range(3000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 = 0 THEN 'rare' ELSE 'web' END AS source",
+        "repeat('tok ', CAST(id % 17 AS INT) + 1) AS text")
+    kw = dict(budgets={"web": 4000, "rare": 500}, default_budget=0)
+    a = sorted(map(tuple, token_budget_mixture(
+        docs, "doc_id", "source", "text", sharded=True, **kw).collect()))
+    b = sorted(map(tuple, token_budget_mixture(
+        docs, "doc_id", "source", "text", sharded=False, **kw).collect()))
+    assert a == b and len(a) > 0
+
+    imgs = spark.range(2000).selectExpr(
+        "'img-' || id AS image_id",
+        "CASE WHEN id % 20 = 0 THEN 512 ELSE 256 END AS w",
+        "256 AS h")
+    a = sorted(map(tuple, bucketed_batches(
+        imgs, "image_id", "w", "h", 32, sharded=True).collect()))
+    b = sorted(map(tuple, bucketed_batches(
+        imgs, "image_id", "w", "h", 32, sharded=False).collect()))
+    assert a == b and len(a) == 2000
+
+    pts = spark.range(2500).selectExpr(
+        "id AS point_id",
+        "CASE WHEN id % 25 = 0 THEN 1.0 + (id % 7) * 0.3 "
+        "ELSE 0.001 * (id % 5) END AS lon",
+        "CASE WHEN id % 25 = 0 THEN 1.0 + (id % 11) * 0.2 "
+        "ELSE 0.001 * (id % 3) END AS lat")
+    a = sorted(map(tuple, spatially_balanced_sample(
+        pts, "point_id", "lon", "lat", 6, 40, sharded=True).collect()))
+    b = sorted(map(tuple, spatially_balanced_sample(
+        pts, "point_id", "lon", "lat", 6, 40, sharded=False).collect()))
+    assert a == b and len(a) > 0
+    # the heavy cell really is shard-spread: the sharded plan windows
+    # over (_shard, cell), never over the bare cell key
+    plan = spatially_balanced_sample(
+        pts, "point_id", "lon", "lat", 6, 40,
+        sharded=True)._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" in plan
