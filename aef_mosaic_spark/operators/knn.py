@@ -396,12 +396,57 @@ def ann_cosine_pq_rerank(queries: DataFrame, items: DataFrame, k: int,
             .where(F.col("rank") <= k))
 
 
+def encode_ivfpq_items(items: DataFrame, dim: int,
+                       i_id: str = "item_id", vec: str = "embedding",
+                       n_lists: int = 16, m: int = 4, ksub: int = 8,
+                       centroids: list[list[float]] | None = None,
+                       books: list | None = None):
+    """Encode items into IVF+PQ codes ONCE: returns
+    (codes_df, centroids, books) where codes_df has columns
+    (i_id, list, c0..c{m-1}) — the compressed representation every
+    probe path consumes. BENCH 7l: item ENCODE dominates raw-vector
+    ANN calls at 100k items, so any repeated-probe surface should
+    encode once (this helper / build_ivfpq_index) and pass `codes=`
+    into ann_cosine_ivfpq(_adc) — the probe then never touches a raw
+    item vector. Trains centroids/books when not supplied."""
+    dsub = dim // m
+    if centroids is None:
+        centroids = ivf_centroids(items.select(i_id, vec), vec,
+                                  n_lists, dim)
+    it_u = unit_normalized(items.select(F.col(i_id), F.col(vec)),
+                           vec, "_uv")
+    if books is None:
+        books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv", dim, m, ksub)
+    il = _assign_lists(items.select(F.col(i_id), F.col(vec).alias("_cv")),
+                       "_cv", centroids, "_il", 1)
+    il = il.select(i_id, F.element_at("_il", 1).alias("list"))
+    enc = it_u.select(i_id, *[F.slice("_uv", j * dsub + 1, dsub)
+                              .alias(f"_s{j}") for j in range(m)])
+    codes = []
+    for j in range(m):
+        dists = F.array(*[_l2_to_lit(F.col(f"_s{j}"), c) for c in books[j]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int").alias(f"c{j}"))
+    codes_df = enc.select(i_id, *codes).join(il, i_id) \
+        .select(i_id, "list", *[f"c{j}" for j in range(m)])
+    return codes_df, centroids, books
+
+
+def _require_trained(codes, centroids, books):
+    if codes is not None and (centroids is None or books is None):
+        raise ValueError(
+            "codes= requires the centroids/books the codes were "
+            "encoded with (from encode_ivfpq_items or the persisted "
+            "index properties) — re-training here would mis-decode")
+
+
 def ann_cosine_ivfpq(queries: DataFrame, items: DataFrame, k: int, dim: int,
                      q_id: str = "query_id", i_id: str = "item_id",
                      vec: str = "embedding", n_lists: int = 16,
                      n_probe: int = 4, m: int = 4, ksub: int = 8,
                      centroids: list[list[float]] | None = None,
-                     books: list | None = None) -> DataFrame:
+                     books: list | None = None,
+                     codes: DataFrame | None = None) -> DataFrame:
     """The FAISS-style composite index (Jégou et al. 2011): IVF coarse
     quantizer restricts the scan to n_probe inverted lists, PQ codes
     give the in-list distances — the memory/compute shape that serves
@@ -419,19 +464,37 @@ def ann_cosine_ivfpq(queries: DataFrame, items: DataFrame, k: int, dim: int,
     EQUI-join on list (queries exploded to n_probe rows, broadcast);
     no crossJoin anywhere. The exact re-rank composes on top exactly
     as ann_cosine_pq_rerank does over ann_cosine_pq.
+
+    codes=: pre-encoded items from encode_ivfpq_items (columns id,
+    list, c0..c{m-1}; pass the matching centroids/books). Skips the
+    whole item-side encode — the repeated-probe path (BENCH 7l: the
+    encode term dominates one-shot calls).
     """
     dsub = dim // m
-    if centroids is None:
-        centroids = ivf_centroids(items.select(i_id, vec), vec,
-                                  n_lists, dim)
-    it_u = unit_normalized(items.select(F.col(i_id), F.col(vec)),
-                           vec, "_uv")
-    if books is None:
-        books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv", dim, m, ksub)
-    il = _assign_lists(items.select(F.col(i_id), F.col(vec).alias("_cv")),
-                       "_cv", centroids, "_il", 1)
-    il = il.select(i_id, F.element_at("_il", 1).alias("_list"))
-    it = _pq_recon_df(it_u, i_id, "_uv", books, m, dsub).join(il, i_id)
+    _require_trained(codes, centroids, books)
+    if codes is not None:
+        recon = F.concat(*[
+            F.element_at(
+                F.array(*[F.array(*[F.lit(float(x)) for x in cbc])
+                          for cbc in books[j]]),
+                F.col(f"c{j}") + 1)
+            for j in range(m)])
+        it = codes.select(F.col(i_id), F.col("list").alias("_list"),
+                          recon.alias("_rv"))
+    else:
+        if centroids is None:
+            centroids = ivf_centroids(items.select(i_id, vec), vec,
+                                      n_lists, dim)
+        it_u = unit_normalized(items.select(F.col(i_id), F.col(vec)),
+                               vec, "_uv")
+        if books is None:
+            books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv",
+                                 dim, m, ksub)
+        il = _assign_lists(items.select(F.col(i_id),
+                                        F.col(vec).alias("_cv")),
+                           "_cv", centroids, "_il", 1)
+        il = il.select(i_id, F.element_at("_il", 1).alias("_list"))
+        it = _pq_recon_df(it_u, i_id, "_uv", books, m, dsub).join(il, i_id)
     qs = unit_normalized(queries.select(F.col(q_id), F.col(vec)),
                          vec, "_qv").select(q_id, "_qv")
     ql = _assign_lists(queries.select(F.col(q_id), F.col(vec).alias("_cv")),
@@ -457,7 +520,8 @@ def ann_cosine_ivfpq_adc(queries: DataFrame, items: DataFrame, k: int,
                          n_lists: int = 16, n_probe: int = 4, m: int = 4,
                          ksub: int = 8,
                          centroids: list[list[float]] | None = None,
-                         books: list | None = None) -> DataFrame:
+                         books: list | None = None,
+                         codes: DataFrame | None = None) -> DataFrame:
     """IVF+PQ with true ADC lookup tables (Jégou et al. 2011 §IV):
     each query precomputes the m x ksub table of subspace distances
     to every codeword ONCE (32 values at the defaults, on the tiny
@@ -473,27 +537,20 @@ def ann_cosine_ivfpq_adc(queries: DataFrame, items: DataFrame, k: int,
     64-dim fold only in summation structure (4 partials vs one fold)
     — values agree except at sub-ulp floor boundaries; the SQL twin
     mirrors the partial-sum structure exactly (ordered list_reduce).
+
+    codes=: pre-encoded items from encode_ivfpq_items (columns id,
+    list, c0..c{m-1}; pass the matching centroids/books). The probe
+    then reads codes only — no raw item vector anywhere in the plan.
     """
     dsub = dim // m
-    if centroids is None:
-        centroids = ivf_centroids(items.select(i_id, vec), vec,
-                                  n_lists, dim)
-    it_u = unit_normalized(items.select(F.col(i_id), F.col(vec)),
-                           vec, "_uv")
-    if books is None:
-        books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv", dim, m, ksub)
-    # item side: coarse list + m int codes (NO reconstruction arrays)
-    il = _assign_lists(items.select(F.col(i_id), F.col(vec).alias("_cv")),
-                       "_cv", centroids, "_il", 1)
-    il = il.select(i_id, F.element_at("_il", 1).alias("_list"))
-    enc = it_u.select(i_id, *[F.slice("_uv", j * dsub + 1, dsub)
-                              .alias(f"_s{j}") for j in range(m)])
-    codes = []
-    for j in range(m):
-        dists = F.array(*[_l2_to_lit(F.col(f"_s{j}"), c) for c in books[j]])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int").alias(f"_c{j}"))
-    it = enc.select(i_id, *codes).join(il, i_id)
+    _require_trained(codes, centroids, books)
+    if codes is None:
+        # item side: coarse list + m int codes (NO reconstruction
+        # arrays) — encoded inline for the one-shot call shape
+        codes, centroids, books = encode_ivfpq_items(
+            items, dim, i_id, vec, n_lists, m, ksub, centroids, books)
+    it = codes.select(F.col(i_id), F.col("list").alias("_list"),
+                      *[F.col(f"c{j}").alias(f"_c{j}") for j in range(m)])
     # query side: probe lists + the ADC table (m arrays of ksub dists)
     qs = unit_normalized(queries.select(F.col(q_id), F.col(vec)),
                          vec, "_qv")
@@ -538,23 +595,8 @@ def build_ivfpq_index(items: DataFrame, table_path: str, dim: int,
 
     from aef_mosaic_spark.sources.icelite import Icelite
 
-    dsub = dim // m
-    centroids = ivf_centroids(items.select(i_id, vec), vec, n_lists, dim)
-    it_u = unit_normalized(items.select(F.col(i_id), F.col(vec)),
-                           vec, "_uv")
-    books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv", dim, m, ksub)
-    il = _assign_lists(items.select(F.col(i_id), F.col(vec).alias("_cv")),
-                       "_cv", centroids, "_il", 1)
-    il = il.select(i_id, F.element_at("_il", 1).alias("list"))
-    enc = it_u.select(i_id, *[F.slice("_uv", j * dsub + 1, dsub)
-                              .alias(f"_s{j}") for j in range(m)])
-    codes = []
-    for j in range(m):
-        dists = F.array(*[_l2_to_lit(F.col(f"_s{j}"), c) for c in books[j]])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int").alias(f"c{j}"))
-    idx = enc.select(i_id, *codes).join(il, i_id) \
-        .select(i_id, "list", *[f"c{j}" for j in range(m)])
+    idx, centroids, books = encode_ivfpq_items(
+        items, dim, i_id, vec, n_lists, m, ksub)
     t = Icelite(table_path)
     return t.append(
         idx.repartition("list"), partition_by=["list"],

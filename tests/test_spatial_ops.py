@@ -492,3 +492,36 @@ def test_opq_rotation_orthonormal_and_recall(spark):
     opq2 = {r.query_id: r.item_id for r in
             K.ann_cosine_opq(sq, si, k=1, dim=16, m=4, ksub=8).collect()}
     assert opq == opq2
+
+
+def test_ivfpq_codes_input_skips_reencode(spark):
+    """encode_ivfpq_items once -> codes= into BOTH composite
+    operators == the inline-encode results bit-for-bit, and the
+    codes-fed plans contain no raw-vector item scan (no per-item
+    unit-normalize aggregate on the build side)."""
+    rng = np.random.RandomState(19)
+    centers = rng.randn(8, 16) * 3
+    vecs = np.vstack([c + rng.randn(15, 16) * 0.05 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(120),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::30].rename(columns={"item_id": "query_id"})
+    sq, si = spark.createDataFrame(qs), spark.createDataFrame(items)
+
+    codes, cents, books = K.encode_ivfpq_items(
+        si, dim=16, n_lists=4, m=4, ksub=8)
+    codes = codes.cache()
+    codes.count()
+
+    for fn in (K.ann_cosine_ivfpq, K.ann_cosine_ivfpq_adc):
+        inline = fn(sq, si, k=3, dim=16, n_lists=4, n_probe=2,
+                    m=4, ksub=8).collect()
+        fed = fn(sq, None, k=3, dim=16, n_lists=4, n_probe=2, m=4,
+                 ksub=8, centroids=cents, books=books,
+                 codes=codes).collect()
+        assert sorted(map(tuple, inline)) == sorted(map(tuple, fed))
+
+    # codes= without the matching codebooks must refuse
+    import pytest
+    with pytest.raises(ValueError, match="codes= requires"):
+        K.ann_cosine_ivfpq_adc(sq, None, k=3, dim=16, codes=codes)
+    codes.unpersist()
