@@ -11,7 +11,9 @@ Stages (each optional via flags, all pure DataFrame ops):
                  duplicated-gram ratio exceeds --max-dup-ratio
   4. dedup     — near-dup clusters (MinHash-LSH -> verify -> CC),
                  keep the HIGHEST-QUALITY member per cluster
-  5. mixture   — per-domain token budgets (h32-ordered greedy fill)
+  5. spatial   — at most --spatial-cap docs per spatial cell (the
+                 anti-city-oversampling knob for geo-tagged corpora)
+  6. mixture   — per-domain token budgets (h32-ordered greedy fill)
 
 Commits the surviving rows as an icelite table (zstd), optionally
 tagged, with a per-stage row-count funnel in the snapshot summary and
@@ -76,6 +78,14 @@ def main(argv=None):
     ap.add_argument("--dedup", action="store_true",
                     help="near-dup clusters; keep best-quality member")
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--spatial-cap", type=int, default=None,
+                    help="keep at most N docs per spatial cell "
+                         "(anti-city-oversampling for geo-tagged "
+                         "corpora; needs --lon-col/--lat-col)")
+    ap.add_argument("--spatial-res", type=int, default=6,
+                    help="cell resolution for --spatial-cap")
+    ap.add_argument("--lon-col", default="lon")
+    ap.add_argument("--lat-col", default="lat")
     ap.add_argument("--budget", action="append", default=[],
                     metavar="DOMAIN=TOKENS")
     ap.add_argument("--default-budget", type=int, default=0)
@@ -100,7 +110,8 @@ def main(argv=None):
 
     from aef_mosaic_spark.functions import text as T
     from aef_mosaic_spark.operators import dedup as D
-    from aef_mosaic_spark.operators.sampling import token_budget_mixture
+    from aef_mosaic_spark.operators.sampling import (
+        spatially_balanced_sample, token_budget_mixture)
     from aef_mosaic_spark.operators.spans import duplicated_span_stats
     from aef_mosaic_spark.sources.icelite import Icelite
 
@@ -159,6 +170,12 @@ def main(argv=None):
             rep["dedup"] = ("iterative: minhash-LSH candidates -> exact "
                             "verify -> connected components "
                             "(localCheckpoint per round)")
+        if args.spatial_cap is not None:
+            kept = spatially_balanced_sample(
+                d, idc, args.lon_col, args.lat_col,
+                res=args.spatial_res, cap=args.spatial_cap)
+            d = d.join(kept.select(idc), idc, "left_semi")
+            rep["spatial_cap"] = shape(d)
         if budgets or args.default_budget:
             kept = token_budget_mixture(d, idc, args.domain_col, txt,
                                         budgets, args.default_budget)
@@ -202,6 +219,13 @@ def main(argv=None):
                     .where("_rn = 1").select(idc))
             return d.join(keep, idc, "left_semi")
         stage_list.append(("after_dedup", _dedup_stage))
+    if args.spatial_cap is not None:
+        def _spatial_stage(d):
+            kept = spatially_balanced_sample(
+                d, idc, args.lon_col, args.lat_col,
+                res=args.spatial_res, cap=args.spatial_cap)
+            return d.join(kept.select(idc), idc, "left_semi")
+        stage_list.append(("after_spatial_cap", _spatial_stage))
     if budgets or args.default_budget:
         def _mix_stage(d):
             kept = token_budget_mixture(d, idc, args.domain_col, txt,
@@ -217,6 +241,8 @@ def main(argv=None):
         "clean_spans": args.clean_spans, "dedup": args.dedup,
         "threshold": args.threshold, "budgets": budgets,
         "default_budget": args.default_budget,
+        "spatial_cap": args.spatial_cap,
+        "spatial_res": args.spatial_res if args.spatial_cap else None,
     }, sort_keys=True).encode()).hexdigest()
 
     funnel: dict[str, int] = {}
@@ -284,7 +310,7 @@ def main(argv=None):
     snap = table.append(
         df,
         properties={"input": args.input,
-                    "pipeline": "quality/pii/spans/dedup/mixture"},
+                    "pipeline": "quality/pii/spans/dedup/spatial/mixture"},
         summary={"operation": "curate", "funnel": funnel,
                  "domains": domain_stats})
     if args.tag:

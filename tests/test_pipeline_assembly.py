@@ -488,3 +488,48 @@ def test_sharded_rank_matches_single_window(spark):
         pts, "point_id", "lon", "lat", 6, 40,
         sharded=True)._jdf.queryExecution().executedPlan().toString()
     assert "_shard" in plan
+
+
+def test_curation_job_spatial_cap_stage(spark, tmp_path):
+    """--spatial-cap composes q98 into the funnel: a geo-skewed
+    corpus (most docs in one 'city' cell) is flattened to at most cap
+    docs per cell, the committed table equals the operator run
+    directly, and the stage leaves a funnel row."""
+    import contextlib
+    import io
+    import json
+
+    from jobs.curation_job import main
+    from aef_mosaic_spark.operators.sampling import (
+        spatially_balanced_sample)
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    src = str(tmp_path / "docs.parquet")
+    docs = spark.range(120).selectExpr(
+        "id AS doc_id", "'A' AS source",
+        "'the quick brown fox jumps over the lazy dog nr ' || id AS text",
+        # 100 docs pile into one city cell; 20 spread out (CAST: bare
+        # SQL float literals are DecimalType and poison downstream)
+        "CAST(CASE WHEN id < 100 THEN 0.001 "
+        "ELSE 10.0 + id * 0.5 END AS DOUBLE) AS lon",
+        "CAST(CASE WHEN id < 100 THEN 0.001 "
+        "ELSE 5.0 + id * 0.3 END AS DOUBLE) AS lat")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", src, "--output", out,
+                   "--spatial-cap", "7", "--spatial-res", "6"])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    f = m["funnel"]
+    assert f["input"] == 120
+    expect = spatially_balanced_sample(
+        spark.read.parquet(src), "doc_id", "lon", "lat", res=6, cap=7)
+    expect_ids = sorted(r["doc_id"] for r in expect.collect())
+    assert f["after_spatial_cap"] == len(expect_ids)
+    got = sorted(r["doc_id"] for r in
+                 Icelite(out).read(spark).collect())
+    assert got == expect_ids          # committed table == operator
+    assert f["after_spatial_cap"] < 120   # the city cell was capped
