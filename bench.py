@@ -9,7 +9,13 @@ Headline set = the engine's load-bearing paths:
                  (images/points spatially joined/sec)
   knn_cosine   : exact cosine top-k, broadcast probes
   ann_lsh      : multiprobe sign-LSH ANN (scale path)
-  minhash      : MinHash-LSH near-dup over documents
+  minhash      : MinHash-LSH near-dup PAIRS over documents — the
+                 worst-case-OUTPUT twin (this corpus really contains
+                 ~2.8M near-dup pairs at sf0.1; pair enumeration is
+                 measured-quadratic in clique size, BENCH 7f)
+  clusters     : near-dup CLUSTER ASSIGNMENT over the same corpus
+                 (MinHash-LSH -> verify -> connected components) —
+                 the O(n)-output shape users should run at scale
   simhash      : banded SimHash near-dup
   pricing      : TPC-H-Q1-style relational aggregate
   asof         : union+window merge-asof events x orders
@@ -65,6 +71,17 @@ def _build(spark, sf_dir):
         rows = M.mosaic(images, grid, mode="mean").select("n_tiles").collect()
         return n_tiles, sum(r.n_tiles for r in rows)
 
+    def run_clusters():
+        # FULL corpus (not q73's oracle-bounded subset): the O(n)
+        # cluster-assignment output shape, tracked beside minhash's
+        # worst-case pair enumeration round-over-round
+        from aef_mosaic_spark.operators import dedup as D
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cc = D.near_duplicate_clusters(d, "doc_id", "text",
+                                       threshold=0.8, k=16, bands=4)
+        return cc.count(), 0
+
     bench = {
         "mosaic": run_mosaic,
         "mosaic_scan": run_mosaic_scan,
@@ -72,6 +89,7 @@ def _build(spark, sf_dir):
         "knn_cosine": lambda: (qs["q16_knn_cosine"](spark, sf_dir).count(), 0),
         "ann_lsh": lambda: (qs["q17_ann_cosine_lsh"](spark, sf_dir).count(), 0),
         "minhash": lambda: (qs["q23_minhash_near_dup"](spark, sf_dir).count(), 0),
+        "clusters": run_clusters,
         "simhash": lambda: (qs["q26_simhash_near_dup"](spark, sf_dir).count(), 0),
         "pricing": lambda: (qs["q01_pricing_summary"](spark, sf_dir).count(), 0),
         "asof": lambda: (qs["q07_asof_join"](spark, sf_dir).count(), 0),
@@ -173,6 +191,11 @@ def main():
                 results["spatial_join"][0] and
                 _points_count(sf_dir) / queries["spatial_join"], 2),
         },
+        "note": ("headline set grew in r4: 'clusters' (full-corpus "
+                 "near-dup cluster assignment, the O(n) dedup output "
+                 "shape) now runs beside 'minhash' (the worst-case "
+                 "pair-enumeration twin); subtract queries.clusters "
+                 "to compare totals against BENCH_r03 and earlier"),
     }))
 
 
