@@ -632,9 +632,14 @@ def probe_ivfpq_index(queries: DataFrame, table_path: str, k: int,
 
     ql = _assign_lists(queries.select(F.col(q_id), F.col(vec).alias("_cv")),
                        "_cv", centroids, "_ql", n_probe)
+    # driver-side collect is BOUNDED by n_lists (the distinct-probed
+    # coarse lists, ints) — never by query count; a pathological batch
+    # that probes every list degenerates to a full-index scan, which
+    # is the correct plan for it (no pruning possible)
     probe_lists = sorted({int(li) for r in
                           ql.select(F.explode("_ql").alias("l"))
                           .distinct().collect() for li in [r["l"]]})
+    assert len(probe_lists) <= len(centroids)
     # partition-pruned scan of ONLY the probed lists
     idx = t.read(spark, filters={"list": (min(probe_lists),
                                           max(probe_lists))})
