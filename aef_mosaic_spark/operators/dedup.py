@@ -403,12 +403,51 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     edges: (id_a, id_b) undirected (either orientation); nodes: (id).
     -> (id, cluster_id = min id reachable). localCheckpoint() between
     iterations cuts the lineage so plan size stays O(1) per iteration
-    instead of growing geometrically."""
-    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
+    instead of growing geometrically.
+
+    ONE-SHOT pre-contraction before the loop: rep(v) = min(v, min
+    neighbor), edges rewritten through rep and self-loops dropped.
+    Near-dup graphs are clique-shaped, so this one O(E) pass removes
+    almost every edge (a clique collapses to its min immediately) and
+    the iterative loop runs on the small residual instead of
+    re-joining the full edge set every round — measured 21x
+    super-linear growth at a 4x-replicated corpus without it (the
+    verified pair set grows quadratically in clique size, BENCH 7f/9f,
+    and each loop iteration was O(E)). Single-shot only: ITERATED
+    contraction has a pathological geometric per-iteration slowdown
+    on this host (BENCH 9c) — do not move this into the loop.
+    Correctness: rep(v) is always in v's component, contracted
+    components quotient the originals, and the component min m has
+    rep(m) = m, so composing cc(rep(v)) yields the same min-id
+    labeling."""
+    # no distinct here: min-propagation and the rep computation are
+    # insensitive to duplicate edges, the two union orientations can't
+    # collide for canonical (a < b) pair inputs, and the contracted
+    # residual below dedups anyway. Hash-partition by src instead —
+    # same single shuffle a distinct would pay, but it (a) balances
+    # the checkpointed blocks (the union of the verify join's output
+    # partitions is skewed at scale — measured 957 s vs 557 s at a 4x
+    # corpus when checkpointed as-is) and (b) pre-aligns the
+    # rep-groupBy and rewrite-join on src
+    sym0 = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
         .union(edges.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst"))) \
-        .distinct().localCheckpoint()
-    labels = nodes.select(F.col("id"), F.col("id").alias("label")) \
+        .repartition("src").localCheckpoint()
+    rep = (nodes.join(
+        sym0.groupBy("src").agg(F.min("dst").alias("_n"))
+            .select(F.col("src").alias("id"),
+                    F.least("src", "_n").alias("_rep")),
+        "id", "left")
+        .select("id", F.coalesce("_rep", F.col("id")).alias("rep"))
+        .localCheckpoint())
+    rs = rep.select(F.col("id").alias("src"), F.col("rep").alias("_s2"))
+    rd = rep.select(F.col("id").alias("dst"), F.col("rep").alias("_d2"))
+    sym = (sym0.join(rs, "src").join(rd, "dst")
+           .select(F.col("_s2").alias("src"), F.col("_d2").alias("dst"))
+           .where(F.col("src") != F.col("dst"))
+           .distinct().localCheckpoint())
+    labels = rep.select(F.col("rep").alias("id")).distinct() \
+        .select(F.col("id"), F.col("id").alias("label")) \
         .localCheckpoint()
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -428,7 +467,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         labels = new.select("id", F.col("_new").alias("label"))
         if not changed:
             break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    # compose back through the pre-contraction: label(v) = label(rep(v))
+    return (rep.join(labels.withColumnRenamed("id", "rep"), "rep")
+            .select("id", F.col("label").alias("cluster_id")))
 
 
 def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
