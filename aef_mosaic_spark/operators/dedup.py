@@ -542,7 +542,8 @@ def update_near_duplicate_clusters(df_all: DataFrame, new_ids: DataFrame,
 
 def near_duplicate_clusters(df: DataFrame, id_col: str, text_col: str,
                             threshold: float = 0.8, k: int = 16,
-                            bands: int = 4, max_iter: int = 20) -> DataFrame:
+                            bands: int = 4, max_iter: int = 20,
+                            pairs: DataFrame | None = None) -> DataFrame:
     """Near-dup CLUSTER ASSIGNMENT -> (id, cluster_id): connected
     components over the verified MinHash near-dup graph, cluster_id =
     min doc id in the component (singletons map to themselves).
@@ -552,9 +553,17 @@ def near_duplicate_clusters(df: DataFrame, id_col: str, text_col: str,
     in BENCH 7f — a 10x-replicated corpus makes the verified pair set
     ~100x larger), while the cluster table is always O(n) rows and
     directly drives keep-one-per-cluster filtering
-    (where id = cluster_id)."""
-    pairs = minhash_near_duplicates(df, id_col, text_col,
-                                    threshold=threshold, k=k, bands=bands)
+    (where id = cluster_id).
+
+    pairs=: a precomputed verified pair table with (id_a, id_b)
+    columns — e.g. a persisted minhash_near_duplicates output or the
+    incremental band-index pipeline's pairs. Skips the minhash +
+    verify stages entirely (the dominant cost; the build/probe split,
+    like knn's codes=); threshold/k/bands are then ignored."""
+    if pairs is None:
+        pairs = minhash_near_duplicates(df, id_col, text_col,
+                                        threshold=threshold, k=k,
+                                        bands=bands)
     nodes = df.select(F.col(id_col).alias("id")).distinct()
     cc = connected_components(pairs.select("id_a", "id_b"), nodes,
                               max_iter=max_iter)

@@ -362,3 +362,27 @@ def test_update_clusters_equals_full_recompute(spark):
     prior_map = {r.doc_id: r.cluster_id for r in prior.collect()}
     assert any(full[k] != v for k, v in prior_map.items()), \
         "increment produced no merges; pick a different split"
+
+
+def test_near_duplicate_clusters_pairs_input(spark, tmp_path):
+    """pairs= skips the minhash+verify stages: a persisted pair table
+    reproduces the inline clustering bit-for-bit (the dedup
+    build/probe split, mirroring knn's codes=)."""
+    from aef_mosaic_spark.operators.dedup import (
+        minhash_near_duplicates, near_duplicate_clusters)
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog every day"
+          + ("" if i % 4 else " and runs"))
+         for i in range(40)] + [(100 + i, f"totally unique text {i} "
+                                 + " ".join(f"w{i}{j}" for j in range(12)))
+                                for i in range(5)],
+        "doc_id long, text string")
+    inline = sorted(map(tuple, near_duplicate_clusters(
+        docs, "doc_id", "text", threshold=0.8).collect()))
+    p = str(tmp_path / "pairs.parquet")
+    minhash_near_duplicates(docs, "doc_id", "text",
+                            threshold=0.8).write.parquet(p)
+    fed = sorted(map(tuple, near_duplicate_clusters(
+        docs, "doc_id", "text", pairs=spark.read.parquet(p)).collect()))
+    assert inline == fed and len(inline) == 45
