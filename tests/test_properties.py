@@ -223,3 +223,33 @@ def test_quality_classifier_bounded_on_arbitrary_text(spark, texts):
     got = df.select(quality_classifier_col(F.col("text")).alias("s")).collect()
     for r in got:
         assert r["s"] is not None and 0.0 < r["s"] < 1.0
+
+
+def test_sharded_rank_property(spark):
+    """Property sweep: sharded_keyed_rank == the single-window
+    formulation for random key skews, shard counts, and sum columns
+    (beyond the three fixed operator fixtures)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.operators.sampling import (sample_bucket_col,
+                                                     sharded_keyed_rank)
+
+    for seed, n, n_keys, shards in ((1, 500, 1, 4), (2, 700, 3, 64),
+                                    (3, 400, 50, 7), (4, 300, 2, 10000)):
+        df = (spark.range(n)
+              .selectExpr("id", f"pmod(id * {seed * 2654435761 % 97 + 3}, "
+                          f"{n_keys}) AS k",
+                          f"pmod(id * 31 + {seed}, 17) AS v")
+              .withColumn("_hb", sample_bucket_col("id", f"prop-{seed}")))
+        got = sharded_keyed_rank(df, ["k"], "_hb", "id", sum_col="v",
+                                 n_shards=shards) \
+            .select("id", "k", "_rk", "_cum")
+        w = Window.partitionBy("k").orderBy("_hb", "id")
+        want = df.select(
+            "id", "k",
+            F.row_number().over(w).cast("long").alias("_rk"),
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_cum"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect())), (seed, n, n_keys, shards)
