@@ -117,8 +117,15 @@ def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None,
                       extra_conf={"spark.sql.shuffle.partitions": str(sp),
                                   "spark.local.dir": "/dev/shm/spark-local"})
     sf, n_tiles, bench = _build(spark, sf_dir)
-    # one warmup action so JVM/python-worker startup isn't billed to q1
+    # warmup actions so JVM AND python-worker startup aren't billed to
+    # q1: the parquet count spins the JVM; the tiny mapInPandas spins
+    # the Arrow python worker pool (mosaic's first rep otherwise pays
+    # it — the recurring ~8.5 s first-rep maxima in the spread fields)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64).repartition(int(cpus) if cpus.isdigit() else 8) \
+        .mapInPandas(lambda it: it, "id long").count()
     queries = {}
     spreads = {}
     results = {}
