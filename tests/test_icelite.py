@@ -742,6 +742,11 @@ def test_maintenance_job_composes_actions(spark, tmp_path):
     t = Icelite(str(tmp_path / "t"))
     for lo in (0, 100, 200, 300):
         t.append(spark.range(lo, lo + 50).selectExpr("id"), )
+    # a PRE-EXISTING tag pinning an old snapshot must survive the full
+    # compact -> tag -> expire -> remove-orphans schedule (the ADVICE
+    # r3 bug: orphan GC walked only the current chain and deleted the
+    # disconnected pinned snapshot's data files)
+    t.tag("v0", snapshot_id=1)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = main(["--table", str(tmp_path / "t"), "--compact",
@@ -752,11 +757,13 @@ def test_maintenance_job_composes_actions(spark, tmp_path):
     m = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert m["compacted_snapshot"] == 6       # 4 appends + overwrite pair
     assert m["files_after_compact"] == 2
-    assert m["tagged"] == {"weekly": 6}
-    assert m["expired"]["snapshots"] >= 4     # pre-compact history gone
+    assert m["tagged"]["weekly"] == 6
+    assert m["expired"]["snapshots"] >= 3     # untagged history gone
     assert m["orphans_removed"] == 0          # expiry already deleted data
     assert t.read(spark).count() == 200
     assert t.read_tag(spark, "weekly").count() == 200
+    assert sorted(r["id"] for r in t.read_tag(spark, "v0").collect()) \
+        == list(range(50))
 
 
 def test_snapshot_timestamps_and_age_expiry(spark, tmp_path):
