@@ -251,13 +251,17 @@ def bucketed_batches(df: DataFrame, id_col: str, w_col: str, h_col: str,
     else:
         w = Window.partitionBy("bucket").orderBy(
             F.col("_hb"), F.col(id_col))
-        out = out.withColumn("_slot0", F.row_number().over(w) - 1)
+        out = out.withColumn("_slot0",
+                             (F.row_number().over(w) - 1).cast("long"))
         n = Window.partitionBy("bucket")
         full = ((F.col("batch_idx") + 1) * batch_size
                 <= F.max(F.col("_slot0") + 1).over(n))
+    # batch_idx stays LONG: a bucket with >2^31*batch_size rows (the
+    # 10^12-image regime the sharded path targets) would wrap an int
+    # batch index; slot < batch_size always fits an int
     return (
         out.withColumn("batch_idx",
-                       (F.col("_slot0") / batch_size).cast("int"))
+                       (F.col("_slot0") / batch_size).cast("long"))
         .withColumn("slot", (F.col("_slot0") % batch_size).cast("int"))
         .withColumn("full", full)
         .select(id_col, "bucket", "batch_idx", "slot", "full")
@@ -282,7 +286,7 @@ def bucketed_batches_sql(table: str, id_col: str, w_col: str, h_col: str,
       FROM {table}
     )
     SELECT {id_col}, bucket,
-           (_slot0 // {batch_size})::INT AS batch_idx,
+           (_slot0 // {batch_size})::BIGINT AS batch_idx,
            (_slot0 % {batch_size})::INT AS slot,
            ((_slot0 // {batch_size}) + 1) * {batch_size} <= _n AS full
     FROM b
@@ -320,8 +324,12 @@ def spatially_balanced_sample(df: DataFrame, id_col: str,
         sample_bucket_col(id_col, salt).alias("_hb"),
     )
     if sharded:
+        # filter on the LONG global rank FIRST: rank_cap only bounds
+        # the local rank, and in a >2^31-row cell the int cast of _rk
+        # would wrap and wrapped values could spuriously pass the cap
         out = (sharded_keyed_rank(out, ["cell"], "_hb", id_col,
                                   rank_cap=cap)
+               .where(F.col("_rk") <= cap)
                .withColumn("rk", F.col("_rk").cast("int")))
     else:
         w = Window.partitionBy("cell").orderBy(F.col("_hb"), F.col(id_col))

@@ -311,7 +311,18 @@ class Icelite:
             # fall inside the pruning bounds, or a matching row living
             # in a pruned file is silently re-inserted (duplicate key).
             # One small agg over the (distinct) update keys — cheap
-            # relative to the rewrite it guards.
+            # relative to the rewrite it guards. The contract is
+            # filters on KEY columns only: a filter on a non-key
+            # column can prune a file containing a matched key with
+            # no bounds check possible, so refuse it outright.
+            non_key = [c for c in filters if c not in upd_keys.columns]
+            if non_key:
+                raise ValueError(
+                    f"merge(filters=) only accepts filters on key "
+                    f"columns {list(upd_keys.columns)}; got non-key "
+                    f"filter column(s) {non_key}, which could prune a "
+                    f"file containing a matched key and silently "
+                    f"duplicate it.")
             checked = [c for c in filters if c in upd_keys.columns]
             if checked:
                 aggs = []

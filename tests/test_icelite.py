@@ -731,6 +731,13 @@ def test_merge_with_filter_pruned_discovery(spark, tmp_path):
     with pytest.raises(ValueError, match="does not cover update keys"):
         t.merge(spark, bad, ["id"], filters={"id": (0, 100)})
     assert t.current_snapshot_id() == before    # nothing committed
+    # a filter on a NON-KEY column is refused outright: no bounds
+    # check is possible, and it can prune a file holding a matched
+    # key (silent duplicate) — the contract is key-column filters only
+    ok = spark.createDataFrame([(42, "AGAIN")], "id long, v string")
+    with pytest.raises(ValueError, match="non-key filter column"):
+        t.merge(spark, ok, ["id"], filters={"v": ("a", "z")})
+    assert t.current_snapshot_id() == before
 
 
 def test_maintenance_job_composes_actions(spark, tmp_path):

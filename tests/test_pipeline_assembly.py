@@ -465,10 +465,16 @@ def test_sharded_rank_matches_single_window(spark):
         "'img-' || id AS image_id",
         "CASE WHEN id % 20 = 0 THEN 512 ELSE 256 END AS w",
         "256 AS h")
-    a = sorted(map(tuple, bucketed_batches(
-        imgs, "image_id", "w", "h", 32, sharded=True).collect()))
-    b = sorted(map(tuple, bucketed_batches(
-        imgs, "image_id", "w", "h", 32, sharded=False).collect()))
+    sharded_df = bucketed_batches(imgs, "image_id", "w", "h", 32,
+                                  sharded=True)
+    unsharded_df = bucketed_batches(imgs, "image_id", "w", "h", 32,
+                                    sharded=False)
+    # batch_idx is LONG in both branches: a >2^31*batch_size bucket
+    # (the 10^12-image regime) must not wrap the batch index
+    assert dict(sharded_df.dtypes)["batch_idx"] == "bigint"
+    assert sharded_df.dtypes == unsharded_df.dtypes
+    a = sorted(map(tuple, sharded_df.collect()))
+    b = sorted(map(tuple, unsharded_df.collect()))
     assert a == b and len(a) == 2000
 
     pts = spark.range(2500).selectExpr(
