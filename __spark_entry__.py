@@ -1593,63 +1593,66 @@ _MIX_BUDGETS = {"src0": 3000, "src1": 3000, "src2": 800}
 # their driver signature.
 _DRIVER_SLOTS = 50
 
-# Round 4 rotation: q97/q98 (never driver-verified) first, then the
-# 48 longest-stale queries (q01-q47 family, last driver rows r02).
-# Left out this round (the only 2x-green queries without slots):
-# q43_cube / q44_grouping_sets — same Catalyst grouping-set family
-# as q42_rollup, which stays in. The r3-verified q39/q48-q96 block
-# rotates out per scripts/rotate_slots.py.
+# Round 5 rotation (per the r4 verdict + scripts/rotate_slots.py):
+# q86 takes slot 1 — the only driver-red row in project history (r3
+# hash mismatch, ::BIGINT windowed-sum fix landed r4 but missed the
+# r4 slots) must get its green successor. Then q43/q44 (driver-stale
+# since r2), then the whole r3-verified q39/q48-q96 block. Left out
+# (the only stale queries without slots): q68_simhash_exploded and
+# q69_zonal_stats_shuffle — both are forced-plan TWINS whose primary
+# shapes (q25/q26 simhash, q61 zonal stats) are in this round's 50;
+# the q01-q47 family (fresh r4 rows) rotates out.
 _MUST_VERIFY = [
-    "q97_ann_cosine_opq",
-    "q98_spatial_balanced_sample",
-    "q01_pricing_summary",
-    "q02_top_customers",
-    "q03_semi_join",
-    "q04_anti_join",
-    "q05_broadcast_dim_join",
-    "q06_window_rank",
-    "q07_asof_join",
-    "q08_sessionize",
-    "q09_tumbling_window",
-    "q10_bbox_filter",
-    "q11_cell_assign",
-    "q12_point_in_box_join",
-    "q12b_point_in_box_salted",
-    "q12c_point_in_box_broadcast",
-    "q13_box_intersect_join",
-    "q14_point_in_quad_join",
-    "q15_knn_hamming",
-    "q15b_knn_hamming_banded",
-    "q16_knn_cosine",
-    "q17_ann_cosine_lsh",
-    "q17b_ann_cosine_ivf",
-    "q18_chunk_assign",
-    "q20_dedup_exact",
-    "q21_fingerprint_dedup",
-    "q22_minhash_signatures",
-    "q23_minhash_near_dup",
-    "q24_ngram_jaccard",
-    "q25_simhash",
-    "q26_simhash_near_dup",
-    "q27_embedding_near_dup",
-    "q27b_embedding_near_dup_exact",
-    "q28_lang_id",
-    "q29_text_quality",
-    "q30_mosaic_chunks",
-    "q31_mosaic_last_on_top",
-    "q32_image_assignments",
-    "q33_global_bounds",
-    "q34_distinct_years",
-    "q35_coverage_stats",
-    "q36_chunk_key",
-    "q37_intersection_bounds",
-    "q38_normalize_index",
-    "q40_resize_images",
-    "q41_audio_features",
-    "q42_rollup",
-    "q45_correlated_exists",
-    "q46_date_arith",
-    "q47_conditional_agg",
+    "q86_token_budget_mixture",
+    "q43_cube",
+    "q44_grouping_sets",
+    "q39_hilbert_order",
+    "q48_dense_rank_topk",
+    "q49_percentiles",
+    "q50_set_ops",
+    "q51_min_cost_supplier",
+    "q52_order_priority_check",
+    "q53_nation_volume",
+    "q54_winnow_fingerprints",
+    "q55_video_frames",
+    "q56_split_assignment",
+    "q57_balanced_cap",
+    "q58_token_packing",
+    "q59_contamination_check",
+    "q60_sample_raster_at_points",
+    "q61_zonal_stats",
+    "q62_embedding_quantization",
+    "q63_cea_box_areas",
+    "q64_utm_forward",
+    "q65_utm_inverse",
+    "q66_cea_inverse",
+    "q67_bucketed_enrich",
+    "q70_repetition_stats",
+    "q71_stratified_sample",
+    "q72_matryoshka_truncate",
+    "q73_near_dup_clusters",
+    "q74_image_phash_clusters",
+    "q75_incremental_clusters",
+    "q76_overview_chunks",
+    "q77_embedding_dup_clusters",
+    "q78_training_patches",
+    "q79_great_circle",
+    "q80_ann_cosine_pq",
+    "q81_ann_pq_rerank",
+    "q82_multimodal_dup_clusters",
+    "q83_dup_spans",
+    "q84_semdedup",
+    "q85_quality_classifier",
+    "q87_bucketed_batches",
+    "q88_pii_redaction",
+    "q89_merge_captions",
+    "q90_ann_cosine_ivfpq",
+    "q91_crossmodal_alignment",
+    "q92_quality_keep_policy",
+    "q93_token_estimators",
+    "q94_ann_ivfpq_adc",
+    "q95_ann_index_probe",
+    "q96_span_removal",
 ]
 
 # Stable (2x driver-green) queries, in preference order for the
