@@ -103,6 +103,36 @@ def _median(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def _canary_cpu_sec() -> float:
+    """Fixed single-thread numpy workload (sort + elementwise — no
+    BLAS, so thread-pool config can't change it). This host drifts
+    ~50% slower late in the day (BENCH 9d/VERDICT r4): two rounds'
+    bench JSONs are comparable only after dividing by their canaries.
+    A canary far off its band also flags concurrent-job contamination
+    (the 73%-sys-time signature of two Spark jobs sharing the bus)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.random(2_000_000)
+    t0 = time.time()
+    for _ in range(5):
+        y = np.sort(x)
+        x = np.roll(y, 1)
+        x[0] = float((y[:1000] * y[:1000]).sum()) % 1.0
+    return round(time.time() - t0, 3)
+
+
+def _canary_spark_sec(spark) -> float:
+    """Fixed tiny Spark shuffle (range -> hash agg -> exchange ->
+    count), run AFTER warmup: times the JVM+shuffle machinery at the
+    session's parallelism, independent of the benchmark data."""
+    t0 = time.time()
+    (spark.range(0, 4_000_000, 1, 8)
+     .selectExpr("id % 997 AS k", "id AS v")
+     .groupBy("k").sum("v").count())
+    return round(time.time() - t0, 3)
+
+
 def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None,
              reps: int = 1):
     """Time each headline query ``reps`` times; report the per-query
@@ -126,6 +156,8 @@ def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None,
 
     spark.range(64).repartition(int(cpus) if cpus.isdigit() else 8) \
         .mapInPandas(lambda it: it, "id long").count()
+    canaries = {"canary_cpu_sec": _canary_cpu_sec(),
+                "canary_spark_sec": _canary_spark_sec(spark)}
     queries = {}
     spreads = {}
     results = {}
@@ -138,7 +170,7 @@ def run_once(master: str, sf_dir: str, shuffle_partitions: int | None = None,
         queries[name] = round(_median(times), 3)
         spreads[name] = [round(min(times), 3), round(max(times), 3)]
     spark.stop()
-    return sf, n_tiles, queries, results, spreads
+    return sf, n_tiles, queries, results, spreads, canaries
 
 
 def main():
@@ -151,8 +183,10 @@ def main():
         # efficiency, 8->32 = 0.69 — shared memory bandwidth); see
         # BENCH/BASELINE.md
         rows = []
+        canaries = {}
         for master, sp in (("local[4]", 16), ("local[16]", 64)):
-            sf, n_tiles, queries, _, _ = run_once(master, sf_dir, sp)
+            sf, n_tiles, queries, _, _, canaries = run_once(
+                master, sf_dir, sp)
             total = sum(queries.values())
             rows.append((master, queries, total, n_tiles))
             print(f"{master}: total={total:.2f}s  " +
@@ -174,13 +208,14 @@ def main():
             "queries_n": qn,
             "queries_n4": q4n,
             "mosaic_tiles": rows[0][3],
+            **canaries,
             "note": "definitive 48k-tile spark-submit evidence in BENCH/BASELINE.md",
         }
         print(json.dumps(out))
         return
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    sf, n_tiles, queries, results, spreads = run_once(
+    sf, n_tiles, queries, results, spreads, canaries = run_once(
         f"local[{cpus}]", sf_dir, reps=reps)
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -192,6 +227,13 @@ def main():
         "stat": "median",
         "spread_min_max": spreads,
         "sf": sf,
+        # host-speed canaries (VERDICT r4 #2): this host drifts up to
+        # ~50% between sessions, so two rounds' totals are comparable
+        # only canary-normalized: value_a / value_b should be read
+        # against canary_a / canary_b. A canary far off its recorded
+        # band (BENCH/BASELINE.md §10) also flags concurrent-job
+        # contamination of the run itself.
+        **canaries,
         "throughput": {
             "tiles_mosaicked_per_sec": round(n_tiles / queries["mosaic"], 2),
             "points_joined_per_sec": round(
