@@ -53,7 +53,19 @@ def main(argv=None):
                     help="also commit the verified pair table "
                          "(WARNING: quadratic in dup-clique size — "
                          "BENCH 7f; clusters are the scale output)")
+    ap.add_argument("--pairs-in", default=None, metavar="TABLE",
+                    help="icelite table of verified pairs (id_a, id_b)"
+                         " — e.g. a prior run's --pairs output. Skips"
+                         " the minhash + verify stages (the dominant"
+                         " cost) and re-clusters from the persisted"
+                         " graph; --threshold/--minhash-k/--bands are"
+                         " then ignored")
     args = ap.parse_args(argv)
+    if args.pairs_in and args.mode == "semdedup":
+        ap.error("--pairs-in applies to --mode text only")
+    if args.pairs_in and args.pairs:
+        ap.error("--pairs-in already persists the pair table; "
+                 "--pairs would just re-commit a copy")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -90,22 +102,28 @@ def main(argv=None):
         }))
         return 0
 
-    pairs = D.minhash_near_duplicates(
-        df, args.id_col, args.text_col, threshold=args.threshold,
-        k=args.minhash_k, bands=args.bands)
-    nodes = df.select(F.col(args.id_col).alias("id")).distinct()
-    cc = D.connected_components(pairs.select("id_a", "id_b"), nodes)
+    if args.pairs_in:
+        pairs = Icelite(args.pairs_in).read(spark)
+        props = {"pairs_in": args.pairs_in, "input": args.input}
+    else:
+        pairs = D.minhash_near_duplicates(
+            df, args.id_col, args.text_col, threshold=args.threshold,
+            k=args.minhash_k, bands=args.bands)
+        props = {
+            "threshold": str(args.threshold),
+            "minhash_k": str(args.minhash_k),
+            "bands": str(args.bands),
+            "input": args.input,
+        }
+    cc = D.near_duplicate_clusters(df, args.id_col, args.text_col,
+                                   pairs=pairs)
     out = cc.select(
-        F.col("id").alias(args.id_col), "cluster_id",
-        (F.col("id") == F.col("cluster_id")).alias("keep"))
+        args.id_col, "cluster_id",
+        (F.col(args.id_col) == F.col("cluster_id")).alias("keep"))
 
     table = Icelite(args.output)
-    snap = table.append(out, properties={
-        "threshold": str(args.threshold),
-        "minhash_k": str(args.minhash_k),
-        "bands": str(args.bands),
-        "input": args.input,
-    }, summary={"operation": "dedup-clusters"})
+    snap = table.append(out, properties=props,
+                        summary={"operation": "dedup-clusters"})
     stats = table.read(spark).agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]

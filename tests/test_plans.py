@@ -176,3 +176,45 @@ def test_dedup_job_cli_keep_list(spark, tmp_path):
     keepers = [k for k, v in got.items() if v[1]]
     assert sorted(keepers) == sorted(set(want.values()))
     assert Icelite(out).properties()["threshold"] == "0.8"
+
+
+def test_dedup_job_pairs_in_reclusters_identically(spark, tmp_path):
+    """--pairs-in: a persisted pair table feeds the build/probe split
+    at the CLI surface — re-clustering from it skips minhash+verify
+    entirely and yields a byte-identical cluster assignment."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "jobs")
+    import dedup_job
+
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    out1 = str(tmp_path / "full")
+    rc = dedup_job.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out1, "--id-col", "doc_id", "--text-col", "text",
+        "--threshold", "0.8", "--pairs"])
+    assert rc == 0
+
+    out2 = str(tmp_path / "fromtable")
+    rc = dedup_job.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out2, "--id-col", "doc_id", "--text-col", "text",
+        "--pairs-in", out1 + "_pairs"])
+    assert rc == 0
+    a = sorted(map(tuple, Icelite(out1).read(spark)
+                   .select("doc_id", "cluster_id", "keep").collect()))
+    b = sorted(map(tuple, Icelite(out2).read(spark)
+                   .select("doc_id", "cluster_id", "keep").collect()))
+    assert a == b and len(a) > 0
+    assert Icelite(out2).properties()["pairs_in"] == out1 + "_pairs"
+
+    # misuse guards: --pairs-in is text-mode-only and excludes --pairs
+    with pytest.raises(SystemExit):
+        dedup_job.main(["--input", "x", "--output", "y",
+                        "--mode", "semdedup", "--pairs-in", "z"])
+    with pytest.raises(SystemExit):
+        dedup_job.main(["--input", "x", "--output", "y",
+                        "--pairs", "--pairs-in", "z"])
