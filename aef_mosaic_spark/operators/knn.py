@@ -275,12 +275,19 @@ def unit_normalized(df: DataFrame, vec: str, out: str) -> DataFrame:
 
 
 def pq_codebooks(items: DataFrame, vec: str, dim: int, m: int = 4,
-                 ksub: int = 8) -> list[list[list[float]]]:
+                 ksub: int = 8, iters: int = 1) -> list[list[list[float]]]:
     """Product-quantization codebooks [m][ksub][dim/m] over UNIT
     vectors: seeds = the ksub items with the smallest md5-h32(id)
     (the q17b IVF rule — reproducible AND re-derivable in SQL), then
-    ONE Lloyd step per subspace with means rounded to 6dp (float avg
-    is summation-order-dependent across engines)."""
+    `iters` Lloyd steps per subspace with means rounded to 6dp (float
+    avg is summation-order-dependent across engines; rounding snaps
+    the divergence so training is deterministic at any parallelism).
+
+    iters=1 is the oracle-parity default (every qNN recipe re-derives
+    it in SQL). Larger `iters` is the opt-in PRODUCTION refinement —
+    still fully deterministic (seeded init, fixed iteration count),
+    just not re-derivable in a single SQL pass; recall-vs-iters is
+    measured in BENCH/BASELINE.md §10c."""
     from aef_mosaic_spark.functions.hashes import h32_col
 
     dsub = dim // m
@@ -293,16 +300,19 @@ def pq_codebooks(items: DataFrame, vec: str, dim: int, m: int = 4,
     for j in range(m):
         sub = items.select(F.slice(F.col(vec), j * dsub + 1, dsub)
                            .alias("sv"))
-        dists = F.array(*[_l2_to_lit(F.col("sv"), c) for c in books[j]])
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        agg = (sub.select("sv", code.alias("_c"))
-               .groupBy("_c")
-               .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}")
-                      for i in range(dsub)])
-               .collect())
-        for r in agg:
-            books[j][r["_c"]] = [round(float(r[f"d{i}"]), 6)
-                                 for i in range(dsub)]
+        for _ in range(max(0, int(iters))):
+            dists = F.array(*[_l2_to_lit(F.col("sv"), c)
+                              for c in books[j]])
+            code = (F.array_position(dists, F.array_min(dists)) - 1) \
+                .cast("int")
+            agg = (sub.select("sv", code.alias("_c"))
+                   .groupBy("_c")
+                   .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}")
+                          for i in range(dsub)])
+                   .collect())
+            for r in agg:
+                books[j][r["_c"]] = [round(float(r[f"d{i}"]), 6)
+                                     for i in range(dsub)]
     return books
 
 
@@ -776,3 +786,22 @@ def ann_cosine_opq(queries: DataFrame, items: DataFrame, k: int, dim: int,
                         vec, rot, "_rv").select(i_id, F.col("_rv").alias(vec))
     return ann_cosine_pq(qr, ir, k, dim, q_id=q_id, i_id=i_id, vec=vec,
                          m=m, ksub=ksub)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                q_id: str = "query_id", i_id: str = "item_id") -> float:
+    """recall@k of an approximate top-k result against the exact one:
+    |approx ∩ exact| / |exact| over (query, item) pairs. Both inputs
+    are the (q_id, i_id, ...) top-k outputs of the ann_*/knn_* ops;
+    a left-semi join + two bounded counts — no per-row Python, and
+    the only driver-side values are the two scalars.
+
+    Caveat (BENCH r3 note): within near-duplicate cliques the exact
+    ranking is tie-broken by id, so compressed-domain methods can
+    return a different member of the same dup cluster; pair-level
+    recall is the strict lower bound reported here."""
+    hits = (approx.select(q_id, i_id)
+            .join(exact.select(q_id, i_id), [q_id, i_id], "leftsemi")
+            .count())
+    total = exact.count()
+    return hits / max(total, 1)

@@ -525,3 +525,47 @@ def test_ivfpq_codes_input_skips_reencode(spark):
     with pytest.raises(ValueError, match="codes= requires"):
         K.ann_cosine_ivfpq_adc(sq, None, k=3, dim=16, codes=codes)
     codes.unpersist()
+
+
+def test_recall_at_k_and_lloyd_refinement(spark):
+    """recall_at_k computes |approx ∩ exact|/|exact|; deeper Lloyd
+    refinement (the opt-in production path) is deterministic across
+    invocations and leaves the oracle-parity default (iters=1 /
+    refine_iters=1) bit-identical to its historical behavior."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 16) * 3
+    vecs = np.vstack([c + rng.randn(25, 16) * 0.3 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(200),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::50].rename(columns={"item_id": "query_id"})
+    sq, si = spark.createDataFrame(qs), spark.createDataFrame(items)
+
+    exact = K.knn_cosine_exact(sq, si, k=5)
+    # recall of exact vs itself is 1.0; vs a disjoint result it's 0.0
+    assert K.recall_at_k(exact, exact) == 1.0
+    shifted = exact.selectExpr("query_id", "item_id + 1000 AS item_id")
+    assert K.recall_at_k(shifted, exact) == 0.0
+
+    ui = K.unit_normalized(si, "embedding", "_u").select(
+        "item_id", F.col("_u").alias("embedding"))
+    b1a = K.pq_codebooks(ui, "embedding", dim=16, m=4, ksub=8)
+    b1b = K.pq_codebooks(ui, "embedding", dim=16, m=4, ksub=8, iters=1)
+    assert b1a == b1b                       # default == iters=1
+    b3a = K.pq_codebooks(ui, "embedding", dim=16, m=4, ksub=8, iters=3)
+    b3b = K.pq_codebooks(ui, "embedding", dim=16, m=4, ksub=8, iters=3)
+    assert b3a == b3b and b3a != b1a        # deterministic, and moved
+
+    c5a = K.ivf_centroids(si, "embedding", n_lists=4, dim=16,
+                          refine_iters=5)
+    c5b = K.ivf_centroids(si, "embedding", n_lists=4, dim=16,
+                          refine_iters=5)
+    assert c5a == c5b
+
+    # refined books/centroids drive the same pipelines end-to-end
+    pq = K.ann_cosine_pq(sq, si, k=5, dim=16, m=4, ksub=8, books=b3a)
+    ivf = K.ann_cosine_ivf(sq, si, k=5, dim=16, n_lists=4, n_probe=2,
+                           centroids=c5a)
+    for out in (pq, ivf):
+        got = out.collect()
+        assert len(got) == 4 * 5
+        assert 0.0 <= K.recall_at_k(out, exact) <= 1.0
