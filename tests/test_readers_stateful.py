@@ -265,3 +265,59 @@ def test_streaming_admission_and_batch_mixture_same_budget_law(spark, tmp_path):
         sum(r["n_tok"] for r in batch_kept)
     assert max(r["cum_tokens"] for r in stream_kept) == \
         sum(r["n_tok"] for r in stream_kept)
+
+
+def test_streaming_admission_equals_sharded_batch_in_h32_order(spark, tmp_path):
+    """VERDICT r4 #8: the documented divergence between the two
+    mixture policies is ORDER ONLY — arrival order (stream) vs h32
+    order (batch). Proof: replay the corpus to the stream IN h32
+    order (one doc per file, file sequence = the batch policy's
+    (h32 bucket, id) sort) and the streaming admission reproduces the
+    SHARDED batch sampler's kept set byte-for-byte, cum_tokens
+    included. With any other arrival order the kept SETS may differ
+    but both fill the same budget law (the companion test above)."""
+    import glob
+    import os
+    import shutil
+
+    from aef_mosaic_spark.operators.sampling import (sample_bucket_col,
+                                                     token_budget_mixture)
+    from aef_mosaic_spark.streaming.stateful import (
+        streaming_token_budget_admission)
+
+    rows = [(i, "A" if i % 3 else "B", " ".join(["t"] * (2 + i % 6)))
+            for i in range(22)]
+    budgets = {"A": 30, "B": 16}
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, text string")
+
+    batch_kept = sorted(map(tuple, token_budget_mixture(
+        df, "doc_id", "source", "text", budgets,
+        sharded=True).collect()))
+
+    # replay in h32 order: one parquet file per doc, lexicographic
+    # file names following the (h32 bucket, id) sort so the file
+    # source (which orders by path) delivers the batch policy's order
+    ordered = (df.withColumn("_hb", sample_bucket_col("doc_id", "mix-v1"))
+               .orderBy("_hb", "doc_id").drop("_hb").collect())
+    src = str(tmp_path / "h32_order")
+    os.makedirs(src)
+    for seq, r in enumerate(ordered):
+        tmp = str(tmp_path / f"stage_{seq}")
+        spark.createDataFrame([r], df.schema).coalesce(1) \
+            .write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{seq:05d}.parquet")
+        shutil.rmtree(tmp)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (streaming_token_budget_admission(stream, "doc_id", "source",
+                                          "text", budgets)
+         .writeStream.format("memory").queryName("mix_h32_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    stream_kept = sorted(map(tuple,
+                             spark.sql("SELECT * FROM mix_h32_t").collect()))
+    q.stop()
+    assert stream_kept == batch_kept and len(batch_kept) > 0
