@@ -1578,6 +1578,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bucketed_batches(imgs, "image_id", "w", "h", 32)
     q["q87_bucketed_batches"] = q87_bucketed_batches
 
+    # q99/q100 registered PAST the 50 driver slots (rotate in r6,
+    # the q97/q98 pattern): local gate covers them every round.
+    def q99_gopher_rules(spark, sf):
+        # the full Gopher quality-rule battery (Rae 2021 A1.1):
+        # per-doc metrics + per-rule booleans + conjunction keep
+        from aef_mosaic_spark.functions.text import gopher_rules_cols
+        d = _pq(spark, sf, "documents")
+        cols = gopher_rules_cols(F.col("text"))
+        return d.select("doc_id",
+                        *[c.alias(n) for n, c in cols.items()])
+    q["q99_gopher_rules"] = q99_gopher_rules
+
+    def q100_dsir_importance(spark, sf):
+        # DSIR hashed-ngram importance weights (Xie 2023): target =
+        # English docs, source = the rest; exact-integer log-ratio sum
+        from aef_mosaic_spark.operators.importance import dsir_weights
+        d = _pq(spark, sf, "documents")
+        return dsir_weights(d, "doc_id", "text", "lang", "en")
+    q["q100_dsir_importance"] = q100_dsir_importance
+
     return _driver_order(q)
 
 
@@ -2629,6 +2649,17 @@ def oracle_sql() -> dict[str, str]:
     o["q87_bucketed_batches"] = bucketed_batches_sql(
         f"read_parquet('{_FIXTURE_DIR}/images_meta_600.parquet')",
         "image_id", "w", "h", 32)
+
+    from aef_mosaic_spark.functions.text import gopher_rules_sql
+    from aef_mosaic_spark.operators.importance import dsir_weights_sql
+
+    _gr = gopher_rules_sql("text")
+    o["q99_gopher_rules"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{e} AS {n}" for n, e in _gr.items())
+        + " FROM documents")
+    o["q100_dsir_importance"] = dsir_weights_sql(
+        "documents", "doc_id", "text", "lang", "en")
 
     return o
 

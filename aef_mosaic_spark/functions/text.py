@@ -406,3 +406,117 @@ def bpe_pretoken_count_col(text: Column) -> Column:
 def bpe_pretoken_count_sql(t: str) -> str:
     pat = BPE_PRETOKEN_PATTERN.replace("'", "''")  # SQL-literal escape
     return f"len(regexp_extract_all(lower({t}), '{pat}'))::INT"
+
+
+# the Gopher rule battery (Rae et al. 2021, Appendix A1.1 — public).
+# Thresholds are the paper's; stopword list is the paper's 8 words.
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_THRESH = {
+    "min_words": 50, "max_words": 100000,
+    "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1, "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3, "min_alpha_frac": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_rules_cols(text: Column) -> dict[str, Column]:
+    """The full Gopher quality-rule battery as pure Column exprs
+    (whole-stage codegen, zero exchanges): per-doc metrics, one
+    boolean per rule, and the conjunction `keep`. Ratios are
+    floor-quantized to 6dp BEFORE threshold comparison (the .5-tie
+    recipe — round() half-up/half-even differs across engines)."""
+    th = GOPHER_THRESH
+    words = tokens_col(text)
+    n_words = F.size(words)
+    nw1 = F.greatest(n_words, F.lit(1))
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_wl = _q6_col(nonspace / nw1)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"),
+                                                 F.lit("")))
+    n_ell = ((F.length(text)
+              - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3) \
+        .cast("int")
+    symbol_ratio = _q6_col((n_hash + n_ell) / nw1)
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = _q6_col(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        / n_lines)
+    ellipsis_frac = _q6_col(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))) / n_lines)
+    alpha_frac = _q6_col(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / nw1)
+    stop_hits = sum(
+        (F.when(_occ_simple_col(text, w) > 0, F.lit(1)).otherwise(F.lit(0))
+         for w in GOPHER_STOP), F.lit(0))
+    m = {
+        "n_words": n_words, "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio, "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac, "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits.cast("int"),
+    }
+    rules = {
+        "r_words": (n_words >= th["min_words"])
+        & (n_words <= th["max_words"]),
+        "r_mean_len": (mean_wl >= th["min_mean_word_len"])
+        & (mean_wl <= th["max_mean_word_len"]),
+        "r_symbol": symbol_ratio <= th["max_symbol_ratio"],
+        "r_bullet": bullet_frac <= th["max_bullet_frac"],
+        "r_ellipsis": ellipsis_frac <= th["max_ellipsis_frac"],
+        "r_alpha": alpha_frac >= th["min_alpha_frac"],
+        "r_stop": stop_hits >= th["min_stop_hits"],
+    }
+    keep = F.lit(True)
+    for r in rules.values():
+        keep = keep & r
+    return {**m, **rules, "keep": keep}
+
+
+def gopher_rules_sql(t: str) -> dict[str, str]:
+    """DuckDB twins of gopher_rules_cols, identical quantization."""
+    th = GOPHER_THRESH
+    words = f"string_split_regex(lower(trim({t})), '\\s+')"
+    n_words = f"len({words})"
+    nw1 = f"greatest({n_words}, 1)"
+    nonspace = f"length(regexp_replace({t}, '\\s', '', 'g'))"
+    mean_wl = _q6_sql(f"{nonspace}::DOUBLE / {nw1}")
+    n_hash = f"(length({t}) - length(replace({t}, '#', '')))"
+    n_ell = f"((length({t}) - length(replace({t}, '...', ''))) // 3)"
+    symbol_ratio = _q6_sql(f"({n_hash} + {n_ell})::DOUBLE / {nw1}")
+    lines = f"string_split({t}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)"
+    bullet = _q6_sql(
+        f"len(list_filter({lines}, l -> regexp_matches(l, "
+        f"'^\\s*[-*•]')))::DOUBLE / {n_lines}")
+    ellip = _q6_sql(
+        f"len(list_filter({lines}, l -> regexp_matches(l, "
+        f"'\\.\\.\\.$')))::DOUBLE / {n_lines}")
+    alpha = _q6_sql(
+        f"len(list_filter({words}, w -> regexp_matches(w, "
+        f"'[a-z]')))::DOUBLE / {nw1}")
+    stop_hits = "(" + " + ".join(
+        f"(CASE WHEN {_occ_simple_sql(t, w)} > 0 THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOP) + ")"
+    m = {
+        "n_words": f"{n_words}::INT",
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet,
+        "ellipsis_frac": ellip,
+        "alpha_frac": alpha,
+        "stop_hits": f"{stop_hits}::INT",
+    }
+    rules = {
+        "r_words": f"({n_words} >= {th['min_words']} AND "
+                   f"{n_words} <= {th['max_words']})",
+        "r_mean_len": f"({mean_wl} >= {th['min_mean_word_len']!r}e0 AND "
+                      f"{mean_wl} <= {th['max_mean_word_len']!r}e0)",
+        "r_symbol": f"({symbol_ratio} <= {th['max_symbol_ratio']!r}e0)",
+        "r_bullet": f"({bullet} <= {th['max_bullet_frac']!r}e0)",
+        "r_ellipsis": f"({ellip} <= {th['max_ellipsis_frac']!r}e0)",
+        "r_alpha": f"({alpha} >= {th['min_alpha_frac']!r}e0)",
+        "r_stop": f"({stop_hits} >= {th['min_stop_hits']})",
+    }
+    keep = "(" + " AND ".join(rules.values()) + ")"
+    return {**m, **rules, "keep": keep}

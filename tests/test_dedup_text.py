@@ -386,3 +386,77 @@ def test_near_duplicate_clusters_pairs_input(spark, tmp_path):
     fed = sorted(map(tuple, near_duplicate_clusters(
         docs, "doc_id", "text", pairs=spark.read.parquet(p)).collect()))
     assert inline == fed and len(inline) == 45
+
+
+def test_gopher_rules_branches(spark):
+    """Every Gopher rule (Rae 2021 A1.1) trips on a doc constructed
+    to violate exactly it (the synthetic corpus has no newlines, so
+    the line-based rules need constructed inputs); a healthy doc
+    passes all and keep = true."""
+    healthy = ("the quick brown fox jumps over the lazy dog and then "
+               "it runs back to the den of its family to be safe and "
+               "warm with all of the other foxes that have lived in "
+               "this forest for many years and know all of the paths "
+               "that wind between the old trees down to the river")
+    docs = [
+        (0, healthy),                                  # passes all
+        (1, "too short to have fifty words"),          # r_words
+        (2, " ".join(["a"] * 60)),                     # r_mean_len (short)
+        (3, healthy + " " + " ".join(["###"] * 10)),   # r_symbol
+        (4, "\n".join(["- bullet line with some of the and that words "
+                       "to have be with"] * 10)),      # r_bullet
+        (5, "\n".join([("plain line of the and that have words to be "
+                        "with" if i % 2 else
+                        "this line trails off into more...")
+                       for i in range(10)])),          # r_ellipsis
+        (6, " ".join(["1234"] * 30 + ["the", "of", "and", "to", "be",
+                                      "that", "have", "with"] * 3)),  # r_alpha
+        (7, " ".join(["alpha", "beta", "gamma", "delta"] * 15)),      # r_stop
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cols = T.gopher_rules_cols(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+
+    assert out[0]["keep"] is True
+    assert all(out[0][r] for r in ("r_words", "r_mean_len", "r_symbol",
+                                   "r_bullet", "r_ellipsis", "r_alpha",
+                                   "r_stop"))
+    failing = {1: "r_words", 2: "r_mean_len", 3: "r_symbol",
+               4: "r_bullet", 5: "r_ellipsis", 6: "r_alpha",
+               7: "r_stop"}
+    for doc_id, rule in failing.items():
+        assert out[doc_id][rule] is False, (doc_id, rule)
+        assert out[doc_id]["keep"] is False
+    # spot-check metric values against hand math
+    assert out[2]["n_words"] == 60
+    assert abs(out[2]["mean_word_len"] - 1.0) < 1e-9
+    assert out[4]["bullet_frac"] == 1.0
+    assert abs(out[5]["ellipsis_frac"] - 0.5) < 1e-9
+    assert out[7]["stop_hits"] == 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR: docs sharing the target corpus's vocabulary score higher
+    than source-like docs; output is one row per doc, deterministic
+    across invocations, and the weight of a doc made of PURE target
+    grams is positive while a pure-source doc is negative."""
+    from aef_mosaic_spark.operators.importance import dsir_weights
+
+    target_text = "wiki article about science and history topics"
+    source_text = "spam click here buy now cheap deals online"
+    rows = ([(i, target_text, "en") for i in range(10)]
+            + [(100 + i, source_text, "xx") for i in range(10)]
+            + [(200, target_text, "xx"),     # target-LIKE source doc
+               (201, source_text, "xx")])    # source-like source doc
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r["doc_id"]: r for r in
+         dsir_weights(df, "doc_id", "text", "lang", "en").collect()}
+    assert len(w) == 22
+    assert w[200]["weight"] > 0 > w[201]["weight"]
+    assert w[200]["weight"] > w[201]["weight"]
+    # n_grams = unigrams + bigrams = 2*len - 1
+    assert w[200]["n_grams"] == 2 * len(target_text.split()) - 1
+    w2 = {r["doc_id"]: r["weight"] for r in
+          dsir_weights(df, "doc_id", "text", "lang", "en").collect()}
+    assert w2 == {k: v["weight"] for k, v in w.items()}
