@@ -410,7 +410,8 @@ def encode_ivfpq_items(items: DataFrame, dim: int,
                        i_id: str = "item_id", vec: str = "embedding",
                        n_lists: int = 16, m: int = 4, ksub: int = 8,
                        centroids: list[list[float]] | None = None,
-                       books: list | None = None):
+                       books: list | None = None,
+                       lloyd_iters: int = 1):
     """Encode items into IVF+PQ codes ONCE: returns
     (codes_df, centroids, books) where codes_df has columns
     (i_id, list, c0..c{m-1}) — the compressed representation every
@@ -418,15 +419,20 @@ def encode_ivfpq_items(items: DataFrame, dim: int,
     ANN calls at 100k items, so any repeated-probe surface should
     encode once (this helper / build_ivfpq_index) and pass `codes=`
     into ann_cosine_ivfpq(_adc) — the probe then never touches a raw
-    item vector. Trains centroids/books when not supplied."""
+    item vector. Trains centroids/books when not supplied;
+    lloyd_iters > 1 is the opt-in production refinement
+    (deterministic — seeded init, fixed iterations; recall table in
+    BENCH/BASELINE.md §10c). The default 1 keeps the oracle-parity
+    recipe."""
     dsub = dim // m
     if centroids is None:
         centroids = ivf_centroids(items.select(i_id, vec), vec,
-                                  n_lists, dim)
+                                  n_lists, dim, refine_iters=lloyd_iters)
     it_u = unit_normalized(items.select(F.col(i_id), F.col(vec)),
                            vec, "_uv")
     if books is None:
-        books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv", dim, m, ksub)
+        books = pq_codebooks(it_u.select(i_id, "_uv"), "_uv", dim, m,
+                             ksub, iters=lloyd_iters)
     il = _assign_lists(items.select(F.col(i_id), F.col(vec).alias("_cv")),
                        "_cv", centroids, "_il", 1)
     il = il.select(i_id, F.element_at("_il", 1).alias("list"))
@@ -588,7 +594,8 @@ def ann_cosine_ivfpq_adc(queries: DataFrame, items: DataFrame, k: int,
 
 def build_ivfpq_index(items: DataFrame, table_path: str, dim: int,
                       i_id: str = "item_id", vec: str = "embedding",
-                      n_lists: int = 16, m: int = 4, ksub: int = 8) -> int:
+                      n_lists: int = 16, m: int = 4, ksub: int = 8,
+                      lloyd_iters: int = 1) -> int:
     """Build the persistent IVF+PQ index: an icelite table of
     (id, list, c0..c{m-1}) — 4 ints + a byte-sized code per row
     instead of dim floats (~170x smaller than raw vectors at the
@@ -606,7 +613,8 @@ def build_ivfpq_index(items: DataFrame, table_path: str, dim: int,
     from aef_mosaic_spark.sources.icelite import Icelite
 
     idx, centroids, books = encode_ivfpq_items(
-        items, dim, i_id, vec, n_lists, m, ksub)
+        items, dim, i_id, vec, n_lists, m, ksub,
+        lloyd_iters=lloyd_iters)
     t = Icelite(table_path)
     return t.append(
         idx.repartition("list"), partition_by=["list"],

@@ -569,3 +569,44 @@ def test_recall_at_k_and_lloyd_refinement(spark):
         got = out.collect()
         assert len(got) == 4 * 5
         assert 0.0 <= K.recall_at_k(out, exact) <= 1.0
+
+
+def test_build_ivfpq_index_lloyd_refined(spark, tmp_path):
+    """lloyd_iters > 1 at index build: the refined codebooks persist
+    in the snapshot properties, probes stay self-consistent (probe ==
+    direct ADC with the SAME refined codebooks/centroids), and the
+    build is deterministic."""
+    rng = np.random.RandomState(29)
+    centers = rng.randn(8, 16) * 3
+    vecs = np.vstack([c + rng.randn(15, 16) * 0.4 for c in centers])
+    items = pd.DataFrame({"item_id": np.arange(120),
+                          "embedding": [v.tolist() for v in vecs]})
+    qs = items.iloc[::30].rename(columns={"item_id": "query_id"})
+    sq, si = spark.createDataFrame(qs), spark.createDataFrame(items)
+
+    import json
+
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    p3 = str(tmp_path / "idx_l3")
+    K.build_ivfpq_index(si, p3, dim=16, n_lists=4, m=4, ksub=8,
+                        lloyd_iters=3)
+    props = Icelite(p3).properties()
+    cents3 = json.loads(props["centroids"])
+    books3 = json.loads(props["codebooks"])
+    # refined training actually moved the codebooks vs the default
+    p1 = str(tmp_path / "idx_l1")
+    K.build_ivfpq_index(si, p1, dim=16, n_lists=4, m=4, ksub=8)
+    assert json.loads(Icelite(p1).properties()["codebooks"]) != books3
+
+    got = K.probe_ivfpq_index(sq, p3, k=3, n_probe=2).collect()
+    direct = K.ann_cosine_ivfpq_adc(sq, si, k=3, dim=16, n_lists=4,
+                                    n_probe=2, m=4, ksub=8,
+                                    centroids=cents3,
+                                    books=books3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
+
+    p3b = str(tmp_path / "idx_l3b")
+    K.build_ivfpq_index(si, p3b, dim=16, n_lists=4, m=4, ksub=8,
+                        lloyd_iters=3)
+    assert json.loads(Icelite(p3b).properties()["codebooks"]) == books3
