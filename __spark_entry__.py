@@ -1598,6 +1598,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_weights(d, "doc_id", "text", "lang", "en")
     q["q100_dsir_importance"] = q100_dsir_importance
 
+    def q101_image_integrity(spark, sf):
+        # decode-free conformance gate over the multimodal table:
+        # header/size/dims validation per declared fmt, over a pinned
+        # fixture with deterministic corruptions (truncation, flipped
+        # magic, lying metadata)
+        from aef_mosaic_spark.functions.multimodal import (
+            image_integrity_cols)
+        imgs = spark.read.parquet(
+            f"{_FIXTURE_DIR}/images_bytes_240.parquet")
+        cols = image_integrity_cols(F.col("bytes"), F.col("w"),
+                                    F.col("h"), F.col("fmt"))
+        return imgs.select("image_id", "fmt",
+                           *[c.alias(n) for n, c in cols.items()])
+    q["q101_image_integrity"] = q101_image_integrity
+
+    def q102_tfidf_keywords(spark, sf):
+        # per-doc top-3 TF-IDF keywords, exact-integer scoring
+        from aef_mosaic_spark.functions.text import tfidf_keywords
+        d = _pq(spark, sf, "documents")
+        return tfidf_keywords(d, "doc_id", "text", k=3)
+    q["q102_tfidf_keywords"] = q102_tfidf_keywords
+
     return _driver_order(q)
 
 
@@ -2660,6 +2682,17 @@ def oracle_sql() -> dict[str, str]:
         + " FROM documents")
     o["q100_dsir_importance"] = dsir_weights_sql(
         "documents", "doc_id", "text", "lang", "en")
+
+    from aef_mosaic_spark.functions.multimodal import image_integrity_sql
+    from aef_mosaic_spark.functions.text import tfidf_keywords_sql
+
+    _ii = image_integrity_sql("bytes", "w", "h", "fmt")
+    o["q101_image_integrity"] = (
+        "SELECT image_id, fmt, "
+        + ", ".join(f"{e} AS {n}" for n, e in _ii.items())
+        + f" FROM read_parquet('{_FIXTURE_DIR}/images_bytes_240.parquet')")
+    o["q102_tfidf_keywords"] = tfidf_keywords_sql(
+        "documents", "doc_id", "text", k=3)
 
     return o
 

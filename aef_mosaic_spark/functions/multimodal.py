@@ -18,6 +18,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 AUDIO_SCHEMA = ("audio_id string, bytes binary, sample_rate int, "
                 "n_channels int, fmt string, caption string")
@@ -179,3 +180,77 @@ def alignment_scores(pairs: DataFrame, text_col: str, vec_col: str,
                            F.col(vec_col).cast("array<double>")), 6)
     return (pairs.withColumn("alignment", a)
             .withColumn("keep", F.col("alignment") >= threshold))
+
+
+def image_integrity_cols(b, w, h, fmt) -> dict:
+    """Decode-free integrity validation of an image+metadata row —
+    the ingest-time conformance gate for the 10^12-row multimodal
+    table (corrupt/truncated/mislabeled blobs poison training and
+    decode UDFs downstream; this catches them with pure Column exprs,
+    zero Python, zero decode). Checks per declared fmt:
+
+      raw  : exact payload size w*h*3 (no header to check)
+      ppm  : full "P6\\n{w} {h}\\n255\\n" header match (magic AND the
+             DECLARED dims) + exact size header+w*h*3
+      png  : 8-byte PNG signature (content length is codec-internal)
+      qdct : 5-byte >BHH header — bands = 3 and header dims equal the
+             declared w/h (codecs.encode_qdct) + size > header
+
+    Everything is hex-string arithmetic so the DuckDB twin is
+    IDENTICAL (both engines hex() bytes/UTF8 uppercase the same way).
+    -> {n_bytes, header_ok, size_ok, ok} Columns."""
+    hx = F.hex(b)
+    n = F.length(b)
+    ppm_hdr = F.hex(F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                             h.cast("string"), F.lit("\n255\n")))
+    ppm_hdr_len = (F.lit(9) + F.length(w.cast("string"))
+                   + F.length(h.cast("string")))
+    qdct_h = F.conv(F.substring(hx, 3, 4), 16, 10).cast("int")
+    qdct_w = F.conv(F.substring(hx, 7, 4), 16, 10).cast("int")
+    header_ok = (
+        F.when(fmt == "raw", F.lit(True))
+        .when(fmt == "ppm",
+              F.substring(hx, 1, F.length(ppm_hdr).cast("int")) == ppm_hdr)
+        .when(fmt == "png",
+              F.substring(hx, 1, 16) == F.lit("89504E470D0A1A0A"))
+        .when(fmt == "qdct",
+              (F.substring(hx, 1, 2) == "03")
+              & (qdct_h == h) & (qdct_w == w))
+        .otherwise(F.lit(False)))
+    size_ok = (
+        F.when(fmt == "raw", n == w * h * 3)
+        .when(fmt == "ppm", n == ppm_hdr_len + w * h * 3)
+        .when(fmt == "png", n > 8)
+        .when(fmt == "qdct", n > 5)
+        .otherwise(F.lit(False)))
+    return {"n_bytes": n.cast("long"), "header_ok": header_ok,
+            "size_ok": size_ok, "ok": header_ok & size_ok}
+
+
+def image_integrity_sql(b: str, w: str, h: str, fmt: str) -> dict:
+    """DuckDB twin of image_integrity_cols (hex() on BLOB/VARCHAR is
+    uppercase in both engines; conv == ('0x'||..)::BIGINT)."""
+    hx = f"hex({b})"
+    n = f"octet_length({b})"
+    ppm_hdr = (f"hex('P6' || chr(10) || {w}::VARCHAR || ' ' || "
+               f"{h}::VARCHAR || chr(10) || '255' || chr(10))")
+    ppm_hdr_len = f"(9 + length({w}::VARCHAR) + length({h}::VARCHAR))"
+    qdct_h = f"(('0x' || substr({hx}, 3, 4))::BIGINT)"
+    qdct_w = f"(('0x' || substr({hx}, 7, 4))::BIGINT)"
+    header_ok = f"""(CASE
+      WHEN {fmt} = 'raw' THEN TRUE
+      WHEN {fmt} = 'ppm' THEN
+        substr({hx}, 1, length({ppm_hdr})::INT) = {ppm_hdr}
+      WHEN {fmt} = 'png' THEN
+        substr({hx}, 1, 16) = '89504E470D0A1A0A'
+      WHEN {fmt} = 'qdct' THEN
+        substr({hx}, 1, 2) = '03' AND {qdct_h} = {h} AND {qdct_w} = {w}
+      ELSE FALSE END)"""
+    size_ok = f"""(CASE
+      WHEN {fmt} = 'raw' THEN {n} = {w} * {h} * 3
+      WHEN {fmt} = 'ppm' THEN {n} = {ppm_hdr_len} + {w} * {h} * 3
+      WHEN {fmt} = 'png' THEN {n} > 8
+      WHEN {fmt} = 'qdct' THEN {n} > 5
+      ELSE FALSE END)"""
+    return {"n_bytes": f"{n}::BIGINT", "header_ok": header_ok,
+            "size_ok": size_ok, "ok": f"({header_ok} AND {size_ok})"}

@@ -520,3 +520,68 @@ def gopher_rules_sql(t: str) -> dict[str, str]:
     }
     keep = "(" + " AND ".join(rules.values()) + ")"
     return {**m, **rules, "keep": keep}
+
+
+def tfidf_keywords(df, id_col: str, text_col: str, k: int = 3):
+    """Per-document top-k TF-IDF keywords -> (id, term, tf, score,
+    rk) — the classic corpus-analysis / doc-tagging op. Exact-integer
+    parity recipe: idf is floor-quantized to 6dp as a BIGINT once per
+    term, so score = tf * idf_q is exact integer arithmetic (no
+    float-sum ordering anywhere); ties broken by term.
+
+    Scale shape: explode -> groupBy(doc, term) [the only corpus-sized
+    exchange] -> term document-frequency agg (vocabulary-sized) joined
+    back broadcast -> per-doc top-k window (keys = docs, each tiny)."""
+    from pyspark.sql import Window
+
+    dt = (df.select(F.col(id_col),
+                    F.explode(tokens_col(F.col(text_col))).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    dfreq = (dt.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+             .crossJoin(F.broadcast(n_docs))
+             .select("term", F.floor(
+                 F.log((F.col("_n") + 1) / (F.col("_df") + 1))
+                 * 1000000 + F.lit(0.5)).cast("long").alias("_idfq")))
+    scored = (dt.join(F.broadcast(dfreq), "term")
+              .withColumn("_sq", F.col("tf") * F.col("_idfq")))
+    w = Window.partitionBy(id_col).orderBy(F.col("_sq").desc(),
+                                           F.col("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select(id_col, "term", "tf",
+                    (F.col("_sq") / 1000000).alias("score"),
+                    F.col("rk").cast("int")))
+
+
+def tfidf_keywords_sql(table: str, id_col: str, text_col: str,
+                       k: int = 3) -> str:
+    """DuckDB twin: identical tokenization, integer-quantized idf,
+    and (score desc, term) tie-break."""
+    toks = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return f"""
+    WITH dt AS (
+      SELECT {id_col}, term, count(*)::INT AS tf
+      FROM (SELECT {id_col}, unnest({toks}) AS term FROM {table})
+      GROUP BY {id_col}, term
+    ),
+    nd AS (SELECT count(DISTINCT {id_col})::BIGINT AS _n FROM {table}),
+    dfreq AS (
+      SELECT term,
+             CAST(floor(ln((_n + 1)::DOUBLE / (count(*)::BIGINT + 1))
+                        * 1000000 + 0.5e0) AS BIGINT) AS _idfq
+      FROM dt, nd GROUP BY term, _n
+    ),
+    scored AS (
+      SELECT dt.{id_col}, dt.term, dt.tf,
+             (dt.tf * dfreq._idfq)::BIGINT AS _sq
+      FROM dt JOIN dfreq USING (term)
+    )
+    SELECT {id_col}, term, tf, (_sq / 1000000) AS score, rk::INT AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY {id_col} ORDER BY _sq DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """

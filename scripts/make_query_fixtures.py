@@ -27,7 +27,39 @@ FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 
 
+def make_images_bytes_fixture(n: int = 240) -> str:
+    """INPUT fixture for q101_image_integrity: generator images with
+    real encoded bytes plus deterministic corruptions (pure function
+    of the index, so regeneration is byte-identical). fmt cycles with
+    period 4 (raw/png/ppm/qdct), so classes are chosen mod 16 — every
+    corruption class hits every fmt:
+      i % 16 in 4..7   -> last 5 bytes truncated
+      i % 16 in 8..11  -> first byte bit-flipped
+      i % 16 in 12..15 -> declared w off by one (metadata lies)
+      i % 16 in 0..3   -> clean
+    """
+    from aef_mosaic_spark.generator import images_pdf
+
+    pdf = images_pdf(n)[["image_id", "bytes", "w", "h", "fmt",
+                         "caption"]].copy()
+    for i in range(n):
+        cls = (i % 16) // 4
+        if cls == 1:
+            pdf.at[i, "bytes"] = pdf.at[i, "bytes"][:-5]
+        elif cls == 2:
+            b = bytearray(pdf.at[i, "bytes"])
+            b[0] ^= 0xFF
+            pdf.at[i, "bytes"] = bytes(b)
+        elif cls == 3:
+            pdf.at[i, "w"] = int(pdf.at[i, "w"]) + 1
+    out = os.path.join(FIX, f"images_bytes_{n}.parquet")
+    pdf.to_parquet(out, index=False)
+    print(f"wrote {out}: {len(pdf)} rows")
+    return out
+
+
 def main():
+    make_images_bytes_fixture()
     spark = get_spark(app_name="make-query-fixtures", master="local[16]",
                       extra_conf={"spark.sql.shuffle.partitions": "16"})
     qs = entrymod.queries()

@@ -93,3 +93,44 @@ def test_resize_images_real(spark):
         img = np.frombuffer(r.bytes, np.uint8).reshape(3, 32, 32)
         assert r.fmt == "raw" and img.shape == (3, 32, 32)
         assert r.phash == codecs.phash64(img)
+
+
+def test_image_integrity_corruption_matrix(spark):
+    """Decode-free integrity check vs the pinned corrupted fixture:
+    each corruption class (mod-16 residue, scripts/make_query_fixtures)
+    is caught exactly where the declared fmt allows — and the
+    documented blind spots (truncated png/qdct, flipped raw byte,
+    lying w on png) stay ok=True, honestly."""
+    from aef_mosaic_spark.functions.multimodal import image_integrity_cols
+
+    imgs = spark.read.parquet("fixtures/images_bytes_240.parquet")
+    cols = image_integrity_cols(F.col("bytes"), F.col("w"),
+                                F.col("h"), F.col("fmt"))
+    rows = imgs.select("image_id", "fmt",
+                       *[c.alias(n) for n, c in cols.items()]).collect()
+    assert len(rows) == 240
+    # expectations[(class, fmt)] = (header_ok, size_ok)
+    exp = {
+        (0, "raw"): (True, True), (0, "png"): (True, True),
+        (0, "ppm"): (True, True), (0, "qdct"): (True, True),
+        # truncation: exact-size fmts catch it; png/qdct cannot
+        (1, "raw"): (True, False), (1, "ppm"): (True, False),
+        (1, "png"): (True, True), (1, "qdct"): (True, True),
+        # flipped first byte: every headered fmt catches it; raw cannot
+        (2, "raw"): (True, True), (2, "png"): (False, True),
+        (2, "ppm"): (False, True), (2, "qdct"): (False, True),
+        # lying w: raw/ppm by size, ppm/qdct by header; png cannot
+        (3, "raw"): (True, False), (3, "png"): (True, True),
+        (3, "ppm"): (False, False), (3, "qdct"): (False, True),
+    }
+    for r in rows:
+        i = int(r["image_id"].split("_")[1])
+        cls = (i % 16) // 4
+        want_h, want_s = exp[(cls, r["fmt"])]
+        assert r["header_ok"] is want_h, (r["image_id"], r["fmt"], cls)
+        assert r["size_ok"] is want_s, (r["image_id"], r["fmt"], cls)
+        assert r["ok"] is (want_h and want_s)
+    # every corruption class is detected on at least one fmt, and the
+    # clean class is clean everywhere
+    caught = {cls for (cls, _), (h, s) in exp.items() if not (h and s)}
+    assert caught == {1, 2, 3}

@@ -460,3 +460,27 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     w2 = {r["doc_id"]: r["weight"] for r in
           dsir_weights(df, "doc_id", "text", "lang", "en").collect()}
     assert w2 == {k: v["weight"] for k, v in w.items()}
+
+
+def test_tfidf_keywords_hand_values(spark):
+    """TF-IDF keywords vs hand math: a term in every doc scores 0
+    (idf = ln(N+1 / df+1) = ln(4/4)), a unique term scores
+    tf * ln(4/2); ties break by term; one row per (doc, rank)."""
+    import math
+
+    docs = [(1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = T.tfidf_keywords(df, "doc_id", "text", k=2).collect()
+    got = {(r["doc_id"], r["rk"]): (r["term"], r["tf"], r["score"])
+           for r in out}
+    ln2_q = math.floor(math.log(2.0) * 1e6 + 0.5)      # idf of df=1
+    # doc 1: apple tf=2 unique -> 2*ln2; banana tf=1 df=2 -> ln(4/3)
+    ln43_q = math.floor(math.log(4.0 / 3.0) * 1e6 + 0.5)
+    assert got[(1, 1)] == ("apple", 2, 2 * ln2_q / 1e6)
+    assert got[(1, 2)] == ("banana", 1, ln43_q / 1e6)
+    # doc 3: cherry tf=3 df=2; 'common' (df=3 -> idf 0) ranks below
+    assert got[(3, 1)] == ("cherry", 3, 3 * ln43_q / 1e6)
+    assert got[(3, 2)][0] == "common" and got[(3, 2)][2] == 0.0
+    assert len(out) == 6
