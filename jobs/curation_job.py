@@ -4,16 +4,20 @@ side of the image+caption table; mosaic_job and dedup_job's sibling).
 
 Stages (each optional via flags, all pure DataFrame ops):
 
-  1. quality   — fixed-weight logistic quality model (functions/text),
+  1. gopher    — the Gopher rule battery (Rae 2021 A1.1) as the first
+                 hard gate (--gopher drops rows failing any rule)
+  2. quality   — fixed-weight logistic quality model (functions/text),
                  drop rows under --min-quality
-  2. pii       — redact emails/phones/IPv4 in place (RE2-safe)
-  3. spans     — duplicated n-gram span stats; drop rows whose
+  3. pii       — redact emails/phones/IPv4 in place (RE2-safe)
+  4. spans     — duplicated n-gram span stats; drop rows whose
                  duplicated-gram ratio exceeds --max-dup-ratio
-  4. dedup     — near-dup clusters (MinHash-LSH -> verify -> CC),
+  5. dedup     — near-dup clusters (MinHash-LSH -> verify -> CC),
                  keep the HIGHEST-QUALITY member per cluster
-  5. spatial   — at most --spatial-cap docs per spatial cell (the
+  6. spatial   — at most --spatial-cap docs per spatial cell (the
                  anti-city-oversampling knob for geo-tagged corpora)
-  6. mixture   — per-domain token budgets (h32-ordered greedy fill)
+  7. dsir      — DSIR importance weights vs --dsir-target (Xie 2023);
+                 keep rows with weight >= --min-dsir-weight
+  8. mixture   — per-domain token budgets (h32-ordered greedy fill)
 
 Commits the surviving rows as an icelite table (zstd), optionally
 tagged, with a per-stage row-count funnel in the snapshot summary and
@@ -66,8 +70,18 @@ def main(argv=None):
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--domain-col", default="source")
+    ap.add_argument("--gopher", action="store_true",
+                    help="drop rows failing any Gopher rule "
+                         "(Rae 2021 A1.1) — the first hard gate")
     ap.add_argument("--min-quality", type=float, default=None,
                     help="drop rows with quality_classifier < X")
+    ap.add_argument("--dsir-target", default=None, metavar="VALUE",
+                    help="DSIR target split value (with --dsir-col "
+                         "and --min-dsir-weight): keep rows whose "
+                         "hashed-ngram importance weight vs the "
+                         "target distribution is high enough")
+    ap.add_argument("--dsir-col", default="lang")
+    ap.add_argument("--min-dsir-weight", type=float, default=None)
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--max-dup-ratio", type=float, default=None,
                     help="drop rows whose duplicated 8-gram ratio > X")
@@ -104,6 +118,8 @@ def main(argv=None):
                          "exit without reading data or committing")
     args = ap.parse_args(argv)
     budgets = _parse_budgets(args.budget)
+    if (args.dsir_target is None) != (args.min_dsir_weight is None):
+        ap.error("--dsir-target and --min-dsir-weight go together")
 
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
@@ -154,6 +170,9 @@ def main(argv=None):
         rep: dict = {"analyze": True,
                      "input_partitions": d0.rdd.getNumPartitions()}
         d = d0.withColumn("q_score", T.quality_classifier_col(F.col(txt)))
+        if args.gopher:
+            d = d.where(T.gopher_rules_cols(F.col(txt))["keep"])
+            rep["gopher"] = shape(d)
         if args.min_quality is not None:
             d = d.where(F.col("q_score") >= args.min_quality)
             rep["quality"] = shape(d)
@@ -176,6 +195,13 @@ def main(argv=None):
                 res=args.spatial_res, cap=args.spatial_cap)
             d = d.join(kept.select(idc), idc, "left_semi")
             rep["spatial_cap"] = shape(d)
+        if args.dsir_target is not None:
+            from aef_mosaic_spark.operators.importance import dsir_weights
+            w = dsir_weights(d, idc, txt, args.dsir_col,
+                             args.dsir_target)
+            d = d.join(w.where(F.col("weight") >= args.min_dsir_weight)
+                       .select(idc), idc, "left_semi")
+            rep["dsir"] = shape(d)
         if budgets or args.default_budget:
             kept = token_budget_mixture(d, idc, args.domain_col, txt,
                                         budgets, args.default_budget)
@@ -186,6 +212,9 @@ def main(argv=None):
 
     # ---- declarative stage list (order is the pipeline contract) ----
     stage_list: list = []
+    if args.gopher:
+        stage_list.append(("after_gopher", lambda d: d.where(
+            T.gopher_rules_cols(F.col(txt))["keep"])))
     if args.min_quality is not None:
         stage_list.append(("after_quality", lambda d: d.where(
             F.col("q_score") >= args.min_quality)))
@@ -226,6 +255,15 @@ def main(argv=None):
                 res=args.spatial_res, cap=args.spatial_cap)
             return d.join(kept.select(idc), idc, "left_semi")
         stage_list.append(("after_spatial_cap", _spatial_stage))
+    if args.dsir_target is not None:
+        def _dsir_stage(d):
+            from aef_mosaic_spark.operators.importance import dsir_weights
+            w = dsir_weights(d, idc, txt, args.dsir_col,
+                             args.dsir_target)
+            keep = w.where(F.col("weight") >= args.min_dsir_weight) \
+                    .select(idc)
+            return d.join(keep, idc, "left_semi")
+        stage_list.append(("after_dsir", _dsir_stage))
     if budgets or args.default_budget:
         def _mix_stage(d):
             kept = token_budget_mixture(d, idc, args.domain_col, txt,
@@ -236,6 +274,7 @@ def main(argv=None):
     import hashlib
     cfg_hash = hashlib.md5(json.dumps({
         "input": args.input, "min_quality": args.min_quality,
+        "gopher": args.gopher,
         "redact_pii": args.redact_pii,
         "max_dup_ratio": args.max_dup_ratio,
         "clean_spans": args.clean_spans, "dedup": args.dedup,
@@ -243,6 +282,9 @@ def main(argv=None):
         "default_budget": args.default_budget,
         "spatial_cap": args.spatial_cap,
         "spatial_res": args.spatial_res if args.spatial_cap else None,
+        "dsir": ([args.dsir_col, args.dsir_target,
+                  args.min_dsir_weight]
+                 if args.dsir_target is not None else None),
     }, sort_keys=True).encode()).hexdigest()
 
     funnel: dict[str, int] = {}
@@ -310,7 +352,8 @@ def main(argv=None):
     snap = table.append(
         df,
         properties={"input": args.input,
-                    "pipeline": "quality/pii/spans/dedup/spatial/mixture"},
+                    "pipeline": "gopher/quality/pii/spans/dedup/"
+                                "spatial/dsir/mixture"},
         summary={"operation": "curate", "funnel": funnel,
                  "domains": domain_stats})
     if args.tag:

@@ -539,3 +539,58 @@ def test_curation_job_spatial_cap_stage(spark, tmp_path):
                  Icelite(out).read(spark).collect())
     assert got == expect_ids          # committed table == operator
     assert f["after_spatial_cap"] < 120   # the city cell was capped
+
+
+def test_curation_job_gopher_and_dsir_stages(spark, tmp_path):
+    """--gopher and --dsir-target compose the r5 operators into the
+    funnel: the committed table equals the library-level recompute
+    and both stages leave funnel rows."""
+    import contextlib
+    import io
+    import json
+
+    from jobs.curation_job import main
+    from aef_mosaic_spark.functions.text import gopher_rules_cols
+    from aef_mosaic_spark.operators.importance import dsir_weights
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    wiki = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs back to the den of its family to be safe and warm "
+            "with all of the other foxes that have lived in this "
+            "forest for many years and know all of the paths that "
+            "wind between the old trees down to the river near doc ")
+    spam = "buy now cheap deals click here "
+    src = str(tmp_path / "docs.parquet")
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id", "'A' AS source",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'xx' END AS lang",
+        f"CASE WHEN id % 4 = 3 THEN repeat('{spam}', 10) || id "
+        f"ELSE '{wiki}' || id END AS text")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", src, "--output", out, "--gopher",
+                   "--dsir-target", "en", "--dsir-col", "lang",
+                   "--min-dsir-weight", "0.0"])
+    assert rc == 0
+    f = json.loads(buf.getvalue().strip().splitlines()[-1])["funnel"]
+    assert f["input"] == 60
+
+    d = spark.read.parquet(src)
+    gk = d.where(gopher_rules_cols(F.col("text"))["keep"])
+    assert f["after_gopher"] == gk.count() < 60
+    w = dsir_weights(gk, "doc_id", "text", "lang", "en")
+    expect = sorted(
+        r["doc_id"] for r in
+        gk.join(w.where(F.col("weight") >= 0.0).select("doc_id"),
+                "doc_id", "left_semi").collect())
+    assert f["after_dsir"] == len(expect)
+    got = sorted(r["doc_id"] for r in Icelite(out).read(spark).collect())
+    assert got == expect
+
+    # misuse guard: --dsir-target without --min-dsir-weight errors
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--input", src, "--output", out, "--dsir-target", "en"])
