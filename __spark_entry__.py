@@ -1620,6 +1620,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf_keywords(d, "doc_id", "text", k=3)
     q["q102_tfidf_keywords"] = q102_tfidf_keywords
 
+    def q103_importance_resample(spark, sf):
+        # DSIR end-to-end: hashed-ngram importance weights -> Gumbel
+        # top-k resampling (k docs w/o replacement ~ exp(weight)),
+        # deterministic via md5-derived uniforms
+        from aef_mosaic_spark.operators.importance import (
+            dsir_weights, importance_resample)
+        d = _pq(spark, sf, "documents")
+        w = dsir_weights(d, "doc_id", "text", "lang", "en")
+        return importance_resample(w, "doc_id", "weight", k=200)
+    q["q103_importance_resample"] = q103_importance_resample
+
     return _driver_order(q)
 
 
@@ -2693,6 +2704,12 @@ def oracle_sql() -> dict[str, str]:
         + f" FROM read_parquet('{_FIXTURE_DIR}/images_bytes_240.parquet')")
     o["q102_tfidf_keywords"] = tfidf_keywords_sql(
         "documents", "doc_id", "text", k=3)
+
+    from aef_mosaic_spark.operators.importance import (
+        importance_resample_sql)
+    o["q103_importance_resample"] = importance_resample_sql(
+        dsir_weights_sql("documents", "doc_id", "text", "lang", "en"),
+        "doc_id", "weight", 200)
 
     return o
 

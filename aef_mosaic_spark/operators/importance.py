@@ -11,11 +11,14 @@ with Laplace-smoothed bucket probabilities over `n_buckets` hashed
 resampling keeps when curating a web-scale corpus toward a small
 high-quality target (the paper's Pile -> Wikipedia/book setup).
 
-Scale shape (10^12 docs): one explode over grams (~tokens/doc), one
-map-side-combined groupBy(bucket) (output <= n_buckets rows), one
-broadcast join of the bucket table back onto the gram stream, one
-groupBy(doc). No windows, no driver-side loops; the only collected
-state is nothing at all — totals ride a 1-row crossJoin.
+Scale shape (10^12 docs): ONE explode over grams (~tokens/doc),
+immediately folded into a lazily-checkpointed (doc, bucket, count)
+table — docs x min(grams/doc, n_buckets) int rows — that both the
+bucket-stats branch and the per-doc weight branch read (without the
+checkpoint the explode + per-gram md5 runs twice: 2.0x at 50k docs,
+BENCH §10e). Then one map-side-combined groupBy(bucket) (<= n_buckets
+rows), one broadcast join of the bucket table back, one groupBy(doc).
+No windows, no driver-side loops; totals ride a 1-row crossJoin.
 
 Engine-parity recipe: the per-bucket log-ratio is floor-quantized to
 6dp AS AN INTEGER (lrq = floor(lr * 1e6 + 0.5) :: BIGINT), so the
@@ -67,9 +70,20 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
         F.pmod(h32_col(F.concat(F.lit(f"{salt}:"), F.col("_gram"))),
                F.lit(b)).cast("int"),
     ).drop("_gram")
-    stats = grams.groupBy("_bucket").agg(
-        F.sum("_is_t").cast("long").alias("_c_t"),
-        F.sum(1 - F.col("_is_t")).cast("long").alias("_c_s"),
+    # doc-bucket pre-aggregation, lineage-cut: the gram stream (the
+    # explode + per-gram md5, 2 passes over the corpus otherwise —
+    # both the stats branch and the weight branch hang off it) is
+    # hashed ONCE into (doc, bucket, count) and checkpointed lazily;
+    # everything downstream reads the compact int table. Measured 2x
+    # at 50k docs (BENCH §10e); at 10^12 docs the checkpoint is
+    # bounded by docs x min(grams/doc, n_buckets) int rows.
+    db = (grams.groupBy(id_col, "_is_t", "_bucket")
+          .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+          .localCheckpoint(eager=False))
+    stats = db.groupBy("_bucket").agg(
+        F.sum(F.col("_c") * F.col("_is_t")).cast("long").alias("_c_t"),
+        F.sum(F.col("_c") * (1 - F.col("_is_t"))).cast("long")
+        .alias("_c_s"),
     )
     totals = stats.agg(F.sum("_c_t").cast("long").alias("_n_t"),
                        F.sum("_c_s").cast("long").alias("_n_s"))
@@ -81,12 +95,96 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
             * 1000000 + F.lit(0.5)
         ).cast("long").alias("_lrq"),
     )
-    return (grams.join(F.broadcast(lr), "_bucket")
+    return (db.join(F.broadcast(lr), "_bucket")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("int").alias("n_grams"),
-                 F.sum("_lrq").cast("long").alias("_wq"))
+            .agg(F.sum("_c").cast("int").alias("n_grams"),
+                 F.sum(F.col("_c") * F.col("_lrq")).cast("long")
+                 .alias("_wq"))
             .select(id_col, "n_grams",
                     (F.col("_wq") / 1000000).alias("weight")))
+
+
+def importance_resample(df: DataFrame, id_col: str, weight_col: str,
+                        k: int, temperature: float = 1.0,
+                        salt: str = "dsir-rs-v1",
+                        method: str = "auto",
+                        n_shards: int = 64) -> DataFrame:
+    """The RESAMPLING step of DSIR (Xie 2023 §2): draw `k` docs
+    WITHOUT replacement with probability proportional to
+    exp(weight / temperature), via the Gumbel-top-k identity —
+    top-k of (weight/T + Gumbel noise) is exactly such a sample.
+
+    -> (id_col, weight_col, gumbel_key_q long), the k selected rows.
+
+    Deterministic on any cluster/engine: the "noise" g = -ln(-ln(u))
+    uses u = (h32(salt:id) + 0.5) / 2^32 (functions/hashes.py — the
+    one hash identical in Spark and DuckDB), and the selection key is
+    floor-quantized to 6dp as an INTEGER before ranking, with id as
+    the final tiebreak.
+
+    method:
+      - "topk" (default for k <= 100_000): orderBy(key desc).limit(k)
+        — Catalyst's TakeOrderedAndProject, a per-partition bounded
+        heap + single k-row merge. Right shape for small k.
+      - "sharded" (default above): the paper's regime keeps k ~ 10%
+        of a web corpus, where a k-row single-task merge is the
+        bottleneck. Exact global rank via sharded_keyed_rank with
+        hb = equal-width coarse bin of the DESCENDING key (monotone,
+        so the two-phase shard decomposition stays exact; bin width
+        from a collected min/max — two bounded driver scalars), then
+        rank <= k. No single task ever holds more than ~n/shards
+        rows. Bit-identical to "topk" (pytest-asserted).
+    """
+    kq = F.floor(
+        (F.col(weight_col) / F.lit(float(temperature))
+         + -F.log(-F.log(
+             (h32_col(F.concat(F.lit(f"{salt}:"),
+                               F.col(id_col).cast("string")))
+              + F.lit(0.5)) / F.lit(4294967296.0))))
+        * 1000000 + F.lit(0.5)).cast("long")
+    base = df.select(F.col(id_col), F.col(weight_col),
+                     kq.alias("gumbel_key_q"))
+    if method == "auto":
+        method = "topk" if int(k) <= 100_000 else "sharded"
+    if method == "topk":
+        return (base.orderBy(F.col("gumbel_key_q").desc(),
+                             F.col(id_col))
+                .limit(int(k)))
+    from aef_mosaic_spark.operators.sampling import (BUCKETS,
+                                                     sharded_keyed_rank)
+    neg = base.withColumn("_negk", -F.col("gumbel_key_q"))
+    lo, hi = neg.agg(F.min("_negk"), F.max("_negk")).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    # (negk - lo) <= span ~ (weight range + ~25) * 1e6; * BUCKETS
+    # stays < 2^63 for any real weight range (documented bound)
+    hbq = F.floor((F.col("_negk") - F.lit(int(lo)))
+                  * BUCKETS / F.lit(span)).cast("int")
+    ranked = sharded_keyed_rank(
+        neg.withColumn("_hbq", hbq), [], "_hbq", id_col,
+        n_shards=n_shards, rank_cap=int(k),
+        order_cols=[F.col("_negk")])
+    return (ranked.where(F.col("_rk") <= int(k))
+            .select(id_col, weight_col, "gumbel_key_q"))
+
+
+def importance_resample_sql(inner_sql: str, id_col: str,
+                            weight_col: str, k: int,
+                            temperature: float = 1.0,
+                            salt: str = "dsir-rs-v1") -> str:
+    """DuckDB twin over any subquery yielding (id, weight): identical
+    hash-derived uniforms, Gumbel key, 6dp integer quantization and
+    (key desc, id) order."""
+    h = h32_sql(f"('{salt}:' || {id_col}::VARCHAR)")
+    t = f"{float(temperature)!r}e0"
+    return f"""
+    SELECT {id_col}, {weight_col},
+           CAST(floor(({weight_col} / {t}
+                       + -ln(-ln(({h} + 0.5e0) / 4294967296.0e0)))
+                      * 1000000 + 0.5e0) AS BIGINT) AS gumbel_key_q
+    FROM ({inner_sql}) _ir
+    ORDER BY gumbel_key_q DESC, {id_col}
+    LIMIT {int(k)}
+    """
 
 
 def dsir_weights_sql(table: str, id_col: str, text_col: str,

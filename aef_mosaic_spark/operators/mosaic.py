@@ -344,9 +344,12 @@ def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -
     """groupBy(chunk).applyInPandas — the A1/R2/R3 compositor.
 
     modes: 'mean' (reference parity), 'last' (last-on-top by
-    sort_key), 'weighted' (float weighted blend). Fill for
-    never-touched pixels is 0 with a valid-pixel count reported
-    (uint8 analog of the reference's -128 int8 NODATA)."""
+    sort_key), 'weighted' (float weighted blend), 'median' (per-pixel
+    LOWER median — ascending index (c-1)//2 — an order-independent
+    outlier-robust composite: the standard cloud/sensor-glitch
+    rejection for temporal stacks; integer-exact, no float ties).
+    Fill for never-touched pixels is 0 with a valid-pixel count
+    reported (uint8 analog of the reference's -128 int8 NODATA)."""
     nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
 
     def _fin(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -357,6 +360,14 @@ def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -
         elif mode == "weighted":
             acc = np.zeros((nb, chh, chw), np.float64)
             cnt = np.zeros((chh, chw), np.float64)
+        elif mode == "median":
+            # two passes: depth count, then scatter into a
+            # (max_depth, nb, chh, chw) stack with 256 as the
+            # above-uint8 sentinel; memory = depth x ~0.4 MB, depth
+            # bounded by tiles-per-chunk (the same bound every mode's
+            # group already holds decompressed)
+            cnt = np.zeros((chh, chw), np.int32)
+            staged = []
         else:
             canvas = np.zeros((nb, chh, chw), np.uint8)
             touched = np.zeros((chh, chw), bool)
@@ -375,6 +386,9 @@ def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -
             elif mode == "weighted":
                 acc[:, ys, xs] += patch * (mask * p.weight)
                 cnt[ys, xs] += mask * p.weight
+            elif mode == "median":
+                cnt[ys, xs] += mask
+                staged.append((patch, mask, p.y0, p.x0))
             else:
                 sub = canvas[:, ys, xs]
                 sub[:, mask] = patch[:, mask]
@@ -387,6 +401,21 @@ def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -
             canvas = np.where(
                 cnt > 0, np.rint(acc / np.maximum(cnt, 1e-12)), 0
             ).astype(np.uint8)
+            valid = int((cnt > 0).sum())
+        elif mode == "median":
+            depth = int(cnt.max()) if staged else 0
+            stack = np.full((max(depth, 1), nb, chh, chw), 256, np.uint16)
+            widx = np.zeros((chh, chw), np.int32)
+            for patch, mask, y0, x0 in staged:
+                yy, xx = np.nonzero(mask)
+                gy, gx = y0 + yy, x0 + xx
+                stack[widx[gy, gx], :, gy, gx] = patch[:, yy, xx].T
+                widx[gy, gx] += 1
+            stack.sort(axis=0)  # sentinel 256 sorts past every value
+            k = np.maximum(cnt - 1, 0) // 2
+            med = np.take_along_axis(
+                stack, k[None, None, :, :].astype(np.int64), axis=0)[0]
+            canvas = np.where(cnt > 0, med, 0).astype(np.uint8)
             valid = int((cnt > 0).sum())
         else:
             valid = int(touched.sum())
@@ -423,7 +452,15 @@ def composite_chunks_salted(patches: DataFrame, grid: OutputGrid,
     addition order differs from the single-level path and np.rint at
     an exact .5 boundary could flip a pixel by 1 (tested equal on the
     fixture data; treat weighted parity as allclose-within-1, not
-    bitwise)."""
+    bitwise). 'median' is NOT offered here: an exact median partial
+    is a per-pixel 256-bin histogram (~100 MB per salt partial at
+    256x256x3) — for a median composite the skew unit is the chunk
+    itself and overlap depth is bounded by tiles-per-chunk, so use
+    composite_chunks(mode='median')."""
+    if mode == "median":
+        raise ValueError(
+            "median is not salt-decomposable (needs per-pixel value "
+            "histograms); use composite_chunks(mode='median')")
     nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
 
     def _partial(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -39,7 +39,8 @@ def sharded_keyed_rank(df: DataFrame, key_cols: list[str],
                        hb_col: str, id_col: str,
                        sum_col: str | None = None,
                        n_shards: int = 64,
-                       rank_cap: int | None = None) -> DataFrame:
+                       rank_cap: int | None = None,
+                       order_cols: list | None = None) -> DataFrame:
     """Exact per-key row_number (`_rk`, 1-based) — and, with sum_col,
     the per-key running sum INCLUDING the current row (`_cum`) — in
     (hb_col, id_col) order, WITHOUT a single window task per key.
@@ -70,13 +71,23 @@ def sharded_keyed_rank(df: DataFrame, key_cols: list[str],
     key), rows whose LOCAL rank already exceeds cap are dropped
     before the offsets join (global rank >= local rank), bounding the
     join input to n_shards * cap rows per key.
+
+    order_cols: extra ordering columns/exprs BETWEEN hb_col and the
+    id tiebreak — the in-key order becomes (hb, *order_cols, id).
+    The shard stays monotone in that order (it is a function of hb,
+    the leading key), so the two-phase decomposition stays exact.
+    Used when hb_col is a coarse monotone image of the true sort key
+    (importance_resample: hb = equal-width bin of the DESCENDING
+    gumbel key, order_cols = the exact key) rather than the order
+    itself.
     """
     from pyspark.sql import Window
 
     n_shards = max(1, min(int(n_shards), BUCKETS))
     shard = F.floor(F.col(hb_col) * n_shards / BUCKETS).cast("int")
     base = df.withColumn("_shard", shard)
-    wl = Window.partitionBy("_shard", *key_cols).orderBy(hb_col, id_col)
+    wl = Window.partitionBy("_shard", *key_cols).orderBy(
+        hb_col, *(order_cols or []), id_col)
     loc = base.withColumn("_lrk", F.row_number().over(wl))
     aggs = [F.count(F.lit(1)).alias("_n_part")]
     if sum_col is not None:

@@ -58,6 +58,7 @@ def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean",
     canv_last = {}
     canv_wsum = {}
     canv_wcnt = {}
+    canv_vals: dict = {}  # median: per-ti list of per-pixel values
     tiles_per_chunk: dict[tuple, set] = {}
     weights = weights or {}
 
@@ -109,6 +110,8 @@ def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean",
         w = float(weights.get(t.image_id, 1.0))
         canv_wsum[ti][:, R0:R1, C0:C1] += vals * (valid * w)
         canv_wcnt[ti][R0:R1, C0:C1] += valid * w
+        if mode == "median":
+            canv_vals.setdefault(ti, []).append((R0, R1, C0, C1, vals, valid))
         # chunk membership for n_tiles (bbox-level, same as engine)
         for r in range(R0 // grid.chunk_h, (R1 - 1) // grid.chunk_h + 1):
             for c in range(C0 // grid.chunk_w, (C1 - 1) // grid.chunk_w + 1):
@@ -139,6 +142,25 @@ def oracle_mosaic(images: pd.DataFrame, grid: OutputGrid, mode: str = "mean",
             wc = canv_wcnt[ti][ys, xs]
             canvas = np.where(wc > 0, np.rint(ws / np.maximum(wc, 1e-12)), 0
                               ).astype(np.uint8)
+        elif mode == "median":
+            # lower median (ascending index (c-1)//2), same definition
+            # as the engine; per-chunk brute stack over the tile list
+            h = ys.stop - ys.start
+            wd = xs.stop - xs.start
+            vals_px = [[[] for _ in range(wd)] for _ in range(h)]
+            for R0, R1, C0, C1, vals, valid in canv_vals.get(ti, []):
+                for rr in range(max(R0, ys.start), min(R1, ys.stop)):
+                    for cc in range(max(C0, xs.start), min(C1, xs.stop)):
+                        if valid[rr - R0, cc - C0]:
+                            vals_px[rr - ys.start][cc - xs.start].append(
+                                vals[:, rr - R0, cc - C0])
+            canvas = np.zeros((nb, h, wd), np.uint8)
+            for rr in range(h):
+                for cc in range(wd):
+                    vs = vals_px[rr][cc]
+                    if vs:
+                        arr = np.sort(np.stack(vs, axis=0), axis=0)
+                        canvas[:, rr, cc] = arr[(len(vs) - 1) // 2]
         else:  # last
             last = canv_last[ti][:, ys, xs]
             canvas = np.where(last >= 0, last, 0).astype(np.uint8)

@@ -16,7 +16,9 @@ Stages (each optional via flags, all pure DataFrame ops):
   6. spatial   — at most --spatial-cap docs per spatial cell (the
                  anti-city-oversampling knob for geo-tagged corpora)
   7. dsir      — DSIR importance weights vs --dsir-target (Xie 2023);
-                 keep rows with weight >= --min-dsir-weight
+                 keep rows with weight >= --min-dsir-weight, OR a
+                 Gumbel-top-k importance resample of --dsir-sample-k
+                 rows (prob ~ exp(weight), without replacement)
   8. mixture   — per-domain token budgets (h32-ordered greedy fill)
 
 Commits the surviving rows as an icelite table (zstd), optionally
@@ -82,6 +84,11 @@ def main(argv=None):
                          "target distribution is high enough")
     ap.add_argument("--dsir-col", default="lang")
     ap.add_argument("--min-dsir-weight", type=float, default=None)
+    ap.add_argument("--dsir-sample-k", type=int, default=None,
+                    help="instead of a weight threshold, keep a "
+                         "Gumbel-top-k importance RESAMPLE of k docs "
+                         "(prob ~ exp(weight), w/o replacement — "
+                         "Xie 2023 §2; deterministic)")
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--max-dup-ratio", type=float, default=None,
                     help="drop rows whose duplicated 8-gram ratio > X")
@@ -118,8 +125,16 @@ def main(argv=None):
                          "exit without reading data or committing")
     args = ap.parse_args(argv)
     budgets = _parse_budgets(args.budget)
-    if (args.dsir_target is None) != (args.min_dsir_weight is None):
-        ap.error("--dsir-target and --min-dsir-weight go together")
+    n_dsir_modes = sum(x is not None
+                       for x in (args.min_dsir_weight,
+                                 args.dsir_sample_k))
+    if args.dsir_target is None:
+        if n_dsir_modes:
+            ap.error("--min-dsir-weight/--dsir-sample-k need "
+                     "--dsir-target")
+    elif n_dsir_modes != 1:
+        ap.error("--dsir-target needs exactly one of "
+                 "--min-dsir-weight or --dsir-sample-k")
 
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
@@ -196,11 +211,16 @@ def main(argv=None):
             d = d.join(kept.select(idc), idc, "left_semi")
             rep["spatial_cap"] = shape(d)
         if args.dsir_target is not None:
-            from aef_mosaic_spark.operators.importance import dsir_weights
+            from aef_mosaic_spark.operators.importance import (
+                dsir_weights, importance_resample)
             w = dsir_weights(d, idc, txt, args.dsir_col,
                              args.dsir_target)
-            d = d.join(w.where(F.col("weight") >= args.min_dsir_weight)
-                       .select(idc), idc, "left_semi")
+            if args.dsir_sample_k is not None:
+                keep = importance_resample(w, idc, "weight",
+                                           k=args.dsir_sample_k)
+            else:
+                keep = w.where(F.col("weight") >= args.min_dsir_weight)
+            d = d.join(keep.select(idc), idc, "left_semi")
             rep["dsir"] = shape(d)
         if budgets or args.default_budget:
             kept = token_budget_mixture(d, idc, args.domain_col, txt,
@@ -257,12 +277,16 @@ def main(argv=None):
         stage_list.append(("after_spatial_cap", _spatial_stage))
     if args.dsir_target is not None:
         def _dsir_stage(d):
-            from aef_mosaic_spark.operators.importance import dsir_weights
+            from aef_mosaic_spark.operators.importance import (
+                dsir_weights, importance_resample)
             w = dsir_weights(d, idc, txt, args.dsir_col,
                              args.dsir_target)
-            keep = w.where(F.col("weight") >= args.min_dsir_weight) \
-                    .select(idc)
-            return d.join(keep, idc, "left_semi")
+            if args.dsir_sample_k is not None:
+                keep = importance_resample(w, idc, "weight",
+                                           k=args.dsir_sample_k)
+            else:
+                keep = w.where(F.col("weight") >= args.min_dsir_weight)
+            return d.join(keep.select(idc), idc, "left_semi")
         stage_list.append(("after_dsir", _dsir_stage))
     if budgets or args.default_budget:
         def _mix_stage(d):
@@ -283,7 +307,7 @@ def main(argv=None):
         "spatial_cap": args.spatial_cap,
         "spatial_res": args.spatial_res if args.spatial_cap else None,
         "dsir": ([args.dsir_col, args.dsir_target,
-                  args.min_dsir_weight]
+                  args.min_dsir_weight, args.dsir_sample_k]
                  if args.dsir_target is not None else None),
     }, sort_keys=True).encode()).hexdigest()
 

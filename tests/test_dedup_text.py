@@ -462,6 +462,38 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert w2 == {k: v["weight"] for k, v in w.items()}
 
 
+def test_importance_resample_gumbel_topk(spark):
+    """Gumbel top-k resampling: exactly k rows; the topk and sharded
+    methods are bit-identical (same set, same keys); heavier weights
+    dominate the sample; and the whole selection is a deterministic
+    pure function of (id, weight, salt)."""
+    from aef_mosaic_spark.operators.importance import importance_resample
+
+    # 300 ids, weights in 3 tiers: +5 (100 docs), 0 (100), -5 (100).
+    rows = [(f"d{i:03d}", 5.0 if i < 100 else (0.0 if i < 200 else -5.0))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, weight double")
+    top = importance_resample(df, "doc_id", "weight", k=60,
+                              method="topk").collect()
+    assert len(top) == 60
+    sh = importance_resample(df, "doc_id", "weight", k=60,
+                             method="sharded").collect()
+    key = lambda r: (r["doc_id"], r["weight"], r["gumbel_key_q"])
+    assert sorted(map(key, top)) == sorted(map(key, sh))
+    # exp(5) / exp(0) ~ 148x: the +5 tier should dominate and the -5
+    # tier should essentially vanish from a 60-of-300 sample
+    tiers = [r["weight"] for r in top]
+    assert tiers.count(5.0) >= 50 and tiers.count(-5.0) == 0
+    again = importance_resample(df, "doc_id", "weight", k=60,
+                                method="topk").collect()
+    assert sorted(map(key, again)) == sorted(map(key, top))
+    # a different salt draws a different (but same-sized) sample
+    other = importance_resample(df, "doc_id", "weight", k=60,
+                                salt="dsir-rs-v2").collect()
+    assert len(other) == 60
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in top}
+
+
 def test_tfidf_keywords_hand_values(spark):
     """TF-IDF keywords vs hand math: a term in every doc scores 0
     (idf = ln(N+1 / df+1) = ln(4/4)), a unique term scores

@@ -141,6 +141,29 @@ def test_weighted_mosaic_matches_oracle(spark, images_pdf, grid):
         assert np.array_equal(got, w["canvas"]), key
 
 
+def test_median_mosaic_matches_oracle(spark, images_pdf, images_sdf, grid):
+    # per-pixel LOWER median composite (order-independent,
+    # outlier-robust): exact parity vs the naive per-pixel oracle,
+    # plus n_tiles/valid_px equality; salted path refuses median
+    import pytest
+
+    chunks = {
+        (r.time_idx, r.row_idx, r.col_idx): r
+        for r in M.mosaic(images_sdf, grid, mode="median").collect()
+    }
+    want = oracle.oracle_mosaic(images_pdf, grid, mode="median")
+    assert set(chunks) == set(want)
+    for key, w in want.items():
+        got = np.frombuffer(chunks[key].chunk, np.uint8).reshape(
+            3, grid.chunk_h, grid.chunk_w)
+        assert np.array_equal(got, w["canvas"]), key
+        assert chunks[key].n_tiles == w["n_tiles"]
+        assert chunks[key].valid_px == w["valid_px"]
+    with pytest.raises(ValueError, match="median"):
+        M.composite_chunks_salted(
+            M.tiles_to_patches(images_sdf, grid), grid, mode="median")
+
+
 def test_lossy_codec_mosaic_psnr_invariant(spark, grid):
     # BASELINE per-row invariant: decoded-pixel allclose with PSNR>=40
     # for lossy encodings. Composite the same tiles twice — lossless

@@ -590,7 +590,27 @@ def test_curation_job_gopher_and_dsir_stages(spark, tmp_path):
     got = sorted(r["doc_id"] for r in Icelite(out).read(spark).collect())
     assert got == expect
 
-    # misuse guard: --dsir-target without --min-dsir-weight errors
+    # --dsir-sample-k: Gumbel importance resample instead of threshold
+    from aef_mosaic_spark.operators.importance import importance_resample
+    out2 = str(tmp_path / "curated_rs")
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = main(["--input", src, "--output", out2,
+                   "--dsir-target", "en", "--dsir-sample-k", "10"])
+    assert rc == 0
+    f2 = json.loads(buf2.getvalue().strip().splitlines()[-1])["funnel"]
+    assert f2["after_dsir"] == 10
+    w_all = dsir_weights(d, "doc_id", "text", "lang", "en")
+    exp2 = sorted(r["doc_id"] for r in importance_resample(
+        w_all, "doc_id", "weight", k=10).collect())
+    got2 = sorted(r["doc_id"]
+                  for r in Icelite(out2).read(spark).collect())
+    assert got2 == exp2
+
+    # misuse guards: --dsir-target alone, and both modes at once
     import pytest
     with pytest.raises(SystemExit):
         main(["--input", src, "--output", out, "--dsir-target", "en"])
+    with pytest.raises(SystemExit):
+        main(["--input", src, "--output", out, "--dsir-target", "en",
+              "--min-dsir-weight", "0.0", "--dsir-sample-k", "5"])
