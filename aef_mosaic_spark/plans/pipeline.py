@@ -207,7 +207,9 @@ class MosaicJob:
             F.count(F.lit(1)).alias("n_patches"),
             F.sum(F.length("patch")).alias("patch_bytes"),
         )
-        if self.composite_salt > 1:
+        if self.composite_salt > 1 and self.mode != "median":
+            # median has no salt-decomposable partial (see
+            # composite_chunks_salted docstring) — always single-level
             chunks = M.composite_chunks_salted(patches, self.grid,
                                                mode=self.mode,
                                                salt=self.composite_salt)

@@ -131,7 +131,8 @@ def main(argv=None):
                     help="check config + input schema, print issues, exit")
     ap.add_argument("--generate-config", action="store_true",
                     help="print a config template and exit")
-    ap.add_argument("--mode", default="mean", choices=["mean", "last", "weighted"])
+    ap.add_argument("--mode", default="mean",
+                    choices=["mean", "last", "weighted", "median"])
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--analyze", action="store_true", help="plan-only report")
     ap.add_argument("--bounds", default="499000,4095000,530000,4125000")
