@@ -1631,6 +1631,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return importance_resample(w, "doc_id", "weight", k=200)
     q["q103_importance_resample"] = q103_importance_resample
 
+    def q104_mosaic_median(spark, sf):
+        # per-pixel LOWER-median composite (order-independent,
+        # outlier-robust temporal-stack mode; R2/R3 sibling)
+        images = generator.images_df(spark, 80)
+        return M.mosaic(images, _flagship_grid(), mode="median").select(
+            "time_idx", "row_idx", "col_idx", "n_tiles", "valid_px",
+            F.md5(F.col("chunk")).alias("chunk_md5"))
+    q["q104_mosaic_median"] = q104_mosaic_median
+
     return _driver_order(q)
 
 
@@ -2623,7 +2632,8 @@ def oracle_sql() -> dict[str, str]:
     for _qname in ("q30_mosaic_chunks", "q31_mosaic_last_on_top",
                    "q32_image_assignments", "q40_resize_images",
                    "q41_audio_features", "q55_video_frames",
-                   "q76_overview_chunks", "q78_training_patches"):
+                   "q76_overview_chunks", "q78_training_patches",
+                   "q104_mosaic_median"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 
