@@ -91,6 +91,7 @@ def _build(spark, sf_dir):
         "minhash": lambda: (qs["q23_minhash_near_dup"](spark, sf_dir).count(), 0),
         "clusters": run_clusters,
         "simhash": lambda: (qs["q26_simhash_near_dup"](spark, sf_dir).count(), 0),
+        "dsir": lambda: (qs["q103_importance_resample"](spark, sf_dir).count(), 0),
         "pricing": lambda: (qs["q01_pricing_summary"](spark, sf_dir).count(), 0),
         "asof": lambda: (qs["q07_asof_join"](spark, sf_dir).count(), 0),
     }
@@ -240,10 +241,12 @@ def main():
                 results["spatial_join"][0] and
                 _points_count(sf_dir) / queries["spatial_join"], 2),
         },
-        "note": ("headline set grew in r4: 'clusters' (full-corpus "
+        "note": ("headline set grew in r4 ('clusters': full-corpus "
                  "near-dup cluster assignment, the O(n) dedup output "
-                 "shape) now runs beside 'minhash' (the worst-case "
-                 "pair-enumeration twin); subtract queries.clusters "
+                 "shape, beside 'minhash', the worst-case "
+                 "pair-enumeration twin) and r5 ('dsir': importance "
+                 "weights + Gumbel resample over the documents "
+                 "corpus); subtract queries.clusters and queries.dsir "
                  "to compare totals against BENCH_r03 and earlier"),
     }))
 
