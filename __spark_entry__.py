@@ -1640,6 +1640,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.col("chunk")).alias("chunk_md5"))
     q["q104_mosaic_median"] = q104_mosaic_median
 
+    def q105_rasterize_boxes(spark, sf):
+        # vector -> raster burn-in (GDAL-rasterize analog): 300
+        # deterministic boxes burned into the flagship grid in all
+        # three modes (painter's-order last / per-pixel max /
+        # saturated count). Output pinned by a committed golden
+        # fixture (raster bytes hashed, reference test style).
+        from aef_mosaic_spark.operators.raster_vector import rasterize_boxes
+        boxes = (spark.range(300)
+                 .selectExpr("id AS box_id",
+                             "499000e0 + (id * 131) % 9000 AS min_x",
+                             "4095000e0 + (id * 173) % 9000 AS min_y",
+                             "CAST((id * 7) % 200 + 20 AS INT) AS value")
+                 .selectExpr("*",
+                             "min_x + (box_id * 37) % 1200 + 40 AS max_x",
+                             "min_y + (box_id * 53) % 1200 + 40 AS max_y"))
+        grid = _flagship_grid()
+        parts = [rasterize_boxes(boxes, grid, mode=m)
+                 .select(F.lit(m).alias("mode"), "row_idx", "col_idx",
+                         F.md5(F.col("chunk")).alias("chunk_md5"),
+                         "n_boxes", "burned_px")
+                 for m in ("last", "max", "count")]
+        return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    q["q105_rasterize_boxes"] = q105_rasterize_boxes
+
     return _driver_order(q)
 
 
@@ -1659,22 +1683,26 @@ _DRIVER_SLOTS = 50
 # q86 takes slot 1 — the only driver-red row in project history (r3
 # hash mismatch, ::BIGINT windowed-sum fix landed r4 but missed the
 # r4 slots) must get its green successor. Then q43/q44 (driver-stale
-# since r2), then the whole r3-verified q39/q48-q96 block. Left out
-# (the only stale queries without slots): q68_simhash_exploded and
-# q69_zonal_stats_shuffle — both are forced-plan TWINS whose primary
-# shapes (q25/q26 simhash, q61 zonal stats) are in this round's 50;
-# the q01-q47 family (fresh r4 rows) rotates out.
+# since r2), then the NEW q99-q105 (zero driver rows yet), then the
+# r3-verified q39/q48-q96 block. Left out: q68/q69 forced-plan twins
+# (primaries q25/q26/q61 hold slots), q48/q50/q52/q53/q64/q65/q77
+# (each a sibling of a same-family query that keeps a slot; all
+# double-green and exactly 2 rounds stale after r5 — first in line
+# for r6), and the q01-q47 family (fresh r4 rows).
 _MUST_VERIFY = [
     "q86_token_budget_mixture",
     "q43_cube",
     "q44_grouping_sets",
+    "q99_gopher_rules",
+    "q100_dsir_importance",
+    "q101_image_integrity",
+    "q102_tfidf_keywords",
+    "q103_importance_resample",
+    "q104_mosaic_median",
+    "q105_rasterize_boxes",
     "q39_hilbert_order",
-    "q48_dense_rank_topk",
     "q49_percentiles",
-    "q50_set_ops",
     "q51_min_cost_supplier",
-    "q52_order_priority_check",
-    "q53_nation_volume",
     "q54_winnow_fingerprints",
     "q55_video_frames",
     "q56_split_assignment",
@@ -1685,8 +1713,6 @@ _MUST_VERIFY = [
     "q61_zonal_stats",
     "q62_embedding_quantization",
     "q63_cea_box_areas",
-    "q64_utm_forward",
-    "q65_utm_inverse",
     "q66_cea_inverse",
     "q67_bucketed_enrich",
     "q70_repetition_stats",
@@ -1696,7 +1722,6 @@ _MUST_VERIFY = [
     "q74_image_phash_clusters",
     "q75_incremental_clusters",
     "q76_overview_chunks",
-    "q77_embedding_dup_clusters",
     "q78_training_patches",
     "q79_great_circle",
     "q80_ann_cosine_pq",
@@ -2633,7 +2658,7 @@ def oracle_sql() -> dict[str, str]:
                    "q32_image_assignments", "q40_resize_images",
                    "q41_audio_features", "q55_video_frames",
                    "q76_overview_chunks", "q78_training_patches",
-                   "q104_mosaic_median"):
+                   "q104_mosaic_median", "q105_rasterize_boxes"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

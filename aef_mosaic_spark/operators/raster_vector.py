@@ -168,3 +168,104 @@ def zonal_stats(chunks: DataFrame, boxes: DataFrame, grid: OutputGrid,
             .agg(F.sum("n_px").alias("n_px"), F.sum("px_sum").alias("px_sum"))
             .withColumn("mean_value",
                         F.round(F.col("px_sum") / F.col("n_px"), 6)))
+
+
+def rasterize_boxes(boxes: DataFrame, grid: OutputGrid,
+                    value_col: str = "value", mode: str = "last",
+                    box_id_col: str = "box_id") -> DataFrame:
+    """Vector -> raster burn-in: render axis-aligned boxes into uint8
+    single-band chunk canvases over the output grid (the
+    GDAL-rasterize analog; completes the north rule's raster<->vector
+    pair — sample_chunks_at_points/zonal_stats read rasters FOR
+    vectors, this writes rasters FROM vectors: label masks, region-id
+    planes, density heatmaps).
+
+    -> (row_idx int, col_idx int, chunk binary, n_boxes int,
+        burned_px int), one row per TOUCHED chunk only.
+
+    modes (all deterministic):
+      'last'  — painter's order, ascending box_id: the highest box_id
+                covering a pixel wins (GDAL's default semantics with
+                a defined feature order);
+      'max'   — per-pixel max of burned values (order-independent);
+      'count' — per-pixel overlap count, saturated at 255 (value_col
+                ignored; density/coverage plane).
+
+    Pixel coverage uses zonal_stats' exact convention (floor(min)/
+    ceil(max) pixel-index span: every pixel the box touches), so a
+    zonal_stats over a rasterize_boxes output reads back exactly the
+    burned windows.
+
+    Scale shape: the analytic box -> chunk-range inversion (the write
+    path's J2 floor math) + explode assigns each box to only the
+    chunks it touches; groupBy(chunk) -> applyInPandas burns each
+    canvas once. No chunk ever materializes unless a box touches it
+    (10^12-pixel grids stay virtual), the shuffle payload is box
+    structs (tens of bytes), never pixels, and per-chunk work is
+    boxes-per-chunk-bounded — the same skew argument as zonal_stats'
+    window lists.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if mode not in ("last", "max", "count"):
+        raise ValueError(f"unknown rasterize mode {mode!r}")
+    gx0, _, _, gy1 = grid.bounds
+    res, chh, chw = grid.resolution, grid.chunk_h, grid.chunk_w
+
+    b = (boxes
+         .select(F.col(box_id_col).cast("long").alias("box_id"),
+                 "min_x", "min_y", "max_x", "max_y",
+                 (F.lit(0) if mode == "count"
+                  else F.col(value_col)).cast("int").alias("val"))
+         .withColumn("_c0", F.greatest(F.floor((F.col("min_x") - gx0)
+                                               / (chw * res)), F.lit(0))
+                     .cast("int"))
+         .withColumn("_c1", F.least(F.ceil((F.col("max_x") - gx0)
+                                           / (chw * res)) - 1,
+                                    F.lit(grid.chunk_cols - 1)).cast("int"))
+         .withColumn("_r0", F.greatest(F.floor((gy1 - F.col("max_y"))
+                                               / (chh * res)), F.lit(0))
+                     .cast("int"))
+         .withColumn("_r1", F.least(F.ceil((gy1 - F.col("min_y"))
+                                           / (chh * res)) - 1,
+                                    F.lit(grid.chunk_rows - 1)).cast("int"))
+         .where((F.col("_c0") <= F.col("_c1"))
+                & (F.col("_r0") <= F.col("_r1")))
+         .withColumn("row_idx", F.explode(F.sequence("_r0", "_r1")))
+         .withColumn("col_idx", F.explode(F.sequence("_c0", "_c1")))
+         .drop("_c0", "_c1", "_r0", "_r1"))
+
+    def _burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = int(pdf.iloc[0]["row_idx"])
+        c = int(pdf.iloc[0]["col_idx"])
+        acc = np.zeros((chh, chw),
+                       np.int32 if mode == "count" else np.uint8)
+        touched = np.zeros((chh, chw), bool)
+        for t in pdf.sort_values("box_id").itertuples(index=False):
+            px0 = max(int(np.floor((t.min_x - gx0) / res)) - c * chw, 0)
+            px1 = min(int(np.ceil((t.max_x - gx0) / res)) - c * chw, chw)
+            py0 = max(int(np.floor((gy1 - t.max_y) / res)) - r * chh, 0)
+            py1 = min(int(np.ceil((gy1 - t.min_y) / res)) - r * chh, chh)
+            if px0 >= px1 or py0 >= py1:
+                continue
+            win = acc[py0:py1, px0:px1]
+            v = min(max(int(t.val), 0), 255)
+            if mode == "last":
+                win[:] = v
+            elif mode == "max":
+                np.maximum(win, v, out=win)
+            else:
+                win += 1
+            touched[py0:py1, px0:px1] = True
+        canvas = (np.minimum(acc, 255).astype(np.uint8)
+                  if mode == "count" else acc)
+        return pd.DataFrame([{
+            "row_idx": r, "col_idx": c, "chunk": canvas.tobytes(),
+            "n_boxes": int(pdf["box_id"].nunique()),
+            "burned_px": int(touched.sum()),
+        }])
+
+    return b.groupBy("row_idx", "col_idx").applyInPandas(
+        _burn, schema=("row_idx int, col_idx int, chunk binary, "
+                       "n_boxes int, burned_px int"))

@@ -610,3 +610,85 @@ def test_build_ivfpq_index_lloyd_refined(spark, tmp_path):
     K.build_ivfpq_index(si, p3b, dim=16, n_lists=4, m=4, ksub=8,
                         lloyd_iters=3)
     assert json.loads(Icelite(p3b).properties()["codebooks"]) == books3
+
+
+def test_rasterize_boxes_matches_numpy_all_modes(spark):
+    """vector->raster burn-in: every mode equals a brute-force numpy
+    burn of the FULL grid (then chunk-sliced); only touched chunks
+    materialize; painter's order is ascending box_id; count saturates
+    at 255 conceptually (here depths are small); zonal_stats over the
+    burned plane reads back the exact burned windows."""
+    import numpy as np
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators.raster_vector import (
+        rasterize_boxes, zonal_stats)
+
+    # tiny 3x3-chunk grid, 32x32 px chunks, res 10
+    grid = OutputGrid(bounds=(0.0, 0.0, 960.0, 960.0),
+                      crs="EPSG:32610", resolution=10.0,
+                      years=(2023, 2023), num_bands=1,
+                      chunk_h=32, chunk_w=32)
+    H = W = 96
+    boxes = [
+        # (box_id, min_x, min_y, max_x, max_y, value)
+        (1, 15.0, 15.0, 335.0, 325.0, 40),    # spans chunks (r2?,..)
+        (2, 300.0, 300.0, 620.0, 640.0, 90),  # overlaps box 1 corner
+        (3, 10.0, 900.0, 90.0, 955.0, 200),   # top-left sliver
+        (4, 155.0, 155.0, 165.0, 165.0, 250), # sub-pixel-ish box
+    ]
+    bdf = spark.createDataFrame(
+        boxes, "box_id long, min_x double, min_y double, "
+               "max_x double, max_y double, value int")
+
+    def brute(mode):
+        acc = np.zeros((H, W), np.int32)
+        touched = np.zeros((H, W), bool)
+        for bid, x0, y0, x1, y1, v in sorted(boxes):
+            px0 = max(int(np.floor(x0 / 10.0)), 0)
+            px1 = min(int(np.ceil(x1 / 10.0)), W)
+            py0 = max(int(np.floor((960.0 - y1) / 10.0)), 0)
+            py1 = min(int(np.ceil((960.0 - y0) / 10.0)), H)
+            if px0 >= px1 or py0 >= py1:
+                continue
+            if mode == "last":
+                acc[py0:py1, px0:px1] = v
+            elif mode == "max":
+                acc[py0:py1, px0:px1] = np.maximum(
+                    acc[py0:py1, px0:px1], v)
+            else:
+                acc[py0:py1, px0:px1] += 1
+            touched[py0:py1, px0:px1] = True
+        return np.minimum(acc, 255).astype(np.uint8), touched
+
+    for mode in ("last", "max", "count"):
+        want, touched = brute(mode)
+        rows = rasterize_boxes(bdf, grid, mode=mode).collect()
+        # only touched chunks appear
+        want_keys = {(r, c) for r in range(3) for c in range(3)
+                     if touched[r*32:(r+1)*32, c*32:(c+1)*32].any()}
+        assert {(r.row_idx, r.col_idx) for r in rows} == want_keys, mode
+        for r in rows:
+            got = np.frombuffer(r.chunk, np.uint8).reshape(32, 32)
+            sl = want[r.row_idx*32:(r.row_idx+1)*32,
+                      r.col_idx*32:(r.col_idx+1)*32]
+            assert np.array_equal(got, sl), (mode, r.row_idx, r.col_idx)
+            tsl = touched[r.row_idx*32:(r.row_idx+1)*32,
+                          r.col_idx*32:(r.col_idx+1)*32]
+            assert r.burned_px == int(tsl.sum())
+
+    # round-trip: zonal_stats over the burned 'last' plane reads back
+    # box 3's exact constant window (box 3 is unoccluded)
+    burned = rasterize_boxes(bdf, grid, mode="last") \
+        .selectExpr("0 AS time_idx", "row_idx", "col_idx",
+                    "chunk AS chunk_bytes")
+    zb = spark.createDataFrame(
+        [boxes[2][:5]], "box_id long, min_x double, min_y double, "
+                        "max_x double, max_y double") \
+        .withColumn("time_idx", F.lit(0))
+    z = zonal_stats(burned, zb, grid, band=0, broadcast=True).collect()
+    assert len(z) == 1 and z[0]["mean_value"] == 200.0
+
+    import pytest
+    with pytest.raises(ValueError, match="mode"):
+        rasterize_boxes(bdf, grid, mode="mean")
