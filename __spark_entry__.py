@@ -1664,6 +1664,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return parts[0].unionByName(parts[1]).unionByName(parts[2])
     q["q105_rasterize_boxes"] = q105_rasterize_boxes
 
+    def q106_focal_chunks(spark, sf):
+        # focal (neighborhood) ops over the flagship mean mosaic via
+        # halo exchange: each chunk ships only r-wide edge strips to
+        # its 8 neighbors (~2% of chunk bytes at r=1) instead of the
+        # naive 9x full-chunk replication; bit-identical to the
+        # stitched-raster NumPy golden (tests/test_focal.py). Output
+        # pinned by committed golden fixture.
+        from aef_mosaic_spark.operators.focal import focal_chunks
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        parts = [focal_chunks(chunks, grid, op=m, radius=1)
+                 .select(F.lit(m).alias("op"), "time_idx", "row_idx",
+                         "col_idx", F.md5(F.col("chunk")).alias("chunk_md5"),
+                         "n_parts")
+                 for m in ("mean", "grad")]
+        return parts[0].unionByName(parts[1])
+    q["q106_focal_chunks"] = q106_focal_chunks
+
     return _driver_order(q)
 
 
@@ -1683,12 +1702,14 @@ _DRIVER_SLOTS = 50
 # q86 takes slot 1 — the only driver-red row in project history (r3
 # hash mismatch, ::BIGINT windowed-sum fix landed r4 but missed the
 # r4 slots) must get its green successor. Then q43/q44 (driver-stale
-# since r2), then the NEW q99-q105 (zero driver rows yet), then the
-# r3-verified q39/q48-q96 block. Left out: q68/q69 forced-plan twins
+# since r2), then the NEW q99-q106 (zero driver rows yet), then the
+# r3-verified q39/q48-q95 block. Left out: q68/q69 forced-plan twins
 # (primaries q25/q26/q61 hold slots), q48/q50/q52/q53/q64/q65/q77
 # (each a sibling of a same-family query that keeps a slot; all
 # double-green and exactly 2 rounds stale after r5 — first in line
-# for r6), and the q01-q47 family (fresh r4 rows).
+# for r6), q96_span_removal (r3-green; displaced late in r5 by the
+# new q106, sibling q83 keeps a slot), and the q01-q47 family
+# (fresh r4 rows).
 _MUST_VERIFY = [
     "q86_token_budget_mixture",
     "q43_cube",
@@ -1700,6 +1721,7 @@ _MUST_VERIFY = [
     "q103_importance_resample",
     "q104_mosaic_median",
     "q105_rasterize_boxes",
+    "q106_focal_chunks",
     "q39_hilbert_order",
     "q49_percentiles",
     "q51_min_cost_supplier",
@@ -1739,7 +1761,6 @@ _MUST_VERIFY = [
     "q93_token_estimators",
     "q94_ann_ivfpq_adc",
     "q95_ann_index_probe",
-    "q96_span_removal",
 ]
 
 # Stable (2x driver-green) queries, in preference order for the
@@ -2658,7 +2679,8 @@ def oracle_sql() -> dict[str, str]:
                    "q32_image_assignments", "q40_resize_images",
                    "q41_audio_features", "q55_video_frames",
                    "q76_overview_chunks", "q78_training_patches",
-                   "q104_mosaic_median", "q105_rasterize_boxes"):
+                   "q104_mosaic_median", "q105_rasterize_boxes",
+                   "q106_focal_chunks"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -1,0 +1,134 @@
+"""Focal (neighborhood) ops with halo exchange: the distributed
+halo-strip plan must equal (bit-for-bit) both the naive 9x-replicate
+plan and the NumPy golden computed on the fully stitched raster."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.grid import OutputGrid
+from aef_mosaic_spark.operators.focal import (FOCAL_OPS, focal_chunks,
+                                              focal_oracle_np)
+
+CHH = CHW = 32
+NB = 2
+N_ROWS = N_COLS = 4
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return OutputGrid(
+        bounds=(0.0, 0.0, CHW * N_COLS * 10.0, CHH * N_ROWS * 10.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023,),
+        num_bands=NB, chunk_h=CHH, chunk_w=CHW,
+    )
+
+
+def _make_chunks(sparse: bool):
+    """Deterministic per-chunk pixel pattern; sparse drops 3 chunks."""
+    rows, canvas = [], np.zeros((NB, CHH * N_ROWS, CHW * N_COLS), np.uint8)
+    for ri in range(N_ROWS):
+        for ci in range(N_COLS):
+            if sparse and (ri, ci) in ((0, 0), (2, 2), (3, 1)):
+                continue
+            yy, xx = np.mgrid[0:CHH, 0:CHW]
+            arr = np.stack([
+                ((yy * 7 + xx * 13 + ri * 31 + ci * 17 + b * 101) % 251
+                 ).astype(np.uint8)
+                for b in range(NB)])
+            canvas[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW] = arr
+            rows.append({"time_idx": 0, "row_idx": ri, "col_idx": ci,
+                         "chunk": arr.tobytes()})
+    return rows, canvas
+
+
+def _collect(df):
+    out = {}
+    for r in df.collect():
+        out[(r.time_idx, r.row_idx, r.col_idx)] = (
+            np.frombuffer(r.chunk, np.uint8).reshape(NB, CHH, CHW), r.n_parts)
+    return out
+
+
+@pytest.mark.parametrize("op", FOCAL_OPS)
+def test_halo_matches_stitched_golden(spark, grid, op):
+    rows, canvas = _make_chunks(sparse=False)
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    golden = focal_oracle_np(canvas, op, 1)
+    got = _collect(focal_chunks(sdf, grid, op=op, radius=1))
+    assert len(got) == N_ROWS * N_COLS
+    for (t, ri, ci), (arr, n_parts) in got.items():
+        exp = golden[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        assert np.array_equal(arr, exp), (op, ri, ci)
+        # interior chunk: center + 8 strips; corner: center + 3
+        n_nb = sum(1 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                   if (dy, dx) != (0, 0)
+                   and 0 <= ri + dy < N_ROWS and 0 <= ci + dx < N_COLS)
+        assert n_parts == 1 + n_nb
+
+
+def test_halo_equals_replicate_and_radius2(spark, grid):
+    rows, canvas = _make_chunks(sparse=False)
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    for op, r in (("mean", 2), ("max", 3)):
+        halo = _collect(focal_chunks(sdf, grid, op=op, radius=r))
+        rep = _collect(focal_chunks(sdf, grid, op=op, radius=r,
+                                    strategy="replicate"))
+        golden = focal_oracle_np(canvas, op, r)
+        assert halo.keys() == rep.keys()
+        for k, (arr, _) in halo.items():
+            assert np.array_equal(arr, rep[k][0]), (op, r, k)
+            _, ri, ci = k
+            exp = golden[:, ri * CHH:(ri + 1) * CHH,
+                         ci * CHW:(ci + 1) * CHW]
+            assert np.array_equal(arr, exp), (op, r, k)
+
+
+def test_sparse_holes_are_nodata_and_dropped(spark, grid):
+    rows, canvas = _make_chunks(sparse=True)  # canvas has 0-blocks at holes
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    got = _collect(focal_chunks(sdf, grid, op="mean", radius=1))
+    # no output rows for the 3 missing chunks
+    assert len(got) == N_ROWS * N_COLS - 3
+    assert (0, 0, 0) not in got and (0, 2, 2) not in got
+    golden = focal_oracle_np(canvas, "mean", 1)
+    for (t, ri, ci), (arr, _) in got.items():
+        exp = golden[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        assert np.array_equal(arr, exp), (ri, ci)
+
+
+def test_validation_errors(spark, grid):
+    rows, _ = _make_chunks(sparse=False)
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    with pytest.raises(ValueError, match="op must be"):
+        focal_chunks(sdf, grid, op="median")
+    with pytest.raises(ValueError, match="radius must be 1"):
+        focal_chunks(sdf, grid, op="grad", radius=2)
+    with pytest.raises(ValueError, match="strategy"):
+        focal_chunks(sdf, grid, op="mean", strategy="broadcast")
+
+
+def test_halo_shuffle_bytes_fraction():
+    """The halo plan ships a small fraction of the replicate plan's
+    bytes through the shuffle (the whole point): center once + r-wide
+    strips vs up-to-9 full-chunk copies."""
+    chunk_b = NB * CHH * CHW
+    halo_b, rep_b = 0, 0
+    for ri in range(N_ROWS):
+        for ci in range(N_COLS):
+            n_nb = sum(1 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                       if (dy, dx) != (0, 0)
+                       and 0 <= ri + dy < N_ROWS and 0 <= ci + dx < N_COLS)
+            halo_b += chunk_b  # center moves once
+            rep_b += chunk_b * (1 + n_nb)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    if not (0 <= ri + dy < N_ROWS and 0 <= ci + dx < N_COLS):
+                        continue
+                    h = 1 if dy else CHH
+                    w = 1 if dx else CHW
+                    halo_b += NB * h * w
+    assert halo_b < rep_b / 4  # >4x shuffle-byte reduction even at 32px
