@@ -1683,6 +1683,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return parts[0].unionByName(parts[1])
     q["q106_focal_chunks"] = q106_focal_chunks
 
+    def q107_bm25_retrieval(spark, sf):
+        # BM25 top-20 caption/document retrieval for a fixed query
+        # (Robertson idf, k1=1.2 b=0.75) — exact-integer quantized
+        # scoring (q102 law) so Spark == DuckDB bit-for-bit.
+        from aef_mosaic_spark.functions.text import bm25_topk
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return bm25_topk(docs, "doc_id", "text",
+                         terms=["spark", "window", "merge"], k=20)
+    q["q107_bm25_retrieval"] = q107_bm25_retrieval
+
     return _driver_order(q)
 
 
@@ -1707,9 +1717,9 @@ _DRIVER_SLOTS = 50
 # (primaries q25/q26/q61 hold slots), q48/q50/q52/q53/q64/q65/q77
 # (each a sibling of a same-family query that keeps a slot; all
 # double-green and exactly 2 rounds stale after r5 — first in line
-# for r6), q96_span_removal (r3-green; displaced late in r5 by the
-# new q106, sibling q83 keeps a slot), and the q01-q47 family
-# (fresh r4 rows).
+# for r6), q96_span_removal + q95_ann_index_probe (r3-green;
+# displaced late in r5 by the new q106/q107, siblings q83/q94 keep
+# slots), and the q01-q47 family (fresh r4 rows).
 _MUST_VERIFY = [
     "q86_token_budget_mixture",
     "q43_cube",
@@ -1722,6 +1732,7 @@ _MUST_VERIFY = [
     "q104_mosaic_median",
     "q105_rasterize_boxes",
     "q106_focal_chunks",
+    "q107_bm25_retrieval",
     "q39_hilbert_order",
     "q49_percentiles",
     "q51_min_cost_supplier",
@@ -1760,7 +1771,6 @@ _MUST_VERIFY = [
     "q92_quality_keep_policy",
     "q93_token_estimators",
     "q94_ann_ivfpq_adc",
-    "q95_ann_index_probe",
 ]
 
 # Stable (2x driver-green) queries, in preference order for the
@@ -2767,6 +2777,11 @@ def oracle_sql() -> dict[str, str]:
     o["q103_importance_resample"] = importance_resample_sql(
         dsir_weights_sql("documents", "doc_id", "text", "lang", "en"),
         "doc_id", "weight", 200)
+
+    from aef_mosaic_spark.functions.text import bm25_topk_sql
+    o["q107_bm25_retrieval"] = bm25_topk_sql(
+        "documents", "doc_id", "text",
+        terms=["spark", "window", "merge"], k=20)
 
     return o
 

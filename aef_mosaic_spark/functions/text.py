@@ -585,3 +585,100 @@ def tfidf_keywords_sql(table: str, id_col: str, text_col: str,
           FROM scored)
     WHERE rk <= {k}
     """
+
+def bm25_topk(df, id_col: str, text_col: str, terms: list[str],
+              k: int = 20, k1: float = 1.2, b: float = 0.75):
+    """BM25 (Robertson/Lucene idf variant) top-k retrieval for a fixed
+    query-term set -> (id, n_terms, score, rk) — caption/document
+    search over the corpus. Exact-integer parity recipe (the q102
+    law): idf and the tf-normalization are each floor-quantized to 6dp
+    BIGINTs per (doc, term), so the per-doc score is an integer SUM —
+    order-independent across engines; ties broken by id.
+
+    Scale shape: tokenize rides the scan; the exploded stream is
+    filtered to the query terms BEFORE the only corpus-sized
+    groupBy(doc, term); corpus stats (N, avgdl) and the per-term idf
+    table (|terms| rows) are broadcast; final top-k is one window over
+    the matched docs only."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"),
+                     toks.alias("_toks")).select(
+        "id", "_toks", F.size("_toks").alias("dl"))
+    stats = base.agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                     F.sum("dl").cast("long").alias("_sdl"))
+    dt = (base.select("id", "dl", F.explode("_toks").alias("term"))
+          .where(F.col("term").isin(list(terms)))
+          .groupBy("id", "dl", "term")
+          .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+    idf = (dt.groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+           .crossJoin(F.broadcast(stats))
+           .select("term", F.floor(F.log(
+               (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+               + 1.0) * 1000000 + F.lit(0.5)).cast("long").alias("_idfq"),
+               (F.col("_sdl") / F.col("_n")).alias("_avgdl")))
+    kk1, kb = float(k1), float(b)
+    scored = (dt.join(F.broadcast(idf), "term")
+              .withColumn("_tfnq", F.floor(
+                  F.col("tf") * (kk1 + 1.0)
+                  / (F.col("tf") + kk1 * ((1.0 - kb)
+                                          + kb * F.col("dl") / F.col("_avgdl")))
+                  * 1000000 + F.lit(0.5)).cast("long"))
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).cast("int").alias("n_terms"),
+                   F.sum(F.col("_idfq") * F.col("_tfnq"))
+                   .cast("long").alias("_sq")))
+    w = Window.orderBy(F.col("_sq").desc(), F.col("id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select(F.col("id").alias(id_col), "n_terms",
+                    (F.col("_sq") / F.lit(1000000000000.0)).alias("score"),
+                    F.col("rk").cast("int")))
+
+
+def bm25_topk_sql(table: str, id_col: str, text_col: str,
+                  terms: list[str], k: int = 20,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin: identical tokenization, quantization, constants
+    (e0-suffixed doubles), and (_sq desc, id) tie-break."""
+    toks = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, len({toks})::INT AS dl, {toks} AS _toks
+      FROM {table}
+    ),
+    stats AS (SELECT count(*)::BIGINT AS _n, sum(dl)::BIGINT AS _sdl
+              FROM base),
+    dt AS (
+      SELECT id, dl, term, count(*)::INT AS tf
+      FROM (SELECT id, dl, unnest(_toks) AS term FROM base)
+      WHERE term IN ({term_list})
+      GROUP BY id, dl, term
+    ),
+    idf AS (
+      SELECT term,
+             CAST(floor(ln((_n - count(*)::BIGINT + 0.5e0)
+                           / (count(*)::BIGINT + 0.5e0) + 1.0e0)
+                        * 1000000 + 0.5e0) AS BIGINT) AS _idfq,
+             (_sdl::DOUBLE / _n) AS _avgdl
+      FROM dt, stats GROUP BY term, _n, _sdl
+    ),
+    scored AS (
+      SELECT dt.id, count(*)::INT AS n_terms,
+             sum(idf._idfq * CAST(floor(
+               dt.tf * {k1 + 1.0}e0
+               / (dt.tf + {k1}e0 * ({1.0 - b}e0
+                                    + {b}e0 * dt.dl / idf._avgdl))
+               * 1000000 + 0.5e0) AS BIGINT))::BIGINT AS _sq
+      FROM dt JOIN idf USING (term)
+      GROUP BY dt.id
+    )
+    SELECT id AS {id_col}, n_terms, (_sq / 1000000000000.0e0) AS score,
+           rk::INT AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY _sq DESC, id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """

@@ -516,3 +516,49 @@ def test_tfidf_keywords_hand_values(spark):
     assert got[(3, 1)] == ("cherry", 3, 3 * ln43_q / 1e6)
     assert got[(3, 2)][0] == "common" and got[(3, 2)][2] == 0.0
     assert len(out) == 6
+
+def test_bm25_topk_hand_values(spark):
+    """BM25 vs an independent Python implementation of the same
+    quantized law (Robertson idf, k1=1.2 b=0.75), including the
+    (score desc, id) tie-break and docs with zero matches dropped."""
+    import math
+
+    docs = [(1, "spark spark window alpha beta"),
+            (2, "window merge gamma"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "spark merge merge window window window"),
+            (5, "spark")]
+    terms = ["spark", "window", "merge"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = T.bm25_topk(df, "doc_id", "text", terms, k=10).collect()
+
+    tok = {d: t.split() for d, t in docs}
+    N = len(docs)
+    avgdl = sum(len(t) for t in tok.values()) / N
+    dfreq = {t: sum(1 for v in tok.values() if t in v) for t in terms}
+    k1, b = 1.2, 0.75
+    exp = {}
+    for d, toks in tok.items():
+        sq = 0
+        n_terms = 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            n_terms += 1
+            idfq = math.floor(math.log(
+                (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0) * 1e6 + 0.5)
+            tfnq = math.floor(tf * (k1 + 1.0)
+                              / (tf + k1 * ((1.0 - b)
+                                            + b * len(toks) / avgdl))
+                              * 1e6 + 0.5)
+            sq += idfq * tfnq
+        if n_terms:
+            exp[d] = (n_terms, sq)
+    order = sorted(exp, key=lambda d: (-exp[d][1], d))
+    assert [r["doc_id"] for r in out] == order  # doc 3 absent
+    for r in out:
+        n_terms, sq = exp[r["doc_id"]]
+        assert r["n_terms"] == n_terms
+        assert r["score"] == sq / 1e12
+        assert r["rk"] == order.index(r["doc_id"]) + 1
