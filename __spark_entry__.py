@@ -1693,6 +1693,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          terms=["spark", "window", "merge"], k=20)
     q["q107_bm25_retrieval"] = q107_bm25_retrieval
 
+    def q108_temporal_composite(spark, sf):
+        # cross-time gap-fill / temporal median over the flagship
+        # 2-year mean mosaic: one groupBy on (row, col) moves each
+        # chunk once; pinned-fixture oracle (naive per-pixel parity
+        # in tests/test_focal.py).
+        from aef_mosaic_spark.operators.mosaic import temporal_composite
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        parts = [temporal_composite(chunks, grid, op=m, chunk_col="chunk")
+                 .select(F.lit(m).alias("op"), "row_idx", "col_idx",
+                         F.md5(F.col("chunk_bytes")).alias("chunk_md5"),
+                         "n_times", "valid_px")
+                 for m in ("latest_valid", "mean", "median")]
+        return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    q["q108_temporal_composite"] = q108_temporal_composite
+
     return _driver_order(q)
 
 
@@ -1717,9 +1734,10 @@ _DRIVER_SLOTS = 50
 # (primaries q25/q26/q61 hold slots), q48/q50/q52/q53/q64/q65/q77
 # (each a sibling of a same-family query that keeps a slot; all
 # double-green and exactly 2 rounds stale after r5 — first in line
-# for r6), q96_span_removal + q95_ann_index_probe (r3-green;
-# displaced late in r5 by the new q106/q107, siblings q83/q94 keep
-# slots), and the q01-q47 family (fresh r4 rows).
+# for r6), q96_span_removal + q95_ann_index_probe + q93_token_
+# estimators (r3-green; displaced late in r5 by the new q106-q108,
+# siblings q83/q94/q58 keep slots), and the q01-q47 family (fresh
+# r4 rows).
 _MUST_VERIFY = [
     "q86_token_budget_mixture",
     "q43_cube",
@@ -1733,6 +1751,7 @@ _MUST_VERIFY = [
     "q105_rasterize_boxes",
     "q106_focal_chunks",
     "q107_bm25_retrieval",
+    "q108_temporal_composite",
     "q39_hilbert_order",
     "q49_percentiles",
     "q51_min_cost_supplier",
@@ -1769,7 +1788,6 @@ _MUST_VERIFY = [
     "q90_ann_cosine_ivfpq",
     "q91_crossmodal_alignment",
     "q92_quality_keep_policy",
-    "q93_token_estimators",
     "q94_ann_ivfpq_adc",
 ]
 
@@ -2690,7 +2708,7 @@ def oracle_sql() -> dict[str, str]:
                    "q41_audio_features", "q55_video_frames",
                    "q76_overview_chunks", "q78_training_patches",
                    "q104_mosaic_median", "q105_rasterize_boxes",
-                   "q106_focal_chunks"):
+                   "q106_focal_chunks", "q108_temporal_composite"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -630,9 +630,13 @@ def bm25_topk(df, id_col: str, text_col: str, terms: list[str],
               .agg(F.count(F.lit(1)).cast("int").alias("n_terms"),
                    F.sum(F.col("_idfq") * F.col("_tfnq"))
                    .cast("long").alias("_sq")))
+    # top-k FIRST via orderBy+limit -> Catalyst TakeOrderedAndProject
+    # (bounded per-partition heaps + one k-row merge); the rank window
+    # then runs over k rows only, never a corpus-sized single
+    # partition.
+    topk = scored.orderBy(F.col("_sq").desc(), F.col("id")).limit(k)
     w = Window.orderBy(F.col("_sq").desc(), F.col("id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
+    return (topk.withColumn("rk", F.row_number().over(w))
             .select(F.col("id").alias(id_col), "n_terms",
                     (F.col("_sq") / F.lit(1000000000000.0)).alias("score"),
                     F.col("rk").cast("int")))

@@ -623,6 +623,72 @@ def overview_chunks(chunks: DataFrame, grid: OutputGrid,
     )
 
 
+TEMPORAL_OPS = ("latest_valid", "mean", "median")
+
+
+def temporal_composite(chunks: DataFrame, grid: OutputGrid,
+                       op: str = "latest_valid",
+                       chunk_col: str = "chunk_bytes") -> DataFrame:
+    """Cross-TIME per-pixel composite of the committed per-year mosaic
+    chunks -> (row_idx, col_idx, chunk_bytes, n_times, valid_px): the
+    gap-fill / cloud-free-composite workload (EO: pick each pixel from
+    whichever year actually observed it).
+
+    ops (0 == the mosaic's NODATA background everywhere):
+    - latest_valid: newest non-zero observation per pixel, falling
+      back through older years (classic gap-fill);
+    - mean: rounded mean (half-away, the compositor's _finalize_mean
+      law) over the non-zero observations;
+    - median: LOWER median of the non-zero observations (order-
+      independent, bit-stable — same law as mosaic mode='median').
+
+    Scale shape: ONE groupBy on (row_idx, col_idx) moves each chunk
+    exactly once; group size = n_time_indices (small by construction),
+    so no skew story is needed. Output drops time_idx — it is the
+    table a single-layer serving/training consumer reads."""
+    import pandas as pd
+
+    if op not in TEMPORAL_OPS:
+        raise ValueError(f"op must be one of {TEMPORAL_OPS}, got {op!r}")
+    chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time_idx")
+        stack = np.stack([np.frombuffer(b, np.uint8).reshape(nb, chh, chw)
+                          for b in pdf["chunk_bytes"]])
+        valid = stack > 0
+        any_valid = valid.any(axis=0)
+        if op == "latest_valid":
+            last = stack.shape[0] - 1 - np.argmax(valid[::-1], axis=0)
+            out = np.take_along_axis(stack, last[None], 0)[0]
+            out = np.where(any_valid, out, 0).astype(np.uint8)
+        elif op == "mean":
+            s = stack.astype(np.int64).sum(axis=0, where=valid)
+            c = valid.sum(axis=0)
+            out = np.where(any_valid, _finalize_mean(s, c), 0
+                           ).astype(np.uint8)
+        else:  # median (lower)
+            big = np.where(valid, stack.astype(np.int16), np.int16(999))
+            big.sort(axis=0)
+            cnt = valid.sum(axis=0)
+            idx = np.maximum(cnt - 1, 0) // 2
+            out = np.take_along_axis(big, idx[None], 0)[0]
+            out = np.where(any_valid, out, 0).astype(np.uint8)
+        return pd.DataFrame([{
+            "row_idx": int(pdf["row_idx"].iloc[0]),
+            "col_idx": int(pdf["col_idx"].iloc[0]),
+            "chunk_bytes": np.ascontiguousarray(out).tobytes(),
+            "n_times": len(pdf),
+            "valid_px": int(any_valid.sum()),
+        }])
+
+    src = chunks.select("time_idx", "row_idx", "col_idx",
+                        F.col(chunk_col).alias("chunk_bytes"))
+    return src.groupBy("row_idx", "col_idx").applyInPandas(
+        _merge, schema="row_idx int, col_idx int, chunk_bytes binary, "
+                       "n_times int, valid_px int")
+
+
 def chunks_to_training_patches(chunks: DataFrame, grid: OutputGrid,
                                patch: int = 64, stride: int = 64,
                                drop_empty: bool = True,

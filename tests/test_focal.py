@@ -132,3 +132,53 @@ def test_halo_shuffle_bytes_fraction():
                     w = 1 if dx else CHW
                     halo_b += NB * h * w
     assert halo_b < rep_b / 4  # >4x shuffle-byte reduction even at 32px
+
+
+def test_temporal_composite_matches_naive(spark, grid):
+    """temporal_composite vs a per-pixel Python reference over 3 time
+    layers with planted NODATA holes (0)."""
+    from aef_mosaic_spark.operators.mosaic import (TEMPORAL_OPS,
+                                                   temporal_composite)
+
+    T = 3
+    rows, stacks = [], {}
+    for ri, ci in ((0, 0), (1, 2)):
+        stack = []
+        for t in range(T):
+            rng = np.random.default_rng(t * 100 + ri * 10 + ci)
+            arr = rng.integers(0, 256, (NB, CHH, CHW), dtype=np.uint8)
+            arr[:, ::3, :] = 0                      # planted NODATA rows
+            if t == 1:
+                arr[:, :, ::2] = 0                  # extra holes in t=1
+            stack.append(arr)
+            rows.append({"time_idx": t, "row_idx": ri, "col_idx": ci,
+                         "chunk_bytes": arr.tobytes()})
+        stacks[(ri, ci)] = np.stack(stack)
+
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    for op in TEMPORAL_OPS:
+        got = {(r.row_idx, r.col_idx):
+               (np.frombuffer(r.chunk_bytes, np.uint8).reshape(NB, CHH, CHW),
+                r.n_times, r.valid_px)
+               for r in temporal_composite(sdf, grid, op=op).collect()}
+        assert set(got) == set(stacks)
+        for key, stack in stacks.items():
+            exp = np.zeros((NB, CHH, CHW), np.uint8)
+            for b in range(NB):
+                for y in range(CHH):
+                    for x in range(CHW):
+                        vals = [int(stack[t, b, y, x]) for t in range(T)
+                                if stack[t, b, y, x] > 0]
+                        if not vals:
+                            continue
+                        if op == "latest_valid":
+                            exp[b, y, x] = vals[-1]
+                        elif op == "mean":
+                            s = sum(vals)
+                            exp[b, y, x] = (s + len(vals) // 2) // len(vals)
+                        else:
+                            exp[b, y, x] = sorted(vals)[(len(vals) - 1) // 2]
+            arr, n_times, valid_px = got[key]
+            assert n_times == T
+            assert valid_px == int((stack > 0).any(axis=0).sum())
+            assert np.array_equal(arr, exp), (op, key)
