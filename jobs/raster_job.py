@@ -1,0 +1,133 @@
+"""Derived raster products job — the spark-submit surface for the
+post-mosaic raster operators (focal filters, cross-time composites,
+overview pyramids) over a COMMITTED icelite mosaic table.
+
+The grid geometry is recovered from the source table's own properties
+(the pipeline commits grid JSON + config_hash, plans/pipeline.py),
+so the job takes only table paths and the stage spec — no way to run
+a derived product against the wrong geometry. The output is a new
+icelite table whose properties record the source table, the source
+snapshot id, and the stage config (lineage for audits / incremental
+rebuilds).
+
+    spark-submit --master local[16] --driver-memory 16g \
+      --py-files dist/engine.zip jobs/raster_job.py \
+      --table /data/mosaic --output /data/mosaic_grad \
+      --stage focal --op grad
+    # --stage temporal --op latest_valid | mean | median
+    # --stage overview --levels 2
+
+Prints ONE metrics JSON line on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGES = ("focal", "temporal", "overview")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True, help="source mosaic table")
+    ap.add_argument("--output", required=True, help="derived table path")
+    ap.add_argument("--stage", required=True, choices=STAGES)
+    ap.add_argument("--op", default=None,
+                    help="focal: mean|max|min|grad; "
+                         "temporal: latest_valid|mean|median")
+    ap.add_argument("--radius", type=int, default=1, help="focal radius")
+    ap.add_argument("--strategy", default="halo",
+                    choices=("halo", "replicate"),
+                    help="focal shuffle strategy (replicate = A/B twin)")
+    ap.add_argument("--levels", type=int, default=1,
+                    help="overview pyramid levels to apply")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    if args.stage in ("focal", "temporal") and not args.op:
+        ap.error(f"--stage {args.stage} requires --op")
+    if args.stage == "overview" and args.levels < 1:
+        ap.error("--levels must be >= 1")
+    if os.path.exists(args.output):
+        raise FileExistsError(
+            f"{args.output} exists; derived tables are cheap — "
+            "write to a fresh path or remove the old table")
+
+    spark = SparkSession.builder.getOrCreate()
+    t0 = time.time()
+    src = Icelite(args.table)
+    props = src.properties()
+    if "grid" not in props:
+        raise ValueError(
+            f"{args.table} has no grid in its properties; not a "
+            "mosaic table committed by this engine")
+    grid = OutputGrid.from_dict(json.loads(props["grid"]))
+    src_snap = src.current_snapshot_id()
+    chunks = src.read(spark)
+    n_in = chunks.count()
+
+    stage_cfg: dict = {"stage": args.stage}
+    if args.stage == "focal":
+        from aef_mosaic_spark.operators.focal import focal_chunks
+        out_df = focal_chunks(chunks, grid, op=args.op,
+                              radius=args.radius, chunk_col="chunk",
+                              strategy=args.strategy)
+        partition_by = ["time_idx"]
+        stage_cfg.update(op=args.op, radius=args.radius,
+                         strategy=args.strategy)
+    elif args.stage == "temporal":
+        from aef_mosaic_spark.operators.mosaic import temporal_composite
+        out_df = temporal_composite(chunks, grid, op=args.op,
+                                    chunk_col="chunk") \
+            .withColumnRenamed("chunk_bytes", "chunk")
+        partition_by = None
+        stage_cfg.update(op=args.op)
+    else:
+        from aef_mosaic_spark.operators.mosaic import overview_chunks
+        out_df = chunks
+        col = "chunk"
+        for _ in range(args.levels):
+            out_df = overview_chunks(out_df, grid, chunk_col=col)
+            col = "chunk_bytes"
+        out_df = out_df.withColumnRenamed("chunk_bytes", "chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(levels=args.levels)
+
+    dst = Icelite(args.output)
+    snap_id = dst.append(
+        out_df, partition_by=partition_by,
+        properties={
+            "derived_from": args.table,
+            "source_snapshot": str(src_snap),
+            "source_config_hash": props.get("config_hash", ""),
+            "grid": props["grid"],
+            "stage_config": json.dumps(stage_cfg, sort_keys=True),
+        },
+        summary={"operation": f"derive-{args.stage}"},
+    )
+    n_out = dst.read(spark).count()
+    wall = time.time() - t0
+    print(json.dumps({
+        "snapshot_id": snap_id, "wall_s": round(wall, 3),
+        "stage": args.stage, **{k: v for k, v in stage_cfg.items()
+                                if k != "stage"},
+        "chunks_in": n_in, "chunks_out": n_out,
+        "source_snapshot": src_snap,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -218,3 +218,71 @@ def test_dedup_job_pairs_in_reclusters_identically(spark, tmp_path):
     with pytest.raises(SystemExit):
         dedup_job.main(["--input", "x", "--output", "y",
                         "--pairs", "--pairs-in", "z"])
+
+
+def test_raster_job_derived_products_match_direct(spark, tmp_path):
+    """raster_job CLI: each stage's committed table equals the direct
+    operator output; grid geometry is recovered from the SOURCE
+    table's properties; lineage properties recorded; existing output
+    refused; wrong-table (no grid) refused."""
+    import json
+
+    import pytest as _pt
+
+    from aef_mosaic_spark.operators.focal import focal_chunks
+    from aef_mosaic_spark.operators.mosaic import temporal_composite
+    from aef_mosaic_spark.plans.pipeline import MosaicJob
+    from aef_mosaic_spark.sources.icelite import Icelite
+    from jobs.raster_job import main as raster_main
+
+    images = spark.createDataFrame(generator.images_pdf(40))
+    src = str(tmp_path / "mosaic")
+    MosaicJob(GRID, mode="mean").run(spark, images, src)
+    chunks = Icelite(src).read(spark)
+
+    # focal grad via the CLI == direct operator
+    out1 = str(tmp_path / "grad")
+    raster_main(["--table", src, "--output", out1,
+                 "--stage", "focal", "--op", "grad"])
+    got = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+           for r in Icelite(out1).read(spark).collect()}
+    exp = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+           for r in focal_chunks(chunks, GRID, op="grad",
+                                 chunk_col="chunk").collect()}
+    assert got == exp and len(got) > 0
+    props = Icelite(out1).properties()
+    assert props["derived_from"] == src
+    assert json.loads(props["stage_config"])["op"] == "grad"
+    assert json.loads(props["grid"]) == GRID.to_dict()
+
+    # temporal median via the CLI == direct operator
+    out2 = str(tmp_path / "tmed")
+    raster_main(["--table", src, "--output", out2,
+                 "--stage", "temporal", "--op", "median"])
+    got2 = {(r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(out2).read(spark).collect()}
+    exp2 = {(r.row_idx, r.col_idx): bytes(r.chunk_bytes)
+            for r in temporal_composite(chunks, GRID,
+                                        op="median",
+                                        chunk_col="chunk").collect()}
+    assert got2 == exp2 and len(got2) > 0
+
+    # overview level-1 via the CLI: parent keys halve
+    out3 = str(tmp_path / "ovr")
+    raster_main(["--table", src, "--output", out3,
+                 "--stage", "overview", "--levels", "1"])
+    ovr = Icelite(out3).read(spark).collect()
+    assert len(ovr) > 0
+    assert all(r.row_idx <= GRID.chunk_rows // 2 for r in ovr)
+
+    # refusals
+    with _pt.raises(FileExistsError):
+        raster_main(["--table", src, "--output", out1,
+                     "--stage", "focal", "--op", "grad"])
+    bare = str(tmp_path / "bare")
+    Icelite(bare).append(chunks.select("time_idx", "row_idx",
+                                       "col_idx", "chunk"))
+    with _pt.raises(ValueError, match="no grid"):
+        raster_main(["--table", bare, "--output",
+                     str(tmp_path / "x"), "--stage", "focal",
+                     "--op", "mean"])
