@@ -1710,6 +1710,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return parts[0].unionByName(parts[1]).unionByName(parts[2])
     q["q108_temporal_composite"] = q108_temporal_composite
 
+    def q109_histogram_stretch(spark, sf):
+        # corpus-wide percentile contrast stretch (training-data
+        # normalization): pass 1 = 256-bin partial histograms ->
+        # nb*256-row agg -> bounded collect; pass 2 = the LUT rides
+        # the scan (zero extra shuffle). Pinned-fixture oracle.
+        from aef_mosaic_spark.operators.focal import histogram_stretch
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return histogram_stretch(chunks, grid, p_low=2.0, p_high=98.0) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("chunk_md5"),
+                    "stretch_lo", "stretch_hi")
+    q["q109_histogram_stretch"] = q109_histogram_stretch
+
     return _driver_order(q)
 
 
@@ -1735,9 +1750,9 @@ _DRIVER_SLOTS = 50
 # (each a sibling of a same-family query that keeps a slot; all
 # double-green and exactly 2 rounds stale after r5 — first in line
 # for r6), q96_span_removal + q95_ann_index_probe + q93_token_
-# estimators (r3-green; displaced late in r5 by the new q106-q108,
-# siblings q83/q94/q58 keep slots), and the q01-q47 family (fresh
-# r4 rows).
+# estimators + q92_quality_keep_policy (r3-green; displaced late in
+# r5 by the new q106-q109, siblings q83/q94/q58/q85 keep slots), and
+# the q01-q47 family (fresh r4 rows).
 _MUST_VERIFY = [
     "q86_token_budget_mixture",
     "q43_cube",
@@ -1752,6 +1767,7 @@ _MUST_VERIFY = [
     "q106_focal_chunks",
     "q107_bm25_retrieval",
     "q108_temporal_composite",
+    "q109_histogram_stretch",
     "q39_hilbert_order",
     "q49_percentiles",
     "q51_min_cost_supplier",
@@ -1787,7 +1803,6 @@ _MUST_VERIFY = [
     "q89_merge_captions",
     "q90_ann_cosine_ivfpq",
     "q91_crossmodal_alignment",
-    "q92_quality_keep_policy",
     "q94_ann_ivfpq_adc",
 ]
 
@@ -2708,7 +2723,8 @@ def oracle_sql() -> dict[str, str]:
                    "q41_audio_features", "q55_video_frames",
                    "q76_overview_chunks", "q78_training_patches",
                    "q104_mosaic_median", "q105_rasterize_boxes",
-                   "q106_focal_chunks", "q108_temporal_composite"):
+                   "q106_focal_chunks", "q108_temporal_composite",
+                   "q109_histogram_stretch"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

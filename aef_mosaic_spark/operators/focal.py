@@ -206,3 +206,113 @@ def focal_oracle_np(canvas: np.ndarray, op: str, radius: int) -> np.ndarray:
     pad = np.zeros((nb, H + 2 * r, W + 2 * r), np.uint8)
     pad[:, r:r + H, r:r + W] = canvas
     return _apply_kernel(pad, op, r, H, W)
+
+
+def global_histogram(chunks: DataFrame, grid: OutputGrid,
+                     chunk_col: str = "chunk") -> DataFrame:
+    """Corpus-wide per-band pixel histogram -> (band, bin, cnt).
+
+    Scale shape: one mapInPandas pass emits 256-bin PARTIAL histograms
+    per Arrow batch (np.bincount, never per-pixel rows), then a
+    bands*256-row groupBy — the classic two-phase global statistic.
+    The result is driver-safe by construction (nb*256 rows)."""
+    import pandas as pd
+
+    nb = grid.num_bands
+    chh, chw = grid.chunk_h, grid.chunk_w
+
+    def _partial(it):
+        for pdf in it:
+            acc = np.zeros((nb, 256), np.int64)
+            for buf in pdf[chunk_col]:
+                arr = np.frombuffer(buf, np.uint8).reshape(nb, chh, chw)
+                for b in range(nb):
+                    acc[b] += np.bincount(arr[b].ravel(), minlength=256)
+            rows = [{"band": b, "bin": i, "cnt": int(acc[b, i])}
+                    for b in range(nb) for i in range(256)
+                    if acc[b, i]]
+            yield pd.DataFrame(rows, columns=["band", "bin", "cnt"])
+
+    return (chunks.mapInPandas(_partial,
+                               schema="band int, bin int, cnt long")
+            .groupBy("band", "bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def stretch_luts(hist_rows, num_bands: int, p_low: float = 2.0,
+                 p_high: float = 98.0) -> tuple[np.ndarray, list]:
+    """Build per-band contrast-stretch LUTs from collected histogram
+    rows.  Percentiles are over NON-ZERO pixels only (0 = the
+    mosaic's NODATA, which must stay 0); cut = lowest bin whose
+    cumulative count reaches ceil(p% of nonzero).  The LUT maps
+    [lo, hi] linearly onto [1, 255] with half-up integer rounding —
+    all-integer, bit-stable.  Returns (luts uint8 [nb,256],
+    [(lo, hi), ...])."""
+    hist = np.zeros((num_bands, 256), np.int64)
+    for r in hist_rows:
+        hist[int(r["band"]), int(r["bin"])] = int(r["cnt"])
+    luts = np.zeros((num_bands, 256), np.uint8)
+    cuts = []
+    vals = np.arange(256, dtype=np.int64)
+    for b in range(num_bands):
+        nz = hist[b, 1:]
+        total = int(nz.sum())
+        if total == 0:
+            luts[b] = vals.astype(np.uint8)
+            cuts.append((1, 255))
+            continue
+        cum = np.cumsum(nz)
+        need_lo = -(-total * int(p_low * 100) // 10000)   # ceil, integer
+        need_hi = -(-total * int(p_high * 100) // 10000)
+        lo = int(np.searchsorted(cum, max(need_lo, 1)) + 1)
+        hi = int(np.searchsorted(cum, max(need_hi, 1)) + 1)
+        den = max(hi - lo, 1)
+        out = 1 + (np.clip(vals - lo, 0, None) * 254 * 2 + den) // (2 * den)
+        luts[b] = np.clip(out, 1, 255).astype(np.uint8)
+        luts[b, 0] = 0                       # NODATA stays NODATA
+        cuts.append((lo, hi))
+    return luts, cuts
+
+
+def histogram_stretch(chunks: DataFrame, grid: OutputGrid,
+                      p_low: float = 2.0, p_high: float = 98.0,
+                      chunk_col: str = "chunk") -> DataFrame:
+    """Global percentile contrast stretch -> the input chunk table
+    with stretched pixels (+ per-band lo/hi cut columns): the
+    training-data normalization pass (fixed dynamic range across the
+    whole corpus, not per image).
+
+    Scale shape: pass 1 = global_histogram (partial bincounts ->
+    bands*256-row agg -> bounded driver collect); pass 2 = the LUT
+    (nb*256 bytes) rides the mapInPandas closure back over the scan —
+    ZERO additional shuffle, no join. The two-pass global-statistic +
+    broadcast-apply pattern at its smallest."""
+    import pandas as pd
+
+    nb = grid.num_bands
+    chh, chw = grid.chunk_h, grid.chunk_w
+    rows = global_histogram(chunks, grid, chunk_col=chunk_col).collect()
+    luts, cuts = stretch_luts(rows, nb, p_low=p_low, p_high=p_high)
+
+    # keep the input schema, replacing chunk bytes in place
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in chunks.schema.fields
+    ) + ", stretch_lo string, stretch_hi string"
+    lo_s = ",".join(str(lo) for lo, _ in cuts)
+    hi_s = ",".join(str(hi) for _, hi in cuts)
+
+    def _apply(it):
+        for pdf in it:
+            outs = []
+            for buf in pdf[chunk_col]:
+                arr = np.frombuffer(buf, np.uint8).reshape(nb, chh, chw)
+                st = np.stack([luts[b][arr[b]] for b in range(nb)])
+                outs.append(st.tobytes())
+            pdf = pdf.copy()
+            pdf[chunk_col] = outs
+            pdf["stretch_lo"] = lo_s
+            pdf["stretch_hi"] = hi_s
+            yield pdf
+
+    return chunks.mapInPandas(_apply, schema=out_schema)

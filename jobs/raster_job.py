@@ -33,7 +33,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGES = ("focal", "temporal", "overview")
+STAGES = ("focal", "temporal", "overview", "stretch")
 
 
 def main(argv=None):
@@ -50,6 +50,10 @@ def main(argv=None):
                     help="focal shuffle strategy (replicate = A/B twin)")
     ap.add_argument("--levels", type=int, default=1,
                     help="overview pyramid levels to apply")
+    ap.add_argument("--p-low", type=float, default=2.0,
+                    help="stretch: low percentile over non-zero pixels")
+    ap.add_argument("--p-high", type=float, default=98.0,
+                    help="stretch: high percentile over non-zero pixels")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -95,6 +99,12 @@ def main(argv=None):
             .withColumnRenamed("chunk_bytes", "chunk")
         partition_by = None
         stage_cfg.update(op=args.op)
+    elif args.stage == "stretch":
+        from aef_mosaic_spark.operators.focal import histogram_stretch
+        out_df = histogram_stretch(chunks, grid, p_low=args.p_low,
+                                   p_high=args.p_high, chunk_col="chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(p_low=args.p_low, p_high=args.p_high)
     else:
         from aef_mosaic_spark.operators.mosaic import overview_chunks
         out_df = chunks

@@ -182,3 +182,44 @@ def test_temporal_composite_matches_naive(spark, grid):
             assert n_times == T
             assert valid_px == int((stack > 0).any(axis=0).sum())
             assert np.array_equal(arr, exp), (op, key)
+
+
+def test_global_histogram_and_stretch(spark, grid):
+    """global_histogram == np.bincount over all chunks; the stretch
+    maps [lo,hi] onto [1,255], preserves NODATA zeros, and matches an
+    independently-built LUT applied per pixel."""
+    from aef_mosaic_spark.operators.focal import (global_histogram,
+                                                  histogram_stretch,
+                                                  stretch_luts)
+
+    rows, canvas = _make_chunks(sparse=True)
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+
+    got = {(r.band, r.bin): r.cnt
+           for r in global_histogram(sdf, grid).collect()}
+    stacked = np.stack([np.frombuffer(r["chunk"], np.uint8)
+                        .reshape(NB, CHH, CHW) for r in rows])
+    for b in range(NB):
+        exp = np.bincount(stacked[:, b].ravel(), minlength=256)
+        for i in range(256):
+            assert got.get((b, i), 0) == exp[i], (b, i)
+
+    out = histogram_stretch(sdf, grid, p_low=2.0, p_high=98.0).collect()
+    hist_rows = [{"band": b, "bin": i, "cnt": got.get((b, i), 0)}
+                 for b in range(NB) for i in range(256)]
+    luts, cuts = stretch_luts(hist_rows, NB, 2.0, 98.0)
+    assert all(lo < hi for lo, hi in cuts)
+    for r in out:
+        src = next(x for x in rows
+                   if (x["row_idx"], x["col_idx"]) == (r.row_idx, r.col_idx))
+        arr = np.frombuffer(src["chunk"], np.uint8).reshape(NB, CHH, CHW)
+        exp = np.stack([luts[b][arr[b]] for b in range(NB)])
+        gotc = np.frombuffer(r.chunk, np.uint8).reshape(NB, CHH, CHW)
+        assert np.array_equal(gotc, exp)
+        assert ((gotc == 0) == (arr == 0)).all()      # NODATA preserved
+        assert r.stretch_lo == ",".join(str(lo) for lo, _ in cuts)
+    # LUT is monotone and hits the full [1,255] range at the cuts
+    for b in range(NB):
+        assert (np.diff(luts[b][1:].astype(int)) >= 0).all()
+        lo, hi = cuts[b]
+        assert luts[b][lo] == 1 and luts[b][hi] == 255
