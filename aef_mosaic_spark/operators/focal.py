@@ -316,3 +316,26 @@ def histogram_stretch(chunks: DataFrame, grid: OutputGrid,
             yield pdf
 
     return chunks.mapInPandas(_apply, schema=out_schema)
+
+
+def expand_neighbor_keys(keys: DataFrame, grid: OutputGrid,
+                         ring: int = 1) -> DataFrame:
+    """Distinct chunk keys within Chebyshev distance <= ring of the
+    input keys, clipped to the grid -> (time_idx, row_idx, col_idx).
+    The (2*ring+1)^2 offsets table is crossJoin-broadcast (tiny), so
+    the expansion is one narrow map + a distinct on the expanded keys
+    — the affected-set computation for incremental focal maintenance."""
+    spark = keys.sparkSession
+    offs = spark.createDataFrame(
+        [(dy, dx) for dy in range(-ring, ring + 1)
+         for dx in range(-ring, ring + 1)], "dy int, dx int")
+    return (keys.select("time_idx", "row_idx", "col_idx").distinct()
+            .crossJoin(F.broadcast(offs))
+            .select("time_idx",
+                    (F.col("row_idx") + F.col("dy")).alias("row_idx"),
+                    (F.col("col_idx") + F.col("dx")).alias("col_idx"))
+            .where((F.col("row_idx") >= 0)
+                   & (F.col("row_idx") < grid.chunk_rows)
+                   & (F.col("col_idx") >= 0)
+                   & (F.col("col_idx") < grid.chunk_cols))
+            .distinct())

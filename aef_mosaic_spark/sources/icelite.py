@@ -273,7 +273,8 @@ class Icelite:
               key_cols: list[str], partition_by: list[str] | None = None,
               compression: str = "zstd",
               filters: dict | None = None,
-              summary: dict | None = None) -> int:
+              summary: dict | None = None,
+              properties: dict | None = None) -> int:
         """Copy-on-write MERGE (Iceberg MERGE INTO semantics): rows
         whose key matches an `updates` row are replaced by it;
         unmatched update rows are inserted. Only the FILES that
@@ -296,6 +297,7 @@ class Icelite:
         parent = self.current_snapshot_id()
         if parent is None:
             return self.append(updates, partition_by,
+                               properties=properties,
                                compression=compression)
         snap_id = parent + 1
         # filters={key: (lo, hi)} bounds the update keys: the affected-
@@ -395,7 +397,9 @@ class Icelite:
             "added_bytes": sum(e["bytes"] for e in entries),
         }
         summ.update(summary or {})
-        return self._commit(manifests, prev["properties"], summ, parent)
+        props = dict(prev["properties"])
+        props.update(properties or {})
+        return self._commit(manifests, props, summ, parent)
 
     def delete(self, spark: SparkSession, predicate: str,
                partition_by: list[str] | None = None,

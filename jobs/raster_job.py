@@ -54,6 +54,11 @@ def main(argv=None):
                     help="stretch: low percentile over non-zero pixels")
     ap.add_argument("--p-high", type=float, default=98.0,
                     help="stretch: high percentile over non-zero pixels")
+    ap.add_argument("--incremental", action="store_true",
+                    help="focal only: recompute just the chunks whose "
+                         "source changed since the derived table's "
+                         "recorded source_snapshot (+ their neighbor "
+                         "ring) and MERGE them in")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -65,6 +70,10 @@ def main(argv=None):
         ap.error(f"--stage {args.stage} requires --op")
     if args.stage == "overview" and args.levels < 1:
         ap.error("--levels must be >= 1")
+    if args.incremental and args.stage != "focal":
+        ap.error("--incremental is only supported for --stage focal")
+    if args.incremental:
+        return _run_incremental(args)
     if os.path.exists(args.output):
         raise FileExistsError(
             f"{args.output} exists; derived tables are cheap — "
@@ -136,6 +145,76 @@ def main(argv=None):
                                 if k != "stage"},
         "chunks_in": n_in, "chunks_out": n_out,
         "source_snapshot": src_snap,
+    }))
+
+
+def _run_incremental(args):
+    """Incremental focal maintenance: CDC keys since the derived
+    table's recorded source_snapshot -> ring-1 affected output keys
+    (an appended chunk changes its neighbors' halos too) -> ring-2
+    input set (the affected chunks' own halos) -> focal over the
+    input set, RESTRICTED to the affected keys -> CoW MERGE.  Work
+    is O(changed * 9), never O(table); the derived table advances its
+    source_snapshot pointer in the same commit (exactly-once)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import SparkSession
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators.focal import (expand_neighbor_keys,
+                                                  focal_chunks)
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    spark = SparkSession.builder.getOrCreate()
+    t0 = _time.time()
+    src, dst = Icelite(args.table), Icelite(args.output)
+    if dst.current_snapshot_id() is None:
+        raise FileNotFoundError(
+            f"{args.output} has no snapshots; run the full --stage "
+            "focal derivation first")
+    dprops = dst.properties()
+    want = {"stage": "focal", "op": args.op, "radius": args.radius,
+            "strategy": args.strategy}
+    have = _json.loads(dprops.get("stage_config", "{}"))
+    if dprops.get("derived_from") != args.table or have != want:
+        raise ValueError(
+            f"incremental refused: {args.output} was derived with "
+            f"{dprops.get('derived_from')!r} {have} but this run asks "
+            f"{args.table!r} {want} — rebuild instead of mixing")
+    grid = OutputGrid.from_dict(_json.loads(dprops["grid"]))
+    from_snap = int(dprops["source_snapshot"])
+    to_snap = src.current_snapshot_id()
+    keys = ["time_idx", "row_idx", "col_idx"]
+
+    cdc = src.read_incremental(spark, from_snap)
+    changed = cdc.select(*keys).distinct()
+    n_changed = changed.count()
+    if n_changed == 0:
+        print(_json.dumps({"stage": "focal", "incremental": True,
+                           "changed": 0, "affected": 0, "merged": 0,
+                           "wall_s": round(_time.time() - t0, 3),
+                           "source_snapshot": to_snap}))
+        return
+    ring1 = expand_neighbor_keys(changed, grid, ring=1)
+    ring2 = expand_neighbor_keys(ring1, grid, ring=1)
+    chunks = src.read(spark)
+    inputs = chunks.join(ring2, keys, "leftsemi")
+    out = focal_chunks(inputs, grid, op=args.op, radius=args.radius,
+                       chunk_col="chunk", strategy=args.strategy) \
+        .join(ring1, keys, "leftsemi")
+    n_aff = out.count()
+    snap_id = dst.merge(
+        spark, out, key_cols=keys, partition_by=["time_idx"],
+        properties={"source_snapshot": str(to_snap)},
+        summary={"operation": "derive-focal-incremental",
+                 "changed_chunks": n_changed},
+    )
+    print(_json.dumps({
+        "snapshot_id": snap_id, "stage": "focal", "incremental": True,
+        "changed": n_changed, "affected": n_aff,
+        "wall_s": round(_time.time() - t0, 3),
+        "source_snapshot": to_snap, "from_snapshot": from_snap,
     }))
 
 

@@ -286,3 +286,52 @@ def test_raster_job_derived_products_match_direct(spark, tmp_path):
         raster_main(["--table", bare, "--output",
                      str(tmp_path / "x"), "--stage", "focal",
                      "--op", "mean"])
+
+
+def test_raster_job_incremental_focal_matches_full(spark, tmp_path):
+    """--incremental after a source append: recomputes only the
+    changed chunks + their neighbor ring, MERGEs them in, and the
+    result is bit-identical to a full re-derivation. A second run is
+    a no-op; a stage-config mismatch is refused."""
+    import pytest as _pt
+
+    from aef_mosaic_spark.plans.pipeline import MosaicJob
+    from aef_mosaic_spark.sources.icelite import Icelite
+    from jobs.raster_job import main as raster_main
+
+    images = spark.createDataFrame(generator.images_pdf(40))
+    src = str(tmp_path / "mosaic")
+    job = MosaicJob(GRID, mode="mean")
+    # snapshot 1: lower half of the grid only
+    job.run(spark, images, src, row_range=(0, GRID.chunk_rows // 2 - 1))
+    dinc = str(tmp_path / "grad_inc")
+    raster_main(["--table", src, "--output", dinc,
+                 "--stage", "focal", "--op", "grad"])
+
+    # snapshot 2: the remaining rows land in the source
+    job.run(spark, images, src, resume=True)
+    raster_main(["--table", src, "--output", dinc,
+                 "--stage", "focal", "--op", "grad", "--incremental"])
+
+    dfull = str(tmp_path / "grad_full")
+    raster_main(["--table", src, "--output", dfull,
+                 "--stage", "focal", "--op", "grad"])
+    got = {(r.time_idx, r.row_idx, r.col_idx): (bytes(r.chunk), r.n_parts)
+           for r in Icelite(dinc).read(spark).collect()}
+    exp = {(r.time_idx, r.row_idx, r.col_idx): (bytes(r.chunk), r.n_parts)
+           for r in Icelite(dfull).read(spark).collect()}
+    assert got == exp and len(got) > 0
+    assert Icelite(dinc).properties()["source_snapshot"] == str(
+        Icelite(src).current_snapshot_id())
+
+    # nothing changed -> no new snapshot
+    before = Icelite(dinc).current_snapshot_id()
+    raster_main(["--table", src, "--output", dinc,
+                 "--stage", "focal", "--op", "grad", "--incremental"])
+    assert Icelite(dinc).current_snapshot_id() == before
+
+    # config mismatch (different op) refused
+    with _pt.raises(ValueError, match="incremental refused"):
+        raster_main(["--table", src, "--output", dinc,
+                     "--stage", "focal", "--op", "mean",
+                     "--incremental"])
