@@ -160,6 +160,7 @@ def _run_incremental(args):
     import time as _time
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from aef_mosaic_spark.grid import OutputGrid
     from aef_mosaic_spark.operators.focal import (expand_neighbor_keys,
@@ -198,18 +199,30 @@ def _run_incremental(args):
         return
     ring1 = expand_neighbor_keys(changed, grid, ring=1)
     ring2 = expand_neighbor_keys(ring1, grid, ring=1)
-    chunks = src.read(spark)
+    # prune the source scan to the affected bounding box (manifest
+    # stats / partition values): exact row filtering still comes from
+    # the semi-join; pruning just skips files a localized change
+    # never touches. One tiny agg over the (small) ring2 key set.
+    bb = ring2.agg(F.min("row_idx"), F.max("row_idx"),
+                   F.min("col_idx"), F.max("col_idx")).collect()[0]
+    chunks = src.read(spark, filters={"row_idx": (bb[0], bb[1]),
+                                      "col_idx": (bb[2], bb[3])})
     inputs = chunks.join(ring2, keys, "leftsemi")
     out = focal_chunks(inputs, grid, op=args.op, radius=args.radius,
                        chunk_col="chunk", strategy=args.strategy) \
-        .join(ring1, keys, "leftsemi")
-    n_aff = out.count()
+        .join(ring1, keys, "leftsemi").persist()
+    n_aff = out.count()   # materializes; merge reuses, not recomputes
+    # the same bbox prunes the merge's affected-file DISCOVERY scan
+    # over the derived table (filters on key columns, bounds-checked
+    # by merge itself)
     snap_id = dst.merge(
         spark, out, key_cols=keys, partition_by=["time_idx"],
+        filters={"row_idx": (bb[0], bb[1]), "col_idx": (bb[2], bb[3])},
         properties={"source_snapshot": str(to_snap)},
         summary={"operation": "derive-focal-incremental",
                  "changed_chunks": n_changed},
     )
+    out.unpersist()
     print(_json.dumps({
         "snapshot_id": snap_id, "stage": "focal", "incremental": True,
         "changed": n_changed, "affected": n_aff,
