@@ -1725,6 +1725,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "stretch_lo", "stretch_hi")
     q["q109_histogram_stretch"] = q109_histogram_stretch
 
+    def q112_terrain(spark, sf):
+        # Horn 1981 slope + standard 45/315 hillshade over the
+        # flagship mean mosaic, via the same halo-exchange focal plan
+        # as q106 (edge strips, not 9x chunk replication). Float64
+        # trig; the distributed result is bit-identical to the
+        # stitched-raster NumPy golden (test_focal parametrized
+        # parity) and pinned by committed fixture.
+        from aef_mosaic_spark.operators.focal import focal_chunks
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        parts = [focal_chunks(chunks, grid, op=m, radius=1)
+                 .select(F.lit(m).alias("op"), "time_idx", "row_idx",
+                         "col_idx", F.md5(F.col("chunk")).alias("chunk_md5"),
+                         "n_parts")
+                 for m in ("slope", "hillshade")]
+        return parts[0].unionByName(parts[1])
+    q["q112_terrain"] = q112_terrain
+
+    def q110_hll_distinct(spark, sf):
+        # HyperLogLog distinct sketch (m=256) computed IDENTICALLY in
+        # both engines via the h32 law — per-type user cardinality
+        # (linear-counting branch) plus a global high-cardinality row
+        # (HLL branch). The register table is the fixed-size mergeable
+        # state a 100 TB distinct-count needs (functions/sketches.py).
+        from aef_mosaic_spark.functions.sketches import hll_distinct
+        e = _pq(spark, sf, "events")
+        per = hll_distinct(
+            e.selectExpr("event_type", "CAST(user_id AS STRING) AS v"),
+            ["event_type"], "v")
+        glob = hll_distinct(
+            e.selectExpr("'__ALL__' AS event_type",
+                         "CAST(event_id AS STRING) AS v"),
+            ["event_type"], "v")
+        return per.unionByName(glob)
+    q["q110_hll_distinct"] = q110_hll_distinct
+
+    def q111_heavy_hitters(spark, sf):
+        # Count-Min heavy hitters (d=4, w=1024) over the document token
+        # stream: fixed-size mergeable counter grid, probe joins the
+        # broadcast sketch, est >= exact by construction.
+        from aef_mosaic_spark.functions.sketches import cms_heavy_hitters
+        docs = _pq(spark, sf, "documents")
+        occ = docs.select(F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("value"))
+        return cms_heavy_hitters(occ, "value", k=20)
+    q["q111_heavy_hitters"] = q111_heavy_hitters
+
+    def q113_bigram_perplexity(spark, sf):
+        # CCNet-style LM quality filter: add-one bigram LM trained on
+        # the h32(doc_id)%5==0 slice, every doc scored by avg negative
+        # log-likelihood in exact integer micro-nats (q102/q107
+        # integer-scoring law -> bit-for-bit oracle parity).
+        from aef_mosaic_spark.functions.lm import bigram_perplexity
+        docs = _pq(spark, sf, "documents")
+        return bigram_perplexity(docs, "doc_id", "text")
+    q["q113_bigram_perplexity"] = q113_bigram_perplexity
+
+    def q114_retention_cohorts(spark, sf):
+        # classic cohort-retention rollup: cohort = first active epoch
+        # week per user, offset = active week - cohort week. Two keyed
+        # shuffles (per-user min, per-cell agg) + one broadcast join
+        # for cohort sizes; retention ratio quantized 6dp (exact
+        # integer inputs -> deterministic across engines).
+        e = _pq(spark, sf, "events").select(
+            "user_id", "event_id",
+            F.floor(F.unix_timestamp("ts") / 604800).alias("wk"))
+        firsts = e.groupBy("user_id").agg(
+            F.min("wk").alias("cohort_week"))
+        act = e.join(firsts, "user_id").select(
+            "user_id", "event_id", "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        g = act.groupBy("cohort_week", "week_offset").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"))
+        sizes = (g.where(F.col("week_offset") == 0)
+                 .select("cohort_week",
+                         F.col("n_users").alias("cohort_size")))
+        return g.join(F.broadcast(sizes), "cohort_week").select(
+            "cohort_week", "week_offset", "n_users", "n_events",
+            (F.floor(F.col("n_users") * 1000000 / F.col("cohort_size")
+                     + F.lit(0.5)) / 1000000).alias("retention"))
+    q["q114_retention_cohorts"] = q114_retention_cohorts
+
     return _driver_order(q)
 
 
@@ -1753,6 +1837,12 @@ _DRIVER_SLOTS = 50
 # estimators + q92_quality_keep_policy (r3-green; displaced late in
 # r5 by the new q106-q109, siblings q83/q94/q58/q85 keep slots), and
 # the q01-q47 family (fresh r4 rows).
+#
+# q110-q114 (sketches / terrain / LM perplexity / retention) landed
+# AFTER the r5 slot list was frozen: registered past the 50 slots,
+# local-gate green at sf0.001/0.01/0.1 (the q97/q98 pattern from r3)
+# — first in line for the r6 rotation together with
+# q48/q50/q52/q53/q64/q65/q77 and the displaced q92/q93/q95/q96.
 _MUST_VERIFY = [
     "q86_token_budget_mixture",
     "q43_cube",
@@ -2724,7 +2814,7 @@ def oracle_sql() -> dict[str, str]:
                    "q76_overview_chunks", "q78_training_patches",
                    "q104_mosaic_median", "q105_rasterize_boxes",
                    "q106_focal_chunks", "q108_temporal_composite",
-                   "q109_histogram_stretch"):
+                   "q109_histogram_stretch", "q112_terrain"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 
@@ -2816,6 +2906,43 @@ def oracle_sql() -> dict[str, str]:
     o["q107_bm25_retrieval"] = bm25_topk_sql(
         "documents", "doc_id", "text",
         terms=["spark", "window", "merge"], k=20)
+
+    from aef_mosaic_spark.functions.sketches import (cms_heavy_hitters_sql,
+                                                     hll_distinct_sql)
+    _hll_per = hll_distinct_sql("events", ["event_type"],
+                                "user_id::VARCHAR")
+    _hll_all = hll_distinct_sql(
+        "(SELECT '__ALL__' AS event_type, event_id FROM events)",
+        ["event_type"], "event_id::VARCHAR")
+    o["q110_hll_distinct"] = (f"SELECT * FROM ({_hll_per}) "
+                              f"UNION ALL SELECT * FROM ({_hll_all})")
+    o["q114_retention_cohorts"] = """
+    WITH e AS (SELECT user_id, event_id,
+                      floor(floor(epoch(ts)) / 604800)::BIGINT AS wk
+               FROM events),
+    firsts AS (SELECT user_id, min(wk) AS cohort_week
+               FROM e GROUP BY user_id),
+    act AS (SELECT e.user_id, e.event_id, f.cohort_week,
+                   e.wk - f.cohort_week AS week_offset
+            FROM e JOIN firsts f ON e.user_id = f.user_id),
+    g AS (SELECT cohort_week, week_offset,
+                 count(DISTINCT user_id)::BIGINT AS n_users,
+                 count(*)::BIGINT AS n_events
+          FROM act GROUP BY cohort_week, week_offset),
+    sizes AS (SELECT cohort_week, n_users AS cohort_size
+              FROM g WHERE week_offset = 0)
+    SELECT g.cohort_week, g.week_offset, g.n_users, g.n_events,
+           floor(g.n_users * 1000000 / s.cohort_size + 0.5e0) / 1000000
+             AS retention
+    FROM g JOIN sizes s ON g.cohort_week = s.cohort_week
+    """
+
+    from aef_mosaic_spark.functions.lm import bigram_perplexity_sql
+    o["q113_bigram_perplexity"] = bigram_perplexity_sql(
+        "documents", "doc_id", "text")
+    o["q111_heavy_hitters"] = cms_heavy_hitters_sql(
+        "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))"
+        " AS value FROM documents)", k=20)
 
     return o
 

@@ -37,7 +37,17 @@ from pyspark.sql import functions as F
 
 from ..grid import OutputGrid
 
-FOCAL_OPS = ("mean", "max", "min", "grad")
+FOCAL_OPS = ("mean", "max", "min", "grad", "slope", "hillshade")
+
+# terrain-op constants (treating each band as an elevation surface):
+# classic 45-degree sun altitude / 315-degree (NW) azimuth defaults,
+# unit z-factor.  Fixed module constants so the pinned-fixture oracle
+# and every caller share one parameterization (Horn 1981; the standard
+# published hillshade formulation used by GDAL/ESRI).
+TERRAIN_CELLSIZE = 10.0
+TERRAIN_Z_FACTOR = 1.0
+HILLSHADE_ALTITUDE_DEG = 45.0
+HILLSHADE_AZIMUTH_DEG = 315.0
 
 _OUT_SCHEMA = ("time_idx int, row_idx int, col_idx int, "
                "chunk binary, n_parts int")
@@ -62,10 +72,49 @@ def _sobel(pad: np.ndarray, chh: int, chw: int) -> np.ndarray:
     return np.minimum(mag, 255).astype(np.uint8)
 
 
+def _horn_gradients(pad: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Horn 1981 3x3 weighted gradients dz/dx, dz/dy (float64) over a
+    zero-padded (nb, H+2, W+2) elevation array, y increasing downward
+    (raster row order)."""
+    p = pad.astype(np.float64)
+    tl, tc, tr = p[:, :-2, :-2], p[:, :-2, 1:-1], p[:, :-2, 2:]
+    ml, mr = p[:, 1:-1, :-2], p[:, 1:-1, 2:]
+    bl, bc, br = p[:, 2:, :-2], p[:, 2:, 1:-1], p[:, 2:, 2:]
+    den = 8.0 * TERRAIN_CELLSIZE
+    dzdx = ((tr + 2.0 * mr + br) - (tl + 2.0 * ml + bl)) / den
+    dzdy = ((bl + 2.0 * bc + br) - (tl + 2.0 * tc + tr)) / den
+    return dzdx, dzdy
+
+
+def _slope(pad: np.ndarray) -> np.ndarray:
+    """Slope in degrees scaled onto uint8: round(deg * 255 / 90)."""
+    dzdx, dzdy = _horn_gradients(pad)
+    rise = np.hypot(dzdx, dzdy) * TERRAIN_Z_FACTOR
+    deg = np.degrees(np.arctan(rise))
+    return np.floor(deg * (255.0 / 90.0) + 0.5).astype(np.uint8)
+
+
+def _hillshade(pad: np.ndarray) -> np.ndarray:
+    """Standard hillshade: 255*(cos z cos s + sin z sin s cos(az-asp)),
+    clipped at 0, half-up rounded to uint8."""
+    dzdx, dzdy = _horn_gradients(pad)
+    zen = np.radians(90.0 - HILLSHADE_ALTITUDE_DEG)
+    az = np.radians((360.0 - HILLSHADE_AZIMUTH_DEG + 90.0) % 360.0)
+    slope = np.arctan(TERRAIN_Z_FACTOR * np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    hs = 255.0 * (np.cos(zen) * np.cos(slope)
+                  + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+    return np.floor(np.clip(hs, 0.0, 255.0) + 0.5).astype(np.uint8)
+
+
 def _apply_kernel(pad: np.ndarray, op: str, r: int,
                   chh: int, chw: int) -> np.ndarray:
     if op == "grad":
         return _sobel(pad, chh, chw)
+    if op == "slope":
+        return _slope(pad)
+    if op == "hillshade":
+        return _hillshade(pad)
     win = np.lib.stride_tricks.sliding_window_view(
         pad, (2 * r + 1, 2 * r + 1), axis=(1, 2))
     if op == "max":
@@ -99,8 +148,8 @@ def focal_chunks(chunks: DataFrame, grid: OutputGrid, op: str = "mean",
 
     if op not in FOCAL_OPS:
         raise ValueError(f"op must be one of {FOCAL_OPS}, got {op!r}")
-    if op == "grad" and radius != 1:
-        raise ValueError("grad is a fixed 3x3 Sobel kernel; radius must be 1")
+    if op in ("grad", "slope", "hillshade") and radius != 1:
+        raise ValueError(f"{op} is a fixed 3x3 kernel; radius must be 1")
     if radius < 1 or radius > min(grid.chunk_h, grid.chunk_w):
         raise ValueError("radius must be in [1, chunk size]")
     if strategy not in ("halo", "replicate"):

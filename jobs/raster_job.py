@@ -42,7 +42,7 @@ def main(argv=None):
     ap.add_argument("--output", required=True, help="derived table path")
     ap.add_argument("--stage", required=True, choices=STAGES)
     ap.add_argument("--op", default=None,
-                    help="focal: mean|max|min|grad; "
+                    help="focal: mean|max|min|grad|slope|hillshade; "
                          "temporal: latest_valid|mean|median")
     ap.add_argument("--radius", type=int, default=1, help="focal radius")
     ap.add_argument("--strategy", default="halo",

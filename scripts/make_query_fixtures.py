@@ -25,7 +25,7 @@ PINNED = ["q30_mosaic_chunks", "q31_mosaic_last_on_top",
           "q76_overview_chunks", "q78_training_patches",
           "q104_mosaic_median", "q105_rasterize_boxes",
           "q106_focal_chunks", "q108_temporal_composite",
-          "q109_histogram_stretch"]
+          "q109_histogram_stretch", "q112_terrain"]
 FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 
@@ -62,12 +62,17 @@ def make_images_bytes_fixture(n: int = 240) -> str:
 
 
 def main():
-    make_images_bytes_fixture()
+    # optional argv filter: regenerate only the named fixtures
+    only = set(sys.argv[1:])
+    if not only:
+        make_images_bytes_fixture()
     spark = get_spark(app_name="make-query-fixtures", master="local[16]",
                       extra_conf={"spark.sql.shuffle.partitions": "16"})
     qs = entrymod.queries()
     os.makedirs(FIX, exist_ok=True)
     for name in PINNED:
+        if only and name not in only:
+            continue
         # sf dir is irrelevant for these queries (generator-derived
         # inputs) but the callable signature requires one
         pdf = qs[name](spark, "/root/testdata/sf0.001").toPandas()

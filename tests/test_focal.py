@@ -223,3 +223,26 @@ def test_global_histogram_and_stretch(spark, grid):
         assert (np.diff(luts[b][1:].astype(int)) >= 0).all()
         lo, hi = cuts[b]
         assert luts[b][lo] == 1 and luts[b][hi] == 255
+
+
+def test_terrain_ops_analytic():
+    """Horn slope/hillshade on analytic surfaces (pure numpy golden,
+    the same kernel the distributed path runs — parity with the halo
+    plan is covered by test_halo_matches_stitched_golden)."""
+    from aef_mosaic_spark.operators.focal import (
+        HILLSHADE_ALTITUDE_DEG, TERRAIN_CELLSIZE, focal_oracle_np)
+    # flat surface: slope 0 everywhere; hillshade = 255*cos(45 deg)
+    flat = np.full((1, 16, 16), 100, np.uint8)
+    s = focal_oracle_np(flat, "slope", 1)
+    h = focal_oracle_np(flat, "hillshade", 1)
+    assert (s[:, 1:-1, 1:-1] == 0).all()
+    exp_hs = int(np.floor(
+        255.0 * np.cos(np.radians(90.0 - HILLSHADE_ALTITUDE_DEG)) + 0.5))
+    assert (h[:, 1:-1, 1:-1] == exp_hs).all()
+    # uniform east-facing ramp dz/dx = 1 px per cell: slope everywhere
+    # atan(1/cellsize) in the interior
+    ramp = np.tile(np.arange(16, dtype=np.uint8), (16, 1))[None]
+    s2 = focal_oracle_np(ramp, "slope", 1)
+    exp_deg = np.degrees(np.arctan(1.0 / TERRAIN_CELLSIZE))
+    exp_px = int(np.floor(exp_deg * 255.0 / 90.0 + 0.5))
+    assert (s2[:, 1:-1, 1:-1] == exp_px).all()
