@@ -1809,6 +1809,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      + F.lit(0.5)) / 1000000).alias("retention"))
     q["q114_retention_cohorts"] = q114_retention_cohorts
 
+    def q115_temporal_trend(spark, sf):
+        # per-pixel OLS trend across the temporal mosaic stack
+        # (change detection / greening-browning): exact-integer
+        # slope law, int16 centi-units per time step; ONE groupBy on
+        # (row_idx, col_idx) — same scale shape as q108. Pinned
+        # fixture oracle.
+        from aef_mosaic_spark.operators.mosaic import temporal_trend
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return temporal_trend(chunks, grid, chunk_col="chunk") \
+            .select("row_idx", "col_idx",
+                    F.md5(F.col("slope_bytes")).alias("slope_md5"),
+                    "n_times", "fit_px")
+    q["q115_temporal_trend"] = q115_temporal_trend
+
+    def q116_aspect(spark, sf):
+        # downslope compass direction (ESRI aspect law, flat sentinel
+        # 255) over the flagship mean mosaic via the same halo-
+        # exchange focal plan as q106/q112. Pinned fixture oracle;
+        # numpy golden == distributed kernel (same code) so the q79
+        # angle-wrap hazard does not apply.
+        from aef_mosaic_spark.operators.focal import focal_chunks
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return focal_chunks(chunks, grid, op="aspect", radius=1) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
+    q["q116_aspect"] = q116_aspect
+
     return _driver_order(q)
 
 
@@ -2814,7 +2845,8 @@ def oracle_sql() -> dict[str, str]:
                    "q76_overview_chunks", "q78_training_patches",
                    "q104_mosaic_median", "q105_rasterize_boxes",
                    "q106_focal_chunks", "q108_temporal_composite",
-                   "q109_histogram_stretch", "q112_terrain"):
+                   "q109_histogram_stretch", "q112_terrain",
+                   "q115_temporal_trend", "q116_aspect"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

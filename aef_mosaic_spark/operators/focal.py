@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..grid import OutputGrid
 
-FOCAL_OPS = ("mean", "max", "min", "grad", "slope", "hillshade")
+FOCAL_OPS = ("mean", "max", "min", "grad", "slope", "hillshade", "aspect")
 
 # terrain-op constants (treating each band as an elevation surface):
 # classic 45-degree sun altitude / 315-degree (NW) azimuth defaults,
@@ -107,6 +107,22 @@ def _hillshade(pad: np.ndarray) -> np.ndarray:
     return np.floor(np.clip(hs, 0.0, 255.0) + 0.5).astype(np.uint8)
 
 
+def _aspect(pad: np.ndarray) -> np.ndarray:
+    """Downslope compass direction (ESRI/GDAL convention: 0 = north,
+    clockwise), quantized onto uint8: floor(deg * 254/360 + 0.5) in
+    0..254 (0 and 360 are both north — documented collapse), flat
+    cells (both gradients exactly 0) = sentinel 255.  No cross-engine
+    angle-wrap hazard (the q79 lesson) because the golden twin is the
+    SAME numpy code on the stitched raster."""
+    dzdx, dzdy = _horn_gradients(pad)
+    deg = np.degrees(np.arctan2(dzdy, -dzdx))
+    cell = np.where(deg < 0.0, 90.0 - deg,
+                    np.where(deg > 90.0, 450.0 - deg, 90.0 - deg))
+    flat = (dzdx == 0.0) & (dzdy == 0.0)
+    q = np.floor(cell * (254.0 / 360.0) + 0.5).astype(np.uint8)
+    return np.where(flat, np.uint8(255), q).astype(np.uint8)
+
+
 def _apply_kernel(pad: np.ndarray, op: str, r: int,
                   chh: int, chw: int) -> np.ndarray:
     if op == "grad":
@@ -115,6 +131,8 @@ def _apply_kernel(pad: np.ndarray, op: str, r: int,
         return _slope(pad)
     if op == "hillshade":
         return _hillshade(pad)
+    if op == "aspect":
+        return _aspect(pad)
     win = np.lib.stride_tricks.sliding_window_view(
         pad, (2 * r + 1, 2 * r + 1), axis=(1, 2))
     if op == "max":
@@ -148,7 +166,7 @@ def focal_chunks(chunks: DataFrame, grid: OutputGrid, op: str = "mean",
 
     if op not in FOCAL_OPS:
         raise ValueError(f"op must be one of {FOCAL_OPS}, got {op!r}")
-    if op in ("grad", "slope", "hillshade") and radius != 1:
+    if op in ("grad", "slope", "hillshade", "aspect") and radius != 1:
         raise ValueError(f"{op} is a fixed 3x3 kernel; radius must be 1")
     if radius < 1 or radius > min(grid.chunk_h, grid.chunk_w):
         raise ValueError("radius must be in [1, chunk size]")

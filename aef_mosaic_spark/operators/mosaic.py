@@ -689,6 +689,70 @@ def temporal_composite(chunks: DataFrame, grid: OutputGrid,
                        "n_times int, valid_px int")
 
 
+def temporal_trend(chunks: DataFrame, grid: OutputGrid,
+                   scale: int = 100,
+                   chunk_col: str = "chunk_bytes") -> DataFrame:
+    """Per-pixel OLS trend across the temporal mosaic stack ->
+    (row_idx, col_idx, slope_bytes, n_times, fit_px): the
+    change-detection / greening-browning workload (EO: per-pixel
+    least-squares slope of value vs acquisition year).
+
+    Exact-integer law (bit-stable across hosts, like the compositor's
+    rounding): over the NON-ZERO observations of a pixel (0 == the
+    mosaic's NODATA background),
+        num = n*S_tv - S_t*S_v,   den = n*S_tt - S_t^2   (int64)
+        slope = sign(num) * floor((2*scale*|num| + den) / (2*den))
+    i.e. half-away-up rounding of scale*num/den — 0 where den == 0
+    (fewer than 2 valid observations, or all at one time). Output
+    pixels are little-endian int16 ('<i2'): centi-units per time step
+    at the default scale. The OLS slope of uint8 values over distinct
+    integer times is bounded by +/-254, so the default scale never
+    saturates int16 (the clip is a guard for caller-raised scales).
+    fit_px counts the (band, y, x) cells with a fitted (den>0) slope.
+
+    Scale shape: identical to temporal_composite — ONE groupBy on
+    (row_idx, col_idx) moves each committed chunk across the wire
+    exactly once; group size = n_time_indices (small by construction),
+    so there is no skew story and the plan survives any raster extent.
+    """
+    import pandas as pd
+
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time_idx")
+        stack = np.stack([np.frombuffer(b, np.uint8).reshape(nb, chh, chw)
+                          for b in pdf["chunk_bytes"]]).astype(np.int64)
+        t = pdf["time_idx"].to_numpy(np.int64).reshape(-1, 1, 1, 1)
+        valid = stack > 0
+        n = valid.sum(axis=0)
+        st = (t * valid).sum(axis=0)
+        stt = (t * t * valid).sum(axis=0)
+        sv = stack.sum(axis=0)            # zeros where invalid
+        stv = (t * stack).sum(axis=0)
+        den = n * stt - st * st
+        num = n * stv - st * sv
+        safe = np.maximum(den, 1)
+        q = np.sign(num) * ((2 * scale * np.abs(num) + safe) // (2 * safe))
+        out = np.where(den > 0, np.clip(q, -32767, 32767), 0) \
+            .astype("<i2")
+        return pd.DataFrame([{
+            "row_idx": int(pdf["row_idx"].iloc[0]),
+            "col_idx": int(pdf["col_idx"].iloc[0]),
+            "slope_bytes": np.ascontiguousarray(out).tobytes(),
+            "n_times": len(pdf),
+            "fit_px": int((den > 0).sum()),
+        }])
+
+    src = chunks.select("time_idx", "row_idx", "col_idx",
+                        F.col(chunk_col).alias("chunk_bytes"))
+    return src.groupBy("row_idx", "col_idx").applyInPandas(
+        _fit, schema="row_idx int, col_idx int, slope_bytes binary, "
+                     "n_times int, fit_px int")
+
+
 def chunks_to_training_patches(chunks: DataFrame, grid: OutputGrid,
                                patch: int = 64, stride: int = 64,
                                drop_empty: bool = True,

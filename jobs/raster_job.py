@@ -33,7 +33,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGES = ("focal", "temporal", "overview", "stretch")
+STAGES = ("focal", "temporal", "overview", "stretch", "trend")
 
 
 def main(argv=None):
@@ -42,7 +42,7 @@ def main(argv=None):
     ap.add_argument("--output", required=True, help="derived table path")
     ap.add_argument("--stage", required=True, choices=STAGES)
     ap.add_argument("--op", default=None,
-                    help="focal: mean|max|min|grad|slope|hillshade; "
+                    help="focal: mean|max|min|grad|slope|hillshade|aspect; "
                          "temporal: latest_valid|mean|median")
     ap.add_argument("--radius", type=int, default=1, help="focal radius")
     ap.add_argument("--strategy", default="halo",
@@ -54,6 +54,9 @@ def main(argv=None):
                     help="stretch: low percentile over non-zero pixels")
     ap.add_argument("--p-high", type=float, default=98.0,
                     help="stretch: high percentile over non-zero pixels")
+    ap.add_argument("--scale", type=int, default=100,
+                    help="trend: integer slope scale (default centi-"
+                         "units per time step)")
     ap.add_argument("--incremental", action="store_true",
                     help="focal only: recompute just the chunks whose "
                          "source changed since the derived table's "
@@ -108,6 +111,13 @@ def main(argv=None):
             .withColumnRenamed("chunk_bytes", "chunk")
         partition_by = None
         stage_cfg.update(op=args.op)
+    elif args.stage == "trend":
+        from aef_mosaic_spark.operators.mosaic import temporal_trend
+        out_df = temporal_trend(chunks, grid, scale=args.scale,
+                                chunk_col="chunk") \
+            .withColumnRenamed("slope_bytes", "chunk")
+        partition_by = None
+        stage_cfg.update(scale=args.scale)
     elif args.stage == "stretch":
         from aef_mosaic_spark.operators.focal import histogram_stretch
         out_df = histogram_stretch(chunks, grid, p_low=args.p_low,

@@ -25,7 +25,8 @@ PINNED = ["q30_mosaic_chunks", "q31_mosaic_last_on_top",
           "q76_overview_chunks", "q78_training_patches",
           "q104_mosaic_median", "q105_rasterize_boxes",
           "q106_focal_chunks", "q108_temporal_composite",
-          "q109_histogram_stretch", "q112_terrain"]
+          "q109_histogram_stretch", "q112_terrain",
+          "q115_temporal_trend", "q116_aspect"]
 FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 

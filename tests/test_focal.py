@@ -246,3 +246,86 @@ def test_terrain_ops_analytic():
     exp_deg = np.degrees(np.arctan(1.0 / TERRAIN_CELLSIZE))
     exp_px = int(np.floor(exp_deg * 255.0 / 90.0 + 0.5))
     assert (s2[:, 1:-1, 1:-1] == exp_px).all()
+
+
+def test_aspect_analytic():
+    """Aspect on analytic ramps: downslope compass direction (0 = N,
+    clockwise), flat sentinel 255. Same-kernel parity with the halo
+    plan is covered by test_halo_matches_stitched_golden."""
+    from aef_mosaic_spark.operators.focal import focal_oracle_np
+    flat = np.full((1, 16, 16), 100, np.uint8)
+    a = focal_oracle_np(flat, "aspect", 1)
+    assert (a[:, 1:-1, 1:-1] == 255).all()
+    # elevation increasing eastward -> downslope faces west (270 deg)
+    ramp_e = np.tile(np.arange(1, 17, dtype=np.uint8), (16, 1))[None]
+    a2 = focal_oracle_np(ramp_e, "aspect", 1)
+    exp_w = int(np.floor(270.0 * 254.0 / 360.0 + 0.5))
+    assert (a2[:, 1:-1, 1:-1] == exp_w).all()
+    # elevation increasing southward (down rows) -> downslope north (0)
+    ramp_s = np.tile(np.arange(1, 17, dtype=np.uint8), (16, 1)).T[None]
+    a3 = focal_oracle_np(ramp_s, "aspect", 1)
+    assert (a3[:, 1:-1, 1:-1] == 0).all()
+
+
+def test_temporal_trend(spark, grid):
+    """temporal_trend: exact ramp recovery, NODATA masking, den==0
+    guard, and parity with a per-pixel integer-law Python reference."""
+    from aef_mosaic_spark.operators.mosaic import temporal_trend
+
+    T = 4
+    rows, stacks = [], {}
+    for ri, ci in ((0, 1), (2, 3)):
+        stack = []
+        for t in range(T):
+            rng = np.random.default_rng(t * 100 + ri * 10 + ci + 7)
+            arr = rng.integers(0, 256, (NB, CHH, CHW), dtype=np.uint8)
+            arr[:, ::5, :] = 0                       # planted NODATA
+            if t == 2:
+                arr[:, :, ::3] = 0
+            stack.append(arr)
+            rows.append({"time_idx": t, "row_idx": ri, "col_idx": ci,
+                         "chunk_bytes": arr.tobytes()})
+        stacks[(ri, ci)] = np.stack(stack)
+    # one clean linear-ramp chunk: v = 10 + 5*t everywhere
+    ramp = []
+    for t in range(T):
+        arr = np.full((NB, CHH, CHW), 10 + 5 * t, np.uint8)
+        ramp.append(arr)
+        rows.append({"time_idx": t, "row_idx": 3, "col_idx": 0,
+                     "chunk_bytes": arr.tobytes()})
+    stacks[(3, 0)] = np.stack(ramp)
+
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    got = {(r.row_idx, r.col_idx):
+           (np.frombuffer(r.slope_bytes, "<i2").reshape(NB, CHH, CHW),
+            r.n_times, r.fit_px)
+           for r in temporal_trend(sdf, grid).collect()}
+    assert set(got) == set(stacks)
+    arr, n_times, fit_px = got[(3, 0)]
+    assert n_times == T and fit_px == NB * CHH * CHW
+    assert (arr == 500).all()                        # exact 5.0/step
+
+    for key, stack in stacks.items():
+        exp = np.zeros((NB, CHH, CHW), np.int64)
+        nfit = 0
+        for b in range(NB):
+            for y in range(CHH):
+                for x in range(CHW):
+                    pts = [(t, int(stack[t, b, y, x])) for t in range(T)
+                           if stack[t, b, y, x] > 0]
+                    n = len(pts)
+                    st = sum(t for t, _ in pts)
+                    stt = sum(t * t for t, _ in pts)
+                    sv = sum(v for _, v in pts)
+                    stv = sum(t * v for t, v in pts)
+                    den = n * stt - st * st
+                    if den <= 0:
+                        continue
+                    nfit += 1
+                    num = n * stv - st * sv
+                    sgn = 1 if num >= 0 else -1
+                    exp[b, y, x] = sgn * ((200 * abs(num) + den)
+                                         // (2 * den))
+        arr, n_times, fit_px = got[key]
+        assert n_times == T and fit_px == nfit
+        assert np.array_equal(arr.astype(np.int64), exp), key
