@@ -1840,6 +1840,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
     q["q116_aspect"] = q116_aspect
 
+    def q117_bloom_decontamination(spark, sf):
+        # q59's benchmark-contamination scan with the exact broadcast
+        # set replaced by its FIXED-SIZE Bloom filter (8 KB: 1024
+        # 32-bit registers, k=3 h32 probes) — zero false negatives,
+        # so the flag set is a measured superset of q59's; the
+        # decontamination state stays O(1) however many benchmarks
+        # are pooled. Identical filter built in the DuckDB twin.
+        from aef_mosaic_spark.functions.bloom import bloom_contamination
+        return bloom_contamination(_pq(spark, sf, "documents"))
+    q["q117_bloom_decontamination"] = q117_bloom_decontamination
+
     return _driver_order(q)
 
 
@@ -2972,6 +2983,8 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.functions.lm import bigram_perplexity_sql
     o["q113_bigram_perplexity"] = bigram_perplexity_sql(
         "documents", "doc_id", "text")
+    from aef_mosaic_spark.functions.bloom import bloom_contamination_sql
+    o["q117_bloom_decontamination"] = bloom_contamination_sql("documents")
     o["q111_heavy_hitters"] = cms_heavy_hitters_sql(
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))"
         " AS value FROM documents)", k=20)

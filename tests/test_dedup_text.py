@@ -562,3 +562,54 @@ def test_bm25_topk_hand_values(spark):
         assert r["n_terms"] == n_terms
         assert r["score"] == sq / 1e12
         assert r["rk"] == order.index(r["doc_id"]) + 1
+
+
+def test_bloom_decontamination_superset_and_mergeable(spark):
+    """Bloom decontamination: (a) ZERO false negatives vs the exact
+    q59 semi-join — every truly-contaminated doc is flagged with
+    n_hits >= its exact shared-fp count; (b) bounded register table;
+    (c) bit_or merge of two shard builds == build of the union."""
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.functions.bloom import (BLOOM_M_BITS,
+                                                  bloom_build,
+                                                  bloom_contamination)
+    from aef_mosaic_spark.functions.text import (winnow_grams_col,
+                                                 winnow_mins_col)
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .where(F.col("doc_id") % 3 == 0)     # keep the test cheap
+    got = {r.doc_id: (r.n_fp, r.n_hits, r.contaminated)
+           for r in bloom_contamination(d).collect()}
+
+    g = d.select("doc_id", winnow_grams_col(F.col("text")).alias("_g"))
+    fp = g.select("doc_id",
+                  F.explode(winnow_mins_col(F.col("_g"))).alias("fp")) \
+        .distinct().persist()
+    bench = fp.where(F.col("doc_id") % 17 == 3) \
+        .select(F.col("fp").alias("bfp")).distinct()
+    exact = {r.doc_id: r.n
+             for r in fp.where(F.col("doc_id") % 17 != 3)
+             .join(F.broadcast(bench), fp.fp == F.col("bfp"), "left_semi")
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+
+    assert got, "no probed docs"
+    for doc, n in exact.items():            # no false negatives
+        assert got[doc][2] == 1 and got[doc][1] >= n, doc
+    flagged = {k for k, v in got.items() if v[2] == 1}
+    fp_rate = (len(flagged) - len(exact)) / max(len(got), 1)
+    assert set(exact) <= flagged and fp_rate < 0.5, fp_rate
+
+    regs = bloom_build(bench.select(F.col("bfp").alias("fp")))
+    assert regs.count() <= BLOOM_M_BITS // 32
+    # mergeability: shard the bench set, build twice, bit_or-merge
+    a = bloom_build(bench.where(F.col("bfp") % 2 == 0)
+                    .select(F.col("bfp").alias("fp")))
+    b = bloom_build(bench.where(F.col("bfp") % 2 != 0)
+                    .select(F.col("bfp").alias("fp")))
+    merged = {r.reg: r.val for r in
+              a.unionByName(b).groupBy("reg")
+              .agg(F.expr("bit_or(val)").alias("val")).collect()}
+    whole = {r.reg: r.val for r in regs.collect()}
+    assert merged == whole
