@@ -1851,6 +1851,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bloom_contamination(_pq(spark, sf, "documents"))
     q["q117_bloom_decontamination"] = q117_bloom_decontamination
 
+    def q118_log2_quantiles(spark, sf):
+        # mergeable log2-bucket quantile sketch (HdrHistogram /
+        # DDSketch gamma=2): per-lang p50/p90/p99 of n_chars with a
+        # guaranteed 2x bound, bucket = exact integer bit-length (no
+        # float log in either engine), O(64) state per group — the
+        # shuffle-free quantile a 100 TB profile pass needs.
+        from aef_mosaic_spark.functions.sketches import log2_quantiles
+        docs = _pq(spark, sf, "documents")
+        return log2_quantiles(docs, ["lang"], "n_chars")
+    q["q118_log2_quantiles"] = q118_log2_quantiles
+
     return _driver_order(q)
 
 
@@ -2985,6 +2996,9 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id", "text")
     from aef_mosaic_spark.functions.bloom import bloom_contamination_sql
     o["q117_bloom_decontamination"] = bloom_contamination_sql("documents")
+    from aef_mosaic_spark.functions.sketches import log2_quantiles_sql
+    o["q118_log2_quantiles"] = log2_quantiles_sql(
+        "documents", ["lang"], "n_chars")
     o["q111_heavy_hitters"] = cms_heavy_hitters_sql(
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))"
         " AS value FROM documents)", k=20)

@@ -248,3 +248,85 @@ def cms_heavy_hitters_sql(occurrences: str, k: int = 20, d: int = 4,
     SELECT value, est_count, exact_count FROM est
     ORDER BY est_count DESC, value ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucket quantile histogram (HdrHistogram / DDSketch-with-gamma-2)
+# ---------------------------------------------------------------------------
+# An exact quantile needs a global sort (or an exact histogram of the
+# full value domain); this sketch buckets every positive integer value
+# by floor(log2(v)) — computed EXACTLY as length(bin(v)) - 1 in both
+# engines, no float log anywhere — giving a guaranteed 2x relative
+# error bound (the returned estimate `est_lo` = 2^bucket satisfies
+# est_lo <= true order statistic < 2*est_lo) with O(64) state per
+# group.  Like the HLL/CMS sketches above the bucket table is the
+# mergeable state: counts add, so per-partition / per-day histograms
+# roll up without rescanning (tested).  Quantile rule (deterministic,
+# integer-only): the answer bucket is the smallest bucket whose
+# cumulative count reaches ceil(q/100 * total).
+# References: Dynamic histograms in HdrHistogram (Tene), DDSketch
+# (Masson et al., VLDB 2019) — this is the gamma=2 special case whose
+# bucket index is exact integer bit-length.
+
+
+def log2_histogram(df: DataFrame, group_cols: list[str],
+                   value_col: str) -> DataFrame:
+    """Mergeable per-group log2 bucket counts -> (group_cols...,
+    bucket, cnt).  Values must be >= 1 (raise upstream or filter;
+    bucket = bit_length - 1)."""
+    b = (F.length(F.expr(f"bin({value_col})")) - 1).alias("bucket")
+    return (df.groupBy(*group_cols, b)
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def log2_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
+                   qs: tuple = (50, 90, 99)) -> DataFrame:
+    """Quantile estimates from the log2 sketch -> (group_cols..., q,
+    bucket, est_lo): est_lo = 2^bucket, the guaranteed-within-2x lower
+    bound of the ceil-rank order statistic."""
+    from pyspark.sql import Window
+
+    hist = log2_histogram(df, group_cols, value_col)
+    w = (Window.partitionBy(*group_cols).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)) \
+        .withColumn("total", F.sum("cnt").over(
+            Window.partitionBy(*group_cols)))
+    quants = F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q")
+    probe = cum.select(*group_cols, "bucket", "cum", "total", quants)
+    need = F.expr("(total * q + 99) div 100")
+    ans = (probe.where(F.col("cum") >= need)
+           .groupBy(*group_cols, "q")
+           .agg(F.min("bucket").cast("int").alias("bucket")))
+    return ans.select(*group_cols, "q", "bucket",
+                      F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+                      .alias("est_lo"))
+
+
+def log2_quantiles_sql(source: str, group_cols: list[str],
+                       value_expr: str, qs: tuple = (50, 90, 99)) -> str:
+    """DuckDB twin of log2_quantiles over `source` (table name or
+    parenthesized subquery)."""
+    gc = ", ".join(group_cols)
+    qlist = ", ".join(str(int(q)) for q in qs)
+    return f"""
+    WITH hist AS (
+        SELECT {gc}, (length(bin({value_expr})) - 1)::INT AS bucket,
+               count(*)::BIGINT AS cnt
+        FROM {source} GROUP BY {gc}, bucket),
+    cum AS (
+        SELECT {gc}, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY {gc} ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+               sum(cnt) OVER (PARTITION BY {gc})::BIGINT AS total
+        FROM hist),
+    probe AS (
+        SELECT {gc}, bucket, cum, total, q
+        FROM cum, (SELECT unnest([{qlist}]) AS q)),
+    ans AS (
+        SELECT {gc}, q, min(bucket)::INT AS bucket
+        FROM probe WHERE cum >= (total * q + 99) // 100
+        GROUP BY {gc}, q)
+    SELECT {gc}, q, bucket, (1::BIGINT << bucket)::BIGINT AS est_lo
+    FROM ans
+    """

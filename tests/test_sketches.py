@@ -104,3 +104,40 @@ def test_hll_plan_is_jvm_only(spark, events):
     plan = hll_distinct(df, ["event_type"], "v")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_log2_quantiles_bound_and_merge(spark):
+    """log2 sketch: (a) est_lo <= ceil-rank order statistic <
+    2*est_lo for every (group, q); (b) sharded histograms merge by
+    count addition into the whole-corpus histogram."""
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.functions.sketches import (log2_histogram,
+                                                     log2_quantiles)
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {(r.lang, r.q): (r.bucket, r.est_lo)
+           for r in log2_quantiles(d, ["lang"], "n_chars").collect()}
+    vals = {}
+    for r in d.select("lang", "n_chars").collect():
+        vals.setdefault(r.lang, []).append(r.n_chars)
+    for lang, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        for q in (50, 90, 99):
+            need = (n * q + 99) // 100
+            exact = vs[need - 1]
+            bucket, est_lo = got[(lang, q)]
+            assert est_lo == 1 << bucket
+            assert est_lo <= exact < 2 * est_lo, (lang, q, exact, est_lo)
+
+    whole = {(r.lang, r.bucket): r.cnt
+             for r in log2_histogram(d, ["lang"], "n_chars").collect()}
+    a = log2_histogram(d.where(F.col("doc_id") % 2 == 0),
+                       ["lang"], "n_chars")
+    b = log2_histogram(d.where(F.col("doc_id") % 2 != 0),
+                       ["lang"], "n_chars")
+    merged = {(r.lang, r.bucket): r.cnt
+              for r in a.unionByName(b).groupBy("lang", "bucket")
+              .agg(F.sum("cnt").cast("long").alias("cnt")).collect()}
+    assert merged == whole
