@@ -1862,6 +1862,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return log2_quantiles(docs, ["lang"], "n_chars")
     q["q118_log2_quantiles"] = q118_log2_quantiles
 
+    def q119_domain_pagerank(spark, sf):
+        # domain-authority PageRank (curation quality prior): exact
+        # integer power method, 5 fixed iterations, deterministic
+        # h32-derived link graph over the source column; one
+        # equi-join + one groupBy(dst) per iteration with the rank
+        # table partitioned by node — the distributed shape at any
+        # domain count.
+        from aef_mosaic_spark.operators.graph import domain_pagerank
+        return domain_pagerank(_pq(spark, sf, "documents"))
+    q["q119_domain_pagerank"] = q119_domain_pagerank
+
     return _driver_order(q)
 
 
@@ -2999,6 +3010,8 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.functions.sketches import log2_quantiles_sql
     o["q118_log2_quantiles"] = log2_quantiles_sql(
         "documents", ["lang"], "n_chars")
+    from aef_mosaic_spark.operators.graph import domain_pagerank_sql
+    o["q119_domain_pagerank"] = domain_pagerank_sql("documents")
     o["q111_heavy_hitters"] = cms_heavy_hitters_sql(
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))"
         " AS value FROM documents)", k=20)

@@ -1,0 +1,53 @@
+"""Fixed-iteration integer PageRank: hand-computed parity, mass
+conservation, and the deterministic domain-link graph law."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.operators.graph import (PR_SCALE, domain_link_edges,
+                                              domain_pagerank, pagerank)
+
+
+def test_pagerank_hand_computed(spark):
+    # A->B(1), A->C(1), B->C(1), C->A(1); scale 1000, one iteration:
+    # scale//3 = 333, base = 15*333//100 = 49
+    # shares: A 333//2=166, B 333, C 333
+    # in: A=333, B=166, C=166+333=499
+    # r1: A=49+283=332, B=49+141=190, C=49+424=473
+    edges = spark.createDataFrame(pd.DataFrame([
+        {"src": "A", "dst": "B", "w": 1},
+        {"src": "A", "dst": "C", "w": 1},
+        {"src": "B", "dst": "C", "w": 1},
+        {"src": "C", "dst": "A", "w": 1},
+    ]))
+    got = {r.node: r.rank_scaled
+           for r in pagerank(edges, iters=1, scale=1000).collect()}
+    assert got == {"A": 332, "B": 190, "C": 473}
+
+
+def test_pagerank_mass_conservation_and_determinism(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r1 = {r.node: r.rank_scaled for r in domain_pagerank(d).collect()}
+    r2 = {r.node: r.rank_scaled for r in domain_pagerank(d).collect()}
+    assert r1 == r2 and len(r1) > 1
+    total = sum(r1.values())
+    # integer floors only ever lose mass: never above scale, and the
+    # loss is bounded by ~2 units per node per iteration stage
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE - len(r1) * 5 * 200
+    assert all(v > 0 for v in r1.values())
+
+
+def test_domain_link_edges_law(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    e = domain_link_edges(d)
+    # every document emits exactly one link: out-weight == doc count
+    out = {r.src: r.total
+           for r in e.groupBy("src")
+           .agg(F.sum("w").cast("long").alias("total")).collect()}
+    cnt = {r.source: r.n for r in
+           d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert out == cnt
+    # dsts are a subset of the node set
+    nodes = {r.source for r in d.select("source").distinct().collect()}
+    assert {r.dst for r in e.select("dst").distinct().collect()} <= nodes
