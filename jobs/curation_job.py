@@ -96,6 +96,17 @@ def main(argv=None):
                     help="instead of (or before) dropping, CUT "
                          "duplicated 8-gram regions from every doc "
                          "except the min-id owner (Lee 2022 part 2)")
+    ap.add_argument("--decontaminate", default=None,
+                    choices=("exact", "bloom"),
+                    help="drop docs sharing a winnowing fingerprint "
+                         "with the benchmark set: exact = broadcast "
+                         "semi-join of the full fp set; bloom = fixed "
+                         "8 KB filter (superset, zero false negatives)")
+    ap.add_argument("--bench-fp", default=None, metavar="PARQUET",
+                    help="benchmark fingerprint table (column `fp`); "
+                         "default: the deterministic doc_id%%17==3 "
+                         "stand-in slice (which flags itself and is "
+                         "dropped too)")
     ap.add_argument("--dedup", action="store_true",
                     help="near-dup clusters; keep best-quality member")
     ap.add_argument("--threshold", type=float, default=0.8)
@@ -125,6 +136,8 @@ def main(argv=None):
                          "exit without reading data or committing")
     args = ap.parse_args(argv)
     budgets = _parse_budgets(args.budget)
+    if args.bench_fp and not args.decontaminate:
+        ap.error("--bench-fp requires --decontaminate")
     n_dsir_modes = sum(x is not None
                        for x in (args.min_dsir_weight,
                                  args.dsir_sample_k))
@@ -149,6 +162,29 @@ def main(argv=None):
     spark = SparkSession.builder.getOrCreate()
     t0 = time.time()
     idc, txt = args.id_col, args.text_col
+
+    def _decon_stage(d):
+        # decontamination: shared by the run and --analyze paths
+        from aef_mosaic_spark.functions.bloom import (bloom_build,
+                                                      bloom_probe)
+        g = d.select(F.col(idc).alias("_did"),
+                     T.winnow_grams_col(F.col(txt)).alias("_g"))
+        fps = g.select("_did", F.explode(
+            T.winnow_mins_col(F.col("_g"))).alias("fp")).distinct()
+        if args.bench_fp:
+            bench = spark.read.parquet(args.bench_fp) \
+                .select("fp").distinct()
+        else:
+            bench = fps.where(F.col("_did") % 17 == 3) \
+                .select("fp").distinct()
+        if args.decontaminate == "exact":
+            bad = (fps.join(F.broadcast(bench), "fp", "left_semi")
+                   .select(F.col("_did").alias(idc)).distinct())
+        else:
+            probed = bloom_probe(fps, bloom_build(bench))
+            bad = (probed.where(F.col("bloom_hit") == 1)
+                   .select(F.col("_did").alias(idc)).distinct())
+        return d.join(bad, idc, "left_anti")
 
     _prev = []
 
@@ -204,6 +240,9 @@ def main(argv=None):
             rep["dedup"] = ("iterative: minhash-LSH candidates -> exact "
                             "verify -> connected components "
                             "(localCheckpoint per round)")
+        if args.decontaminate:
+            d = _decon_stage(d)
+            rep["decontaminate"] = shape(d)
         if args.spatial_cap is not None:
             kept = spatially_balanced_sample(
                 d, idc, args.lon_col, args.lat_col,
@@ -268,6 +307,8 @@ def main(argv=None):
                     .where("_rn = 1").select(idc))
             return d.join(keep, idc, "left_semi")
         stage_list.append(("after_dedup", _dedup_stage))
+    if args.decontaminate:
+        stage_list.append(("after_decontaminate", _decon_stage))
     if args.spatial_cap is not None:
         def _spatial_stage(d):
             kept = spatially_balanced_sample(
@@ -303,6 +344,7 @@ def main(argv=None):
         "max_dup_ratio": args.max_dup_ratio,
         "clean_spans": args.clean_spans, "dedup": args.dedup,
         "threshold": args.threshold, "budgets": budgets,
+        "decontaminate": args.decontaminate, "bench_fp": args.bench_fp,
         "default_budget": args.default_budget,
         "spatial_cap": args.spatial_cap,
         "spatial_res": args.spatial_res if args.spatial_cap else None,

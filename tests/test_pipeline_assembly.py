@@ -614,3 +614,65 @@ def test_curation_job_gopher_and_dsir_stages(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", src, "--output", out, "--dsir-target", "en",
               "--min-dsir-weight", "0.0", "--dsir-sample-k", "5"])
+
+
+def test_curation_job_decontaminate(spark, tmp_path):
+    """--decontaminate: exact drops the benchmark slice + overlapping
+    docs; bloom keeps a SUBSET of exact's kept set (superset of
+    flags, zero false negatives); --bench-fp routes an external
+    fingerprint table in."""
+    import contextlib
+    import io
+    import json
+
+    from jobs.curation_job import main
+    from aef_mosaic_spark.functions.text import (winnow_grams_col,
+                                                 winnow_mins_col)
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    bench_text = "benchmark passage alpha beta gamma delta epsilon"
+    rows = []
+    for i in range(40):
+        if i % 17 == 3:                       # benchmark stand-in slice
+            text = bench_text + f" zz{i:03d}"
+        elif i == 5:                          # contaminated: shares >11
+            text = "prefix words benchmark passage alpha beta tail"
+        else:                                 # index-salted: no overlap
+            text = f"aa{i:03d} bb{i:03d} cc{i:03d} dd{i:03d} ee{i:03d}"
+        rows.append((i, "A", text))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .write.parquet(src)
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert main(argv) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    kept = {}
+    for mode in ("exact", "bloom"):
+        out = str(tmp_path / f"cur_{mode}")
+        m = run(["--input", src, "--output", out,
+                 "--decontaminate", mode])
+        assert "after_decontaminate" in m["funnel"]
+        kept[mode] = {r.doc_id
+                      for r in Icelite(out).read(spark).collect()}
+    bench_ids = {i for i in range(40) if i % 17 == 3}
+    assert kept["exact"] == set(range(40)) - bench_ids - {5}
+    assert kept["bloom"] <= kept["exact"]
+
+    # external benchmark table: only doc 3's fingerprints
+    import pyspark.sql.functions as F
+    fp_path = str(tmp_path / "bench_fp.parquet")
+    d = spark.createDataFrame([(3, bench_text + " zz003")],
+                              "doc_id long, text string")
+    (d.select(winnow_grams_col(F.col("text")).alias("_g"))
+     .select(F.explode(winnow_mins_col(F.col("_g"))).alias("fp"))
+     .distinct().write.parquet(fp_path))
+    out = str(tmp_path / "cur_ext")
+    run(["--input", src, "--output", out,
+         "--decontaminate", "exact", "--bench-fp", fp_path])
+    kept_ext = {r.doc_id for r in Icelite(out).read(spark).collect()}
+    # docs sharing fps with doc 3: the other bench docs + doc 5
+    assert kept_ext == set(range(40)) - bench_ids - {5}
