@@ -1873,6 +1873,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return domain_pagerank(_pq(spark, sf, "documents"))
     q["q119_domain_pagerank"] = q119_domain_pagerank
 
+    def q120_sessionization(spark, sf):
+        # gap-based sessionization (30-min gap) + per-session stats:
+        # ONE hash exchange on user_id serves both the windows and the
+        # final groupBy; full SQL twin (integer epoch-second +
+        # micro-unit value law, operators/sessions.py)
+        from aef_mosaic_spark.operators.sessions import session_stats
+        return session_stats(_pq(spark, sf, "events"))
+    q["q120_sessionization"] = q120_sessionization
+
+    def q121_tile_keys(spark, sf):
+        # web-mercator slippy z/x/y + unrolled morton key from raw
+        # lon/lat: microdegree-integer x, 1e-7-quantized mercator y
+        # (functions/tiles.py) — zero-exchange, rides the scan
+        from aef_mosaic_spark.functions.tiles import with_tile_keys
+        return with_tile_keys(_points(spark, sf)) \
+            .select("point_id", "tile_x", "tile_y", "morton")
+    q["q121_tile_keys"] = q121_tile_keys
+
+    def q122_source_drift(spark, sf):
+        # per-source Jensen-Shannon unigram drift vs rest-of-corpus in
+        # integer micro-nats (functions/drift.py): vocab-bound aggs,
+        # exact-integer ratio into one quantized ln per (source, word)
+        from aef_mosaic_spark.functions.drift import source_js_drift
+        return source_js_drift(_pq(spark, sf, "documents"))
+    q["q122_source_drift"] = q122_source_drift
+
+    def q123_temporal_change(spark, sf):
+        # bi-temporal per-pixel change detection between the two
+        # flagship mosaic years: pushed time filter + ONE groupBy on
+        # (row, col), group size <= 2; pinned-fixture oracle
+        from aef_mosaic_spark.operators.mosaic import temporal_change
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return temporal_change(chunks, grid, time_a=0, time_b=1,
+                               threshold=4, chunk_col="chunk") \
+            .select("row_idx", "col_idx", "valid_px", "changed_px",
+                    "mad_milli",
+                    F.md5(F.col("mask_bytes")).alias("mask_md5"))
+    q["q123_temporal_change"] = q123_temporal_change
+
     return _driver_order(q)
 
 
@@ -3015,6 +3056,17 @@ def oracle_sql() -> dict[str, str]:
     o["q111_heavy_hitters"] = cms_heavy_hitters_sql(
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))"
         " AS value FROM documents)", k=20)
+
+    from aef_mosaic_spark.operators.sessions import session_stats_sql
+    o["q120_sessionization"] = session_stats_sql("events")
+    from aef_mosaic_spark.functions.tiles import tile_keys_sql
+    o["q121_tile_keys"] = tile_keys_sql(
+        f"({POINT_SQL})", "point_id", "lon", "lat")
+    from aef_mosaic_spark.functions.drift import source_js_drift_sql
+    o["q122_source_drift"] = source_js_drift_sql("documents")
+    o["q123_temporal_change"] = (
+        f"SELECT * FROM read_parquet("
+        f"'{_FIXTURE_DIR}/golden_q123_temporal_change.parquet')")
 
     return o
 

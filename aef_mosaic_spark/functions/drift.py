@@ -1,0 +1,154 @@
+"""Corpus drift detection — per-source Jensen-Shannon divergence of
+unigram distributions against the rest of the corpus, in integer
+micro-nats.
+
+The dataset-shift monitor of a training-data pipeline: a crawl slice
+/ new source whose token distribution diverges from the corpus is
+flagged before it trains. JSD (Lin 1991) is the standard symmetric,
+bounded ([0, ln 2]) choice:
+
+    JSD(P, Q) = 0.5 KL(P || M) + 0.5 KL(Q || M),  M = (P + Q) / 2
+
+with P = source unigram dist, Q = rest-of-corpus unigram dist.
+
+Exact-parity law (the lm.py micro-nat recipe): each word's log-ratio
+ln(p/m) is computed from an EXACT integer ratio — p/m = 2*c_s*T_r /
+(c_s*T_r + c_r*T_s) where c = word count, T = source total, both
+BIGINT products — through one correctly-rounded double division, then
+quantized to integer micro-nats (floor(ln(r)*1e6+0.5)), weighted by
+the integer count, summed as BIGINT (order-free), and normalized with
+integer half-up division. The only cross-engine hazard is a <=1-ulp
+libm-vs-java.lang.Math ln() divergence flipping a floor at a .5
+boundary — probability ~1e-9 per word (the same exposure q113 carries
+green at three scale factors).
+
+Scale shape: explode -> ONE groupBy (source, word) -> vocab-sized
+tables; the source x vocab grid is |sources| * |vocab| rows (built
+with a broadcast of per-source totals), and every downstream agg is
+vocab-bound, never corpus-bound. Zero UDFs, zero Python stages.
+
+Overflow bound: the c*T products must stay < 2^63, which holds
+through ~1e9-count words against ~1e9-token totals (1e18 < 9.2e18);
+at true 100 TB scale (totals ~1e12) divide both totals by a common
+2^k first — the ratio law is scale-invariant (documented contract,
+same class as the bloom/sketch register bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lnq_spark(num: str, den: str) -> str:
+    return (f"CAST(floor(ln(CAST({num} AS DOUBLE) / "
+            f"CAST({den} AS DOUBLE)) * 1000000 + 0.5d) AS BIGINT)")
+
+
+def _lnq_duck(num: str, den: str) -> str:
+    return (f"(floor(ln(({num})::DOUBLE / ({den})::DOUBLE) "
+            f"* 1000000 + 0.5e0))::BIGINT")
+
+
+def source_js_drift(docs: DataFrame, source_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """-> (source, n_tokens, n_words, kl_src_micro, kl_rest_micro,
+    jsd_micro) — one row per source; jsd_micro in [0, ln2 * 1e6]."""
+    toks = (docs.select(F.col(source_col).alias("source"),
+                        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                          r"\s+")).alias("w"))
+                .where(F.col("w") != ""))
+    cnt = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c_s"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c_s").alias("t_s"),
+        F.count(F.lit(1)).alias("n_words"))
+    glob = cnt.groupBy("w").agg(F.sum("c_s").alias("c_g"))
+    gtot = cnt.agg(F.sum("c_s").alias("t_g"))
+
+    # source x vocab grid: every (source, word) with the word's global
+    # count; own count defaults 0. glob (vocab-sized) streams; the
+    # per-source totals + grand total ride in broadcast.
+    grid = glob.crossJoin(
+        F.broadcast(tot.crossJoin(gtot)))
+    g = (grid.join(cnt, ["source", "w"], "left")
+             .select("source", "w", "t_s", "n_words",
+                     F.coalesce(F.col("c_s"), F.lit(0).cast("long"))
+                     .alias("c_s"),
+                     (F.col("c_g")
+                      - F.coalesce(F.col("c_s"), F.lit(0))).alias("c_r"),
+                     (F.col("t_g") - F.col("t_s")).alias("t_r")))
+
+    den = "(c_s * t_r + c_r * t_s)"
+    term_s = (f"CASE WHEN c_s > 0 THEN c_s * "
+              f"{_lnq_spark(f'2 * c_s * t_r', den)} ELSE 0L END")
+    term_r = (f"CASE WHEN c_r > 0 THEN c_r * "
+              f"{_lnq_spark(f'2 * c_r * t_s', den)} ELSE 0L END")
+    agg = (g.withColumn("_ts", F.expr(term_s))
+            .withColumn("_tr", F.expr(term_r))
+            .groupBy("source")
+            .agg(F.max("t_s").alias("n_tokens"),
+                 F.max("n_words").alias("n_words"),
+                 F.max("t_r").alias("_t_r"),
+                 F.sum("_ts").alias("_ss"),
+                 F.sum("_tr").alias("_sr")))
+    # half-up integer division; numerators are >= -D/2 by the
+    # quantization error bound, so (2N + D) div (2D) is safe
+    return agg.select(
+        "source", "n_tokens", "n_words",
+        F.expr("(2 * _ss + n_tokens) div (2 * n_tokens)")
+        .alias("kl_src_micro"),
+        F.expr("(2 * _sr + _t_r) div (2 * _t_r)").alias("kl_rest_micro"),
+    ).withColumn(
+        "jsd_micro",
+        F.expr("(kl_src_micro + kl_rest_micro + 1) div 2"))
+
+
+def source_js_drift_sql(table: str = "documents",
+                        source_col: str = "source",
+                        text_col: str = "text") -> str:
+    """DuckDB twin — identical integer law, CTE-materialized grid."""
+    den = "(c_s * t_r + c_r * t_s)"
+    term_s = (f"CASE WHEN c_s > 0 THEN c_s * "
+              f"{_lnq_duck('2 * c_s * t_r', den)} ELSE 0 END")
+    term_r = (f"CASE WHEN c_r > 0 THEN c_r * "
+              f"{_lnq_duck('2 * c_r * t_s', den)} ELSE 0 END")
+    return f"""
+    WITH toks AS (
+      SELECT * FROM (
+        SELECT {source_col} AS source,
+               unnest(string_split_regex(lower(trim({text_col})),
+                                         '\\s+')) AS w
+        FROM {table})
+      WHERE w <> ''),
+    cnt AS (SELECT source, w, count(*)::BIGINT AS c_s
+            FROM toks GROUP BY source, w),
+    tot AS (SELECT source, sum(c_s)::BIGINT AS t_s,
+                   count(*)::BIGINT AS n_words
+            FROM cnt GROUP BY source),
+    gcnt AS (SELECT w, sum(c_s)::BIGINT AS c_g FROM cnt GROUP BY w),
+    gtot AS (SELECT sum(c_s)::BIGINT AS t_g FROM cnt),
+    grid AS (
+      SELECT t.source, t.t_s, t.n_words, gt.t_g, gl.w, gl.c_g,
+             coalesce(c.c_s, 0)::BIGINT AS c_s
+      FROM tot t CROSS JOIN gtot gt CROSS JOIN gcnt gl
+      LEFT JOIN cnt c ON c.source = t.source AND c.w = gl.w),
+    g AS (SELECT source, w, t_s, n_words, c_s,
+                 c_g - c_s AS c_r, t_g - t_s AS t_r
+          FROM grid),
+    terms AS (SELECT source, t_s, n_words, t_r,
+                     {term_s} AS ts_, {term_r} AS tr_
+              FROM g),
+    agg AS (SELECT source, max(t_s) AS n_tokens,
+                   max(n_words) AS n_words, max(t_r) AS t_r_,
+                   sum(ts_)::BIGINT AS ss_, sum(tr_)::BIGINT AS sr_
+            FROM terms GROUP BY source),
+    kl AS (SELECT source, n_tokens, n_words,
+                  (2 * ss_ + n_tokens) // (2 * n_tokens)
+                    AS kl_src_micro,
+                  (2 * sr_ + t_r_) // (2 * t_r_) AS kl_rest_micro
+           FROM agg)
+    SELECT source, n_tokens, n_words, kl_src_micro, kl_rest_micro,
+           (kl_src_micro + kl_rest_micro + 1) // 2 AS jsd_micro
+    FROM kl
+    """

@@ -1,0 +1,122 @@
+"""Web-mercator XYZ tile addressing (slippy-map z/x/y + morton key)
+as Column exprs with exact DuckDB twins.
+
+The tile grid is the public OSM/slippy scheme: at zoom z the world is
+2^z x 2^z tiles; x = floor((lon+180)/360 * 2^z); y from the mercator
+projection ln(tan(pi/4 + lat/2)). This is the key a tile-serving /
+tile-sharded layout partitions on — same role as the reference's
+internal chunk keyspace (src/index/output_grid.rs behavior), web-tile
+law instead of a projected chunk grid.
+
+Exact-parity recipe (the q79 family, pushed further):
+ 1. lon/lat quantize to integer MICRODEGREES first (exact in both
+    engines: floor(v*1e6+0.5)::BIGINT).
+ 2. x is then PURE integer math: (ilon + 180e6) * 2^z // 360e6 —
+    bit-exact, no float anywhere (2^z * 360e6 < 2^63 for z <= 34).
+ 3. y needs one transcendental (ln∘tan) evaluated on the QUANTIZED
+    lat; the resulting [0,1] fraction is quantized to 1e-7 half-up
+    into an integer BEFORE the tile multiply, so a few-ulp libm vs
+    java.lang.Math divergence cannot flip floor() at a tile boundary
+    (boundary-adjacent quotients are >= 1e-7 away by construction).
+ 4. the morton key is an UNROLLED sum of (bit << position) terms
+    generated per-dialect in Python — no lambdas (DuckDB re-evaluates
+    inlined list exprs per call), no column-valued shift counts
+    (PySpark Column-API gotcha), just 2*z literal-shift terms that
+    whole-stage codegen folds into one expression.
+
+Scale: zero-exchange, zero-UDF — rides the scan; the morton key is a
+range-partition / clustering key (locality like grid.hilbert_d, but
+addressable from raw lon/lat with no grid object).
+
+Both dialects are generated from ONE template; the only divergences
+are integer division (`div` vs `//`) and shift spelling
+(shiftleft/shiftright functions vs `<<`/`>>` operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_ZOOM = 12
+
+# web-mercator validity: |lat| <= atan(sinh(pi)) = 85.05112878 deg
+MAX_LAT_MICRO = 85_051_128
+
+
+def _texprs(lon_sql: str, lat_sql: str, zoom: int,
+            dialect: str) -> dict[str, str]:
+    """tile_x / tile_y / morton SQL strings for one dialect
+    ('spark' | 'duckdb') from lon/lat column expressions."""
+    n = 1 << zoom
+    if dialect == "spark":
+        def idiv(a, b):
+            return f"(({a}) div {b})"
+        def shl(a, k):
+            return f"shiftleft({a}, {k})"
+        def shr(a, k):
+            return f"shiftright({a}, {k})"
+    elif dialect == "duckdb":
+        def idiv(a, b):
+            return f"(({a}) // {b})"
+        def shl(a, k):
+            return f"(({a}) << {k})"
+        def shr(a, k):
+            return f"(({a}) >> {k})"
+    else:
+        raise ValueError(dialect)
+
+    ilon = f"(floor(({lon_sql}) * 1000000 + 0.5e0))::BIGINT" \
+        if dialect == "duckdb" else \
+        f"CAST(floor(({lon_sql}) * 1000000 + 0.5d) AS BIGINT)"
+    ilat_raw = f"(floor(({lat_sql}) * 1000000 + 0.5e0))::BIGINT" \
+        if dialect == "duckdb" else \
+        f"CAST(floor(({lat_sql}) * 1000000 + 0.5d) AS BIGINT)"
+    ilat = (f"greatest(least({ilat_raw}, {MAX_LAT_MICRO}), "
+            f"{-MAX_LAT_MICRO})")
+
+    tx = f"least({idiv(f'({ilon} + 180000000) * {n}', 360000000)}, " \
+         f"{n - 1})"
+    # mercator y fraction in [0,1], quantized 1e-7 before the tile
+    # multiply; floor() then exact integer division in BOTH engines
+    # (never ::BIGINT on a raw double — DuckDB rounds, Spark truncates)
+    yfrac = (f"(1e0 - ln(tan(pi()/4 + (({ilat}) / 1000000e0) "
+             f"* pi()/360e0)) / pi()) / 2e0")
+    yq = f"(floor(({yfrac}) * 10000000 + 0.5e0))::BIGINT" \
+        if dialect == "duckdb" else \
+        f"CAST(floor(({yfrac}) * 10000000 + 0.5d) AS BIGINT)"
+    ty = f"least({idiv(f'({yq}) * {n}', 10000000)}, {n - 1})"
+
+    # unrolled interleave over named refs (caller projects tile_x /
+    # tile_y first — repo law: materialize shared subexprs, no CSE
+    # assumptions inside generated expressions)
+    terms = []
+    for i in range(zoom):
+        terms.append(shl(f"({shr('tile_x', i)}) & 1", 2 * i))
+        terms.append(shl(f"({shr('tile_y', i)}) & 1", 2 * i + 1))
+    morton = " + ".join(terms)
+    return {"tile_x": tx, "tile_y": ty, "morton": morton}
+
+
+def with_tile_keys(df, lon_col: str = "lon", lat_col: str = "lat",
+                   zoom: int = DEFAULT_ZOOM):
+    """Adds tile_x, tile_y (long) then morton (long) — two projections
+    so the morton terms reference the MATERIALIZED tile columns."""
+    e = _texprs(lon_col, lat_col, zoom, "spark")
+    out = df.withColumn("tile_x", F.expr(e["tile_x"])) \
+            .withColumn("tile_y", F.expr(e["tile_y"]))
+    return out.withColumn("morton", F.expr(e["morton"]))
+
+
+def tile_keys_sql(table: str, id_col: str, lon_sql: str, lat_sql: str,
+                  zoom: int = DEFAULT_ZOOM) -> str:
+    """DuckDB twin: (id, tile_x, tile_y, morton) over `table`."""
+    e = _texprs(lon_sql, lat_sql, zoom, "duckdb")
+    return f"""
+    WITH t AS (SELECT {id_col},
+                      {e['tile_x']} AS tile_x,
+                      {e['tile_y']} AS tile_y
+               FROM {table})
+    SELECT {id_col}, tile_x, tile_y, ({e['morton']})::BIGINT AS morton
+    FROM t
+    """

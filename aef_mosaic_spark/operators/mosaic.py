@@ -689,6 +689,71 @@ def temporal_composite(chunks: DataFrame, grid: OutputGrid,
                        "n_times int, valid_px int")
 
 
+def temporal_change(chunks: DataFrame, grid: OutputGrid,
+                    time_a: int, time_b: int, threshold: int = 16,
+                    chunk_col: str = "chunk_bytes") -> DataFrame:
+    """Per-pixel change detection between two time slices of the
+    committed mosaic stack -> (row_idx, col_idx, valid_px, changed_px,
+    mad_milli, mask_bytes): the bi-temporal EO workload (disturbance /
+    new-construction flagging between two acquisition epochs).
+
+    A pixel is comparable where BOTH slices are non-zero (0 == the
+    mosaic's NODATA background); changed where |a - b| > threshold.
+    mad_milli = half-up integer milli-units of mean |a - b| over the
+    comparable pixels (exact-integer law: floor((2000*S + n)/(2n)),
+    all int64 — bit-stable across hosts and engines). mask_bytes is
+    the uint8 per-(band,y,x) change mask ('<u1', C order), so the
+    downstream consumer (rasterize/vectorize, alert tiles) gets the
+    spatial footprint, not just counts.
+
+    Scale shape: a filter on the two time indices PUSHED TO THE SCAN
+    (partition/file pruning on a time-partitioned table), then ONE
+    groupBy (row_idx, col_idx) with group size <= 2 — no self-join of
+    two filtered branches (repo law: a join of two UDF-derived
+    branches recomputes the scan; here the pair meets in one shuffle).
+    Chunks missing either slice emit nothing (no coverage -> no row).
+    """
+    import pandas as pd
+
+    chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
+
+    def _diff(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) != 2:
+            return pd.DataFrame(
+                columns=["row_idx", "col_idx", "valid_px", "changed_px",
+                         "mad_milli", "mask_bytes"]).astype(
+                {"row_idx": "int32", "col_idx": "int32",
+                 "valid_px": "int32", "changed_px": "int32",
+                 "mad_milli": "int64"})
+        pdf = pdf.sort_values("time_idx")
+        a = np.frombuffer(pdf["chunk_bytes"].iloc[0], np.uint8) \
+            .reshape(nb, chh, chw).astype(np.int64)
+        b = np.frombuffer(pdf["chunk_bytes"].iloc[1], np.uint8) \
+            .reshape(nb, chh, chw).astype(np.int64)
+        valid = (a > 0) & (b > 0)
+        d = np.abs(a - b) * valid
+        mask = ((d > threshold) & valid).astype("<u1")
+        n = int(valid.sum())
+        s = int(d.sum())
+        mad = (2000 * s + n) // (2 * n) if n else 0
+        return pd.DataFrame([{
+            "row_idx": int(pdf["row_idx"].iloc[0]),
+            "col_idx": int(pdf["col_idx"].iloc[0]),
+            "valid_px": n,
+            "changed_px": int(mask.sum()),
+            "mad_milli": mad,
+            "mask_bytes": np.ascontiguousarray(mask).tobytes(),
+        }])
+
+    src = chunks.where(F.col("time_idx").isin(time_a, time_b)) \
+                .select("time_idx", "row_idx", "col_idx",
+                        F.col(chunk_col).alias("chunk_bytes"))
+    return src.groupBy("row_idx", "col_idx").applyInPandas(
+        _diff, schema="row_idx int, col_idx int, valid_px int, "
+                      "changed_px int, mad_milli long, "
+                      "mask_bytes binary")
+
+
 def temporal_trend(chunks: DataFrame, grid: OutputGrid,
                    scale: int = 100,
                    chunk_col: str = "chunk_bytes") -> DataFrame:

@@ -1,0 +1,103 @@
+"""Gap-based sessionization over an event stream — the standard
+"split a user's event history into sessions wherever the gap exceeds
+T" operator (web analytics, training-data telemetry, crawl-session
+reconstruction), expressed as the canonical one-exchange Spark plan:
+
+    window lag -> gap flag -> running sum (session index) ->
+    one groupBy (user, session) for session-level stats
+
+Scale shape (100 TB): BOTH windows and the final groupBy partition by
+user_id, so the whole operator is ONE hash exchange on user_id; the
+per-user window is bounded by that user's event count (no global
+window, no single-task key — the q86 lesson). Skewed mega-users are a
+data property; the window itself is sequential per user by semantics.
+
+Exact-parity law: timestamps are reduced to whole epoch seconds
+(floor(epoch(ts)) on DuckDB vs unix_timestamp on Spark — CLAUDE.md),
+ties within a second break on event_id, and the float `value` column
+is quantized to integer MICRO-units per row BEFORE the sum so the
+session total is an order-free BIGINT (distributed float sums are
+summation-order-dependent).
+
+Behavioral reference: the reference engine has no sessionizer (its
+events surface is windowed aggregation only); this is part of the
+training-data-pipeline extension surface, same family as
+q114_retention_cohorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_SEC = 1800
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               gap_sec: int = DEFAULT_GAP_SEC) -> DataFrame:
+    """Per-event session assignment: input columns + `es` (epoch sec)
+    + `session_idx` (0-based per user, in time order)."""
+    w = (Window.partitionBy(user_col)
+         .orderBy("es", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lag_w = Window.partitionBy(user_col).orderBy("es", id_col)
+    e = events.withColumn("es", F.unix_timestamp(F.col(ts_col)))
+    flagged = e.withColumn(
+        "_new",
+        F.when(F.col("es") - F.lag("es").over(lag_w) > gap_sec, 1)
+        .otherwise(0))
+    # first event per user: lag is NULL -> when() falls to otherwise(0)
+    # -> running sum starts at 0 for session_idx 0.
+    return (flagged
+            .withColumn("session_idx", F.sum("_new").over(w))
+            .drop("_new"))
+
+
+def session_stats(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value",
+                  gap_sec: int = DEFAULT_GAP_SEC) -> DataFrame:
+    """-> (user_id, session_idx, n_events, n_types, start_es, end_es,
+    duration_sec, value_micro) — one row per session."""
+    s = sessionize(events, user_col, ts_col, id_col, gap_sec)
+    return (s.withColumn(
+                "_vmicro",
+                F.floor(F.col(value_col) * 1000000 + F.lit(0.5))
+                .cast("long"))
+            .groupBy(user_col, "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("event_type").alias("n_types"),
+                 F.min("es").alias("start_es"),
+                 F.max("es").alias("end_es"),
+                 (F.max("es") - F.min("es")).alias("duration_sec"),
+                 F.sum("_vmicro").alias("value_micro")))
+
+
+def session_stats_sql(table: str = "events",
+                      gap_sec: int = DEFAULT_GAP_SEC) -> str:
+    """DuckDB twin of session_stats over the testdata events table.
+    floor(epoch(ts)) matches Spark unix_timestamp (fractional-second
+    gotcha); integer micro-unit sum is order-free in both engines."""
+    return f"""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      floor(epoch(ts))::BIGINT AS es,
+                      floor(value * 1000000 + 0.5e0)::BIGINT AS vmicro
+               FROM {table}),
+    flagged AS (
+      SELECT *, CASE WHEN es - lag(es) OVER w > {gap_sec} THEN 1
+                     ELSE 0 END AS nw
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    sess AS (
+      SELECT *, (sum(nw) OVER (PARTITION BY user_id ORDER BY es,
+                 event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW))::BIGINT AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT event_type)::BIGINT AS n_types,
+           min(es) AS start_es, max(es) AS end_es,
+           max(es) - min(es) AS duration_sec,
+           (sum(vmicro))::BIGINT AS value_micro
+    FROM sess GROUP BY user_id, session_idx
+    """

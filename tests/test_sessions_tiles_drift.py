@@ -1,0 +1,240 @@
+"""Tests for the session-4 operators: gap sessionization, web-mercator
+tile keys, JS corpus drift, bi-temporal change detection."""
+
+import datetime
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- sessions
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+          u, t, v) for i, (s, u, t, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+
+
+def test_sessionize_gap_boundaries(spark):
+    from aef_mosaic_spark.operators.sessions import sessionize
+    # user 1: events at 0, 100, 2000 (gap 1900 > 1800 -> new session),
+    # 2100; user 2: single event
+    df = _ev(spark, [(0, 1, "a", 1.0), (100, 1, "b", 1.0),
+                     (2000, 1, "a", 1.0), (2100, 1, "c", 1.0),
+                     (50, 2, "a", 1.0)])
+    got = {(r.user_id, r.event_id): r.session_idx
+           for r in sessionize(df).collect()}
+    assert got == {(1, 0): 0, (1, 1): 0, (1, 2): 1, (1, 3): 1, (2, 4): 0}
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    from aef_mosaic_spark.operators.sessions import sessionize
+    df = _ev(spark, [(0, 1, "a", 1.0), (1800, 1, "a", 1.0),
+                     (3601, 1, "a", 1.0)])
+    got = sorted(r.session_idx for r in sessionize(df).collect())
+    assert got == [0, 0, 1]  # gap == 1800 keeps, 1801 splits
+
+
+def test_session_stats_values(spark):
+    from aef_mosaic_spark.operators.sessions import session_stats
+    df = _ev(spark, [(0, 1, "a", 1.25), (100, 1, "b", 0.5),
+                     (5000, 1, "a", 2.0)])
+    rows = {(r.user_id, r.session_idx): r
+            for r in session_stats(df).collect()}
+    s0 = rows[(1, 0)]
+    assert (s0.n_events, s0.n_types, s0.duration_sec) == (2, 2, 100)
+    assert s0.value_micro == 1_750_000
+    s1 = rows[(1, 1)]
+    assert (s1.n_events, s1.duration_sec, s1.value_micro) == \
+        (1, 0, 2_000_000)
+
+
+def test_session_window_partitions_by_user(spark):
+    # the at-scale contract: ONE exchange on user_id, no global window
+    from aef_mosaic_spark.operators.sessions import session_stats
+    plan = session_stats(_ev(spark, [(0, 1, "a", 1.0)]))._jdf \
+        .queryExecution().executedPlan().toString()
+    # the window exchange must hash on user_id (a global window would
+    # show SinglePartition), and there must be exactly one exchange
+    # shape: hashpartitioning(user_id ...)
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+# ------------------------------------------------------------------- tiles
+
+def _golden_tile(lon, lat, zoom):
+    """Pure-python twin of the quantized tile law."""
+    n = 1 << zoom
+    ilon = math.floor(lon * 1e6 + 0.5)
+    ilat = max(min(math.floor(lat * 1e6 + 0.5), 85_051_128), -85_051_128)
+    tx = min((ilon + 180_000_000) * n // 360_000_000, n - 1)
+    latr = (ilat / 1e6) * math.pi / 180.0
+    yfrac = (1.0 - math.log(math.tan(math.pi / 4 + latr / 2))
+             / math.pi) / 2.0
+    yq = math.floor(yfrac * 1e7 + 0.5)
+    ty = min(yq * n // 10_000_000, n - 1)
+    return tx, ty
+
+
+def _golden_morton(tx, ty, zoom):
+    m = 0
+    for i in range(zoom):
+        m |= ((tx >> i) & 1) << (2 * i)
+        m |= ((ty >> i) & 1) << (2 * i + 1)
+    return m
+
+
+@pytest.mark.parametrize("zoom", [3, 12])
+def test_tile_keys_match_golden(spark, zoom):
+    from aef_mosaic_spark.functions.tiles import with_tile_keys
+    pts = [(-179.95, -84.9), (-0.05, 0.0), (0.0, 51.5), (139.7, 35.7),
+           (179.95, 84.9), (180.0, 90.0), (-180.0, -90.0),
+           (12.4924, 41.8902), (0.1, -0.1)]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "pid long, lon double, lat double")
+    got = {r.pid: (r.tile_x, r.tile_y, r.morton)
+           for r in with_tile_keys(df, zoom=zoom).collect()}
+    for i, (lo, la) in enumerate(pts):
+        tx, ty = _golden_tile(lo, la, zoom)
+        assert got[i] == (tx, ty, _golden_morton(tx, ty, zoom)), (i, lo, la)
+
+
+def test_tile_keys_textbook_agreement_away_from_boundaries(spark):
+    # away from tile edges the quantized law equals the textbook
+    # slippy formula (floor on raw doubles)
+    from aef_mosaic_spark.functions.tiles import with_tile_keys
+    zoom = 10
+    n = 1 << zoom
+    rng = np.random.RandomState(42)
+    pts = [(float(lo), float(la))
+           for lo, la in zip(rng.uniform(-179, 179, 200),
+                             rng.uniform(-80, 80, 200))]
+    df = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)],
+        "pid long, lon double, lat double")
+    got = {r.pid: (r.tile_x, r.tile_y)
+           for r in with_tile_keys(df, zoom=zoom).collect()}
+    for i, (lo, la) in enumerate(pts):
+        tx = math.floor((lo + 180.0) / 360.0 * n)
+        latr = math.radians(la)
+        ty = math.floor(
+            (1.0 - math.log(math.tan(math.pi / 4 + latr / 2)) / math.pi)
+            / 2.0 * n)
+        # quantization can move a point across an edge only within
+        # 1e-6 deg; random points are never that close
+        assert got[i] == (tx, ty), (i, lo, la)
+
+
+def test_tile_keys_zero_exchange(spark):
+    from aef_mosaic_spark.functions.tiles import with_tile_keys
+    df = spark.range(100).selectExpr(
+        "id", "(id % 360) - 179.5e0 AS lon", "(id % 160) - 79.5e0 AS lat")
+    plan = with_tile_keys(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------- drift
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+
+
+def test_drift_identical_sources_near_zero(spark):
+    from aef_mosaic_spark.functions.drift import source_js_drift
+    rows = [(i, f"s{i % 2}", "alpha beta gamma delta") for i in range(40)]
+    out = {r.source: r.jsd_micro
+           for r in source_js_drift(_docs(spark, rows)).collect()}
+    assert all(v == 0 for v in out.values()), out
+
+
+def test_drift_disjoint_sources_near_ln2(spark):
+    from aef_mosaic_spark.functions.drift import source_js_drift
+    rows = [(i, "s0", "aa bb cc dd") for i in range(20)] + \
+           [(100 + i, "s1", "xx yy zz ww") for i in range(20)]
+    out = {r.source: r.jsd_micro
+           for r in source_js_drift(_docs(spark, rows)).collect()}
+    ln2_micro = 693_147
+    for v in out.values():
+        assert abs(v - ln2_micro) <= 5, out
+
+
+def test_drift_shifted_source_ranks_highest(spark):
+    from aef_mosaic_spark.functions.drift import source_js_drift
+    rows = ([(i, "s0", "common words shared tokens") for i in range(30)]
+            + [(50 + i, "s1", "common words shared tokens")
+               for i in range(30)]
+            + [(90 + i, "s2", "common words weird jargon")
+               for i in range(30)])
+    out = {r.source: r.jsd_micro
+           for r in source_js_drift(_docs(spark, rows)).collect()}
+    assert out["s2"] > out["s0"] and out["s2"] > out["s1"]
+    assert out["s0"] == out["s1"]
+
+
+# ----------------------------------------------------------- change detect
+
+def test_temporal_change_numpy_parity(spark):
+    from aef_mosaic_spark import generator
+    from aef_mosaic_spark.operators import mosaic as M
+    from aef_mosaic_spark.operators.mosaic import temporal_change
+    # reuse the flagship fixture recipe from __spark_entry__
+    import __spark_entry__ as entry
+    grid = entry._flagship_grid()
+    images = generator.images_df(spark, 80)
+    chunks = M.mosaic(images, grid, mode="mean").persist()
+    got = {(r.row_idx, r.col_idx): r for r in
+           temporal_change(chunks, grid, 0, 1, threshold=4,
+                           chunk_col="chunk").collect()}
+    # golden: recompute from the composed chunks in pure numpy
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+    by_time = {}
+    for r in chunks.collect():
+        by_time[(r.time_idx, r.row_idx, r.col_idx)] = \
+            np.frombuffer(r.chunk, np.uint8).reshape(nb, chh, chw)
+    keys = {(ri, ci) for (t, ri, ci) in by_time}
+    n_checked = 0
+    for (ri, ci) in keys:
+        a = by_time.get((0, ri, ci))
+        b = by_time.get((1, ri, ci))
+        if a is None or b is None:
+            assert (ri, ci) not in got
+            continue
+        va = (a.astype(np.int64) > 0) & (b.astype(np.int64) > 0)
+        d = np.abs(a.astype(np.int64) - b.astype(np.int64)) * va
+        n = int(va.sum())
+        row = got[(ri, ci)]
+        assert row.valid_px == n
+        assert row.changed_px == int(((d > 4) & va).sum())
+        assert row.mad_milli == ((2000 * int(d.sum()) + n) // (2 * n)
+                                 if n else 0)
+        assert row.mask_bytes == ((d > 4) & va).astype("<u1").tobytes()
+        n_checked += 1
+    chunks.unpersist()
+    assert n_checked >= 4
+
+
+def test_temporal_change_threshold_monotone(spark):
+    from aef_mosaic_spark import generator
+    from aef_mosaic_spark.operators import mosaic as M
+    from aef_mosaic_spark.operators.mosaic import temporal_change
+    import __spark_entry__ as entry
+    grid = entry._flagship_grid()
+    images = generator.images_df(spark, 80)
+    chunks = M.mosaic(images, grid, mode="mean").persist()
+    lo = {(r.row_idx, r.col_idx): r.changed_px for r in
+          temporal_change(chunks, grid, 0, 1, threshold=2,
+                          chunk_col="chunk").collect()}
+    hi = {(r.row_idx, r.col_idx): r.changed_px for r in
+          temporal_change(chunks, grid, 0, 1, threshold=8,
+                          chunk_col="chunk").collect()}
+    chunks.unpersist()
+    assert set(lo) == set(hi)
+    assert all(lo[k] >= hi[k] for k in lo)
