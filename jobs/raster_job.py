@@ -16,6 +16,7 @@ rebuilds).
       --stage focal --op grad
     # --stage temporal --op latest_valid | mean | median
     # --stage overview --levels 2
+    # --stage change --time-a 0 --time-b 1 --threshold 16
 
 Prints ONE metrics JSON line on success.
 """
@@ -33,7 +34,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGES = ("focal", "temporal", "overview", "stretch", "trend")
+STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change")
 
 
 def main(argv=None):
@@ -57,6 +58,12 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=100,
                     help="trend: integer slope scale (default centi-"
                          "units per time step)")
+    ap.add_argument("--time-a", type=int, default=None,
+                    help="change: earlier time_idx")
+    ap.add_argument("--time-b", type=int, default=None,
+                    help="change: later time_idx")
+    ap.add_argument("--threshold", type=int, default=16,
+                    help="change: per-pixel |a-b| change threshold")
     ap.add_argument("--incremental", action="store_true",
                     help="focal only: recompute just the chunks whose "
                          "source changed since the derived table's "
@@ -73,6 +80,9 @@ def main(argv=None):
         ap.error(f"--stage {args.stage} requires --op")
     if args.stage == "overview" and args.levels < 1:
         ap.error("--levels must be >= 1")
+    if args.stage == "change" and (args.time_a is None
+                                   or args.time_b is None):
+        ap.error("--stage change requires --time-a and --time-b")
     if args.incremental and args.stage != "focal":
         ap.error("--incremental is only supported for --stage focal")
     if args.incremental:
@@ -118,6 +128,16 @@ def main(argv=None):
             .withColumnRenamed("slope_bytes", "chunk")
         partition_by = None
         stage_cfg.update(scale=args.scale)
+    elif args.stage == "change":
+        from aef_mosaic_spark.operators.mosaic import temporal_change
+        out_df = temporal_change(chunks, grid, time_a=args.time_a,
+                                 time_b=args.time_b,
+                                 threshold=args.threshold,
+                                 chunk_col="chunk") \
+            .withColumnRenamed("mask_bytes", "chunk")
+        partition_by = None
+        stage_cfg.update(time_a=args.time_a, time_b=args.time_b,
+                         threshold=args.threshold)
     elif args.stage == "stretch":
         from aef_mosaic_spark.operators.focal import histogram_stretch
         out_df = histogram_stretch(chunks, grid, p_low=args.p_low,

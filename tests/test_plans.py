@@ -275,6 +275,24 @@ def test_raster_job_derived_products_match_direct(spark, tmp_path):
     assert len(ovr) > 0
     assert all(r.row_idx <= GRID.chunk_rows // 2 for r in ovr)
 
+    # bi-temporal change via the CLI == direct operator (mask bytes
+    # land in the `chunk` column; stats columns ride along)
+    from aef_mosaic_spark.operators.mosaic import temporal_change
+    out4 = str(tmp_path / "chg")
+    raster_main(["--table", src, "--output", out4,
+                 "--stage", "change", "--time-a", "0", "--time-b", "1",
+                 "--threshold", "4"])
+    got4 = {(r.row_idx, r.col_idx):
+            (bytes(r.chunk), r.valid_px, r.changed_px, r.mad_milli)
+            for r in Icelite(out4).read(spark).collect()}
+    exp4 = {(r.row_idx, r.col_idx):
+            (bytes(r.mask_bytes), r.valid_px, r.changed_px, r.mad_milli)
+            for r in temporal_change(chunks, GRID, 0, 1, threshold=4,
+                                     chunk_col="chunk").collect()}
+    assert got4 == exp4 and len(got4) > 0
+    cfg4 = json.loads(Icelite(out4).properties()["stage_config"])
+    assert (cfg4["time_a"], cfg4["time_b"], cfg4["threshold"]) == (0, 1, 4)
+
     # refusals
     with _pt.raises(FileExistsError):
         raster_main(["--table", src, "--output", out1,
