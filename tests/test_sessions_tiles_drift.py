@@ -65,6 +65,42 @@ def test_session_window_partitions_by_user(spark):
     assert "SinglePartition" not in plan
 
 
+def test_sessionize_reconciles_with_native_session_window(spark):
+    """Batch sessionize == Spark's native F.session_window aggregation
+    on the same (second-floored) events — same session count and the
+    same per-session event counts. The tie law also agrees: both keep
+    an event exactly gap seconds after its predecessor in the same
+    session (session_window merges on next.start <= prev.end — pinned
+    by the synthetic case below)."""
+    from aef_mosaic_spark.operators.sessions import session_stats
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    b = sorted((r.user_id, r.n_events)
+               for r in session_stats(ev).collect())
+    fl = ev.withColumn("tsf", F.timestamp_seconds(F.unix_timestamp("ts")))
+    nw = (fl.groupBy(F.session_window("tsf", "30 minutes").alias("w"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    n = sorted((r.user_id, r.n_events) for r in nw.collect())
+    assert b == n and len(b) > 100
+
+
+def test_sessionize_exact_gap_tie_semantics_vs_native(spark):
+    # pin the tie law: BOTH keep an exactly-gap-later event in the
+    # same session (native merges inclusively); one second more splits
+    from aef_mosaic_spark.operators.sessions import session_stats
+    df = _ev(spark, [(0, 1, "a", 1.0), (1800, 1, "a", 1.0)])
+    ours = session_stats(df).collect()
+    assert len(ours) == 1 and ours[0].n_events == 2
+    nat = (df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert sorted(r.n for r in nat) == [2]
+    df2 = _ev(spark, [(0, 1, "a", 1.0), (1801, 1, "a", 1.0)])
+    assert len(session_stats(df2).collect()) == 2
+    nat2 = (df2.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+               .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert sorted(r.n for r in nat2) == [1, 1]
+
+
 # ------------------------------------------------------------------- tiles
 
 def _golden_tile(lon, lat, zoom):
