@@ -1914,6 +1914,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.md5(F.col("mask_bytes")).alias("mask_md5"))
     q["q123_temporal_change"] = q123_temporal_change
 
+    def q124_session_funnel(spark, sf):
+        # ordered view->click->purchase conversion within sessions,
+        # per session-start week: chained conditional-min windows on
+        # the SAME user_id exchange as q120 (operators/sessions.py)
+        from aef_mosaic_spark.operators.sessions import session_funnel
+        return session_funnel(_pq(spark, sf, "events"))
+    q["q124_session_funnel"] = q124_session_funnel
+
+    def q125_tile_heatmap(spark, sf):
+        # multi-zoom tile density pyramid: one corpus pass at z12,
+        # parents rolled up from the AGGREGATE (overview pattern for
+        # vectors); id_sum checksum conserved level-to-level
+        from aef_mosaic_spark.functions.tiles import tile_heatmap_pyramid
+        return tile_heatmap_pyramid(_points(spark, sf))
+    q["q125_tile_heatmap"] = q125_tile_heatmap
+
     return _driver_order(q)
 
 
@@ -3067,6 +3083,11 @@ def oracle_sql() -> dict[str, str]:
     o["q123_temporal_change"] = (
         f"SELECT * FROM read_parquet("
         f"'{_FIXTURE_DIR}/golden_q123_temporal_change.parquet')")
+    from aef_mosaic_spark.operators.sessions import session_funnel_sql
+    o["q124_session_funnel"] = session_funnel_sql("events")
+    from aef_mosaic_spark.functions.tiles import tile_heatmap_pyramid_sql
+    o["q125_tile_heatmap"] = tile_heatmap_pyramid_sql(
+        f"({POINT_SQL})", "point_id", "lon", "lat")
 
     return o
 

@@ -108,6 +108,75 @@ def with_tile_keys(df, lon_col: str = "lon", lat_col: str = "lat",
     return out.withColumn("morton", F.expr(e["morton"]))
 
 
+def tile_heatmap_pyramid(df, id_col: str = "point_id",
+                         lon_col: str = "lon", lat_col: str = "lat",
+                         base_zoom: int = DEFAULT_ZOOM,
+                         levels=(12, 10, 8)):
+    """Multi-zoom point-density tiles -> (zoom, tx, ty, n_points,
+    id_sum): the vector twin of the raster overview pyramid, built the
+    scale-correct way — ONE corpus pass aggregates the finest zoom,
+    then every coarser level rolls up from the previous AGGREGATE
+    (tile-count-sized, not corpus-sized; parent key = child key >> 2
+    per level). id_sum is the order-free BIGINT integrity checksum the
+    rollup must conserve level-to-level."""
+    if sorted(levels, reverse=True) != list(levels) \
+            or levels[0] != base_zoom:
+        raise ValueError("levels must descend from base_zoom")
+    base = (with_tile_keys(df, lon_col, lat_col, zoom=base_zoom)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum(id_col).alias("id_sum"))
+            .select(F.lit(base_zoom).alias("zoom"),
+                    F.col("tile_x").alias("tx"),
+                    F.col("tile_y").alias("ty"),
+                    "n_points", "id_sum"))
+    parts = [base]
+    prev = base
+    prev_zoom = base_zoom
+    for z in levels[1:]:
+        k = prev_zoom - z
+        nxt = (prev.groupBy(
+                   F.expr(f"shiftright(tx, {k})").alias("tx"),
+                   F.expr(f"shiftright(ty, {k})").alias("ty"))
+               .agg(F.sum("n_points").alias("n_points"),
+                    F.sum("id_sum").alias("id_sum"))
+               .select(F.lit(z).alias("zoom"), "tx", "ty",
+                       "n_points", "id_sum"))
+        parts.append(nxt)
+        prev, prev_zoom = nxt, z
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def tile_heatmap_pyramid_sql(table: str, id_col: str, lon_sql: str,
+                             lat_sql: str, base_zoom: int = DEFAULT_ZOOM,
+                             levels=(12, 10, 8)) -> str:
+    """DuckDB twin: chained rollup CTEs from the base-zoom aggregate."""
+    e = _texprs(lon_sql, lat_sql, base_zoom, "duckdb")
+    ctes = [f"""keyed AS (SELECT {id_col} AS _id,
+                      {e['tile_x']} AS tile_x, {e['tile_y']} AS tile_y
+               FROM {table}),
+    l{base_zoom} AS (SELECT {base_zoom} AS zoom, tile_x AS tx,
+                     tile_y AS ty, count(*)::BIGINT AS n_points,
+                     sum(_id)::BIGINT AS id_sum
+              FROM keyed GROUP BY tile_x, tile_y)"""]
+    prev = base_zoom
+    for z in levels[1:]:
+        k = prev - z
+        ctes.append(
+            f"l{z} AS (SELECT {z} AS zoom, (tx >> {k}) AS tx, "
+            f"(ty >> {k}) AS ty, sum(n_points)::BIGINT AS n_points, "
+            f"sum(id_sum)::BIGINT AS id_sum "
+            f"FROM l{prev} GROUP BY (tx >> {k}), (ty >> {k}))")
+        prev = z
+    union = " UNION ALL ".join(
+        f"SELECT zoom, tx, ty, n_points, id_sum FROM l{z}"
+        for z in levels)
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
 def tile_keys_sql(table: str, id_col: str, lon_sql: str, lat_sql: str,
                   zoom: int = DEFAULT_ZOOM) -> str:
     """DuckDB twin: (id, tile_x, tile_y, morton) over `table`."""

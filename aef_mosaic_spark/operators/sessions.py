@@ -74,6 +74,93 @@ def session_stats(events: DataFrame, user_col: str = "user_id",
                  F.sum("_vmicro").alias("value_micro")))
 
 
+DEFAULT_FUNNEL = ("view", "click", "purchase")
+
+
+def session_funnel(events: DataFrame, steps=DEFAULT_FUNNEL,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   gap_sec: int = DEFAULT_GAP_SEC) -> DataFrame:
+    """Ordered funnel conversion within sessions -> one row per
+    session-start week: (wk, n_sessions, reached_1..reached_K,
+    conv_K_micro). A session reaches step k at the EARLIEST event of
+    type steps[k] at-or-after its step-(k-1) time (same-second
+    ordering counts — the law is min-es-based, deterministic, and
+    identical in the SQL twin).
+
+    Plan: sessionize's user_id exchange, then K chained window passes
+    on (user, session) — each materializes the previous step time
+    before the next conditional min references it (no nested window
+    exprs) — then two vocabulary-small groupBys. Still ONE wide
+    exchange end-to-end; the windows and the session groupBy all share
+    the user_id-prefixed partitioning.
+    """
+    s = sessionize(events, user_col, ts_col, id_col, gap_sec)
+    w = Window.partitionBy(user_col, "session_idx")
+    prev = None
+    for k, st in enumerate(steps):
+        cond = F.col("event_type") == st
+        if prev is not None:
+            cond = cond & (F.col("es") >= F.col(prev))
+        col = f"_t{k}"
+        s = s.withColumn(col, F.min(F.when(cond, F.col("es"))).over(w))
+        prev = col
+    per = s.groupBy(user_col, "session_idx").agg(
+        F.floor(F.min("es") / 604800).alias("wk"),
+        *[F.max(F.col(f"_t{k}").isNotNull().cast("int"))
+          .alias(f"_r{k}") for k in range(len(steps))])
+    aggs = [F.count(F.lit(1)).alias("n_sessions")] + \
+        [F.sum(f"_r{k}").alias(f"reached_{k + 1}")
+         for k in range(len(steps))]
+    out = per.groupBy("wk").agg(*aggs)
+    last = f"reached_{len(steps)}"
+    return out.withColumn(
+        "conv_micro",
+        F.expr(f"({last} * 2000000 + n_sessions) div (2 * n_sessions)"))
+
+
+def session_funnel_sql(table: str = "events", steps=DEFAULT_FUNNEL,
+                       gap_sec: int = DEFAULT_GAP_SEC) -> str:
+    """DuckDB twin of session_funnel — identical chained min-es law."""
+    step_ctes, prev_cte, prev_col = [], "sess", None
+    for k, st in enumerate(steps):
+        cond = f"event_type = '{st}'"
+        if prev_col is not None:
+            cond += f" AND es >= {prev_col}"
+        step_ctes.append(
+            f"s{k} AS (SELECT *, min(CASE WHEN {cond} THEN es END) "
+            f"OVER (PARTITION BY user_id, session_idx) AS t{k} "
+            f"FROM {prev_cte})")
+        prev_cte, prev_col = f"s{k}", f"t{k}"
+    reach = ", ".join(
+        f"max(CASE WHEN t{k} IS NOT NULL THEN 1 ELSE 0 END) AS r{k}"
+        for k in range(len(steps)))
+    sums = ", ".join(f"sum(r{k})::BIGINT AS reached_{k + 1}"
+                     for k in range(len(steps)))
+    last = f"(sum(r{len(steps) - 1})::BIGINT)"
+    return f"""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      floor(epoch(ts))::BIGINT AS es
+               FROM {table}),
+    flagged AS (
+      SELECT *, CASE WHEN es - lag(es) OVER w > {gap_sec} THEN 1
+                     ELSE 0 END AS nw
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    sess AS (
+      SELECT *, (sum(nw) OVER (PARTITION BY user_id ORDER BY es,
+                 event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW))::BIGINT AS session_idx
+      FROM flagged),
+    {', '.join(step_ctes)},
+    per AS (SELECT user_id, session_idx,
+                   floor(min(es) / 604800)::BIGINT AS wk, {reach}
+            FROM {prev_cte} GROUP BY user_id, session_idx)
+    SELECT wk, count(*)::BIGINT AS n_sessions, {sums},
+           ({last} * 2000000 + count(*)) // (2 * count(*)) AS conv_micro
+    FROM per GROUP BY wk
+    """
+
+
 def session_stats_sql(table: str = "events",
                       gap_sec: int = DEFAULT_GAP_SEC) -> str:
     """DuckDB twin of session_stats over the testdata events table.

@@ -176,6 +176,57 @@ def test_tile_keys_zero_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_session_funnel_order_law(spark):
+    """Step k counts only at-or-after step k-1: a purchase BEFORE the
+    click does not convert; one that follows does."""
+    from aef_mosaic_spark.operators.sessions import session_funnel
+    rows = [
+        # user 1: view -> click -> purchase (full conversion)
+        (0, 1, "view", 1.0), (10, 1, "click", 1.0),
+        (20, 1, "purchase", 1.0),
+        # user 2: purchase arrives BEFORE the click -> stops at click
+        (0, 2, "view", 1.0), (5, 2, "purchase", 1.0),
+        (10, 2, "click", 1.0),
+        # user 3: click with no prior view -> reaches nothing
+        (0, 3, "click", 1.0), (5, 3, "purchase", 1.0),
+    ]
+    out = session_funnel(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_sessions, r.reached_1, r.reached_2, r.reached_3) == \
+        (3, 2, 2, 1)
+    # conv = 1/3 half-up in micro units
+    assert r.conv_micro == (1 * 2_000_000 + 3) // 6
+
+
+def test_session_funnel_same_second_counts(spark):
+    from aef_mosaic_spark.operators.sessions import session_funnel
+    rows = [(0, 1, "view", 1.0), (0, 1, "click", 1.0),
+            (0, 1, "purchase", 1.0)]
+    r = session_funnel(_ev(spark, rows)).collect()[0]
+    assert (r.reached_1, r.reached_2, r.reached_3) == (1, 1, 1)
+
+
+def test_tile_heatmap_pyramid_conserves_mass(spark):
+    from aef_mosaic_spark.functions.tiles import tile_heatmap_pyramid
+    df = spark.range(5000).selectExpr(
+        "id AS point_id",
+        "(id * 7) % 3600 / 10e0 - 179.9e0 AS lon",
+        "(id * 13) % 1690 / 10e0 - 84.5e0 AS lat")
+    out = tile_heatmap_pyramid(df).collect()
+    by_zoom = {}
+    for r in out:
+        by_zoom.setdefault(r.zoom, []).append(r)
+    assert set(by_zoom) == {12, 10, 8}
+    tot = 5000 * 4999 // 2
+    for z, rows in by_zoom.items():
+        assert sum(r.n_points for r in rows) == 5000, z
+        assert sum(r.id_sum for r in rows) == tot, z
+    # every level-10 tile is the shifted parent of its level-12 kids
+    kids = {(r.tx >> 2, r.ty >> 2) for r in by_zoom[12]}
+    assert {(r.tx, r.ty) for r in by_zoom[10]} == kids
+
+
 # ------------------------------------------------------------------- drift
 
 def _docs(spark, rows):
