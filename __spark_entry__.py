@@ -1930,6 +1930,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tile_heatmap_pyramid(_points(spark, sf))
     q["q125_tile_heatmap"] = q125_tile_heatmap
 
+    def q126_polygon_metrics(spark, sf):
+        # planar shoelace area / perimeter / vertex centroid over the
+        # quad rings: unrolled per-edge exprs (plan-time vertex count,
+        # functions/geo.py), zero exchange, 6dp floor law
+        from aef_mosaic_spark.functions.geo import ring_metrics_exprs
+        e = ring_metrics_exprs("ring", 4, "spark")
+        q6 = "floor(({}) * 1e6 + 0.5d) / 1e6"
+        return _quads(spark, sf).selectExpr(
+            "quad_id",
+            f"{q6.format(e['area'])} AS area",
+            f"{q6.format(e['perimeter'])} AS perimeter",
+            f"{q6.format(e['centroid_x'])} AS centroid_x",
+            f"{q6.format(e['centroid_y'])} AS centroid_y")
+    q["q126_polygon_metrics"] = q126_polygon_metrics
+
+    def q127_image_stats(spark, sf):
+        # multimodal curation features: real decode -> exact-integer
+        # brightness/contrast/entropy per image (one mapInPandas pass,
+        # zero shuffle); pinned-fixture oracle
+        from aef_mosaic_spark.functions.multimodal import image_stats
+        return image_stats(generator.images_df(spark, 60))
+    q["q127_image_stats"] = q127_image_stats
+
     return _driver_order(q)
 
 
@@ -3088,6 +3111,20 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.functions.tiles import tile_heatmap_pyramid_sql
     o["q125_tile_heatmap"] = tile_heatmap_pyramid_sql(
         f"({POINT_SQL})", "point_id", "lon", "lat")
+    from aef_mosaic_spark.functions.geo import ring_metrics_exprs
+    _rm = ring_metrics_exprs("ring", 4, "duckdb")
+    _q6d = "floor(({}) * 1e6 + 0.5e0) / 1e6"
+    o["q126_polygon_metrics"] = f"""
+    SELECT quad_id,
+           {_q6d.format(_rm['area'])} AS area,
+           {_q6d.format(_rm['perimeter'])} AS perimeter,
+           {_q6d.format(_rm['centroid_x'])} AS centroid_x,
+           {_q6d.format(_rm['centroid_y'])} AS centroid_y
+    FROM ({QUAD_SQL})
+    """
+    o["q127_image_stats"] = (
+        f"SELECT * FROM read_parquet("
+        f"'{_FIXTURE_DIR}/golden_q127_image_stats.parquet')")
 
     return o
 

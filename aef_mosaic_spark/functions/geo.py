@@ -30,6 +30,41 @@ def haversine_km(lon1: Column, lat1: Column,
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
+def _ring_terms(ring: str, n_vertices: int, dialect: str):
+    """Unrolled per-edge (x_i, y_i, x_j, y_j) 1-based index exprs for
+    a flat [x0,y0,x1,y1,...] ring column. Unrolled because the vertex
+    count is a plan-time constant and lambda exprs carry the no-CSE
+    hazard in both engines (CLAUDE.md)."""
+    def el(i):
+        return (f"element_at({ring}, {i})" if dialect == "spark"
+                else f"{ring}[{i}]")
+    edges = []
+    for i in range(n_vertices):
+        j = (i + 1) % n_vertices
+        edges.append((el(2 * i + 1), el(2 * i + 2),
+                      el(2 * j + 1), el(2 * j + 2)))
+    return edges
+
+
+def ring_metrics_exprs(ring: str, n_vertices: int,
+                       dialect: str) -> dict[str, str]:
+    """area (shoelace, absolute), perimeter, centroid (vertex mean) —
+    planar coordinate units; quantize downstream via the 6dp floor
+    law when gate-compared."""
+    edges = _ring_terms(ring, n_vertices, dialect)
+    shoe = " + ".join(f"({xi}) * ({yj}) - ({xj}) * ({yi})"
+                      for xi, yi, xj, yj in edges)
+    per = " + ".join(f"sqrt((({xj}) - ({xi})) * (({xj}) - ({xi})) + "
+                     f"(({yj}) - ({yi})) * (({yj}) - ({yi})))"
+                     for xi, yi, xj, yj in edges)
+    cx = " + ".join(f"({xi})" for xi, _, _, _ in edges)
+    cy = " + ".join(f"({yi})" for _, yi, _, _ in edges)
+    return {"area": f"abs({shoe}) / 2",
+            "perimeter": per,
+            "centroid_x": f"({cx}) / {n_vertices}",
+            "centroid_y": f"({cy}) / {n_vertices}"}
+
+
 def haversine_km_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     p1, p2 = f"radians({lat1})", f"radians({lat2})"
     dp = f"radians({lat2} - {lat1})"

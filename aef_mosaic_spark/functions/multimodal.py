@@ -127,6 +127,59 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                      "fmt string, caption string, phash long")
 
 
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL per-image statistics over the standard image table:
+    decode once -> (brightness, contrast, entropy, dynamic range) —
+    the feature row an image-curation gate filters on (too dark /
+    flat / synthetic-uniform). Exact-integer law so the pinned
+    fixture is bit-stable: brightness = half-up milli-units of the
+    pixel mean; contrast = half-up milli-units of the pixel stddev
+    computed from INTEGER sums (n*Σx² - (Σx)² under one integer
+    sqrt); entropy = half-up micro-nats from the 256-bin histogram
+    via the q113 micro-nat quantization per bin. One mapInPandas
+    pass, no shuffle — rides the scan like resize_images."""
+    from aef_mosaic_spark import codecs
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        rows_cols = ["image_id", "n_px", "brightness_milli",
+                     "contrast_milli", "entropy_micro", "p_min", "p_max"]
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                img = codecs.decode(bytes(t.bytes), t.fmt, t.w, t.h)
+                flat = img.astype(np.int64).ravel()
+                n = flat.size
+                s = int(flat.sum())
+                s2 = int((flat * flat).sum())
+                bright = (2000 * s + n) // (2 * n)
+                # var*n^2 = n*s2 - s^2 (exact int); stddev milli =
+                # half-up of 1000*sqrt(var): isqrt keeps it integer
+                v = n * s2 - s * s
+                contrast = (math.isqrt(4 * 1000 * 1000 * v // (n * n))
+                            + 1) // 2
+                hist = np.bincount(flat, minlength=256)
+                ent = 0
+                for c in hist[hist > 0]:
+                    # per-bin -ln(p) in micro-nats, weighted by count
+                    lq = math.floor(math.log(n / int(c)) * 1e6 + 0.5)
+                    ent += int(c) * lq
+                entropy = (2 * ent + n) // (2 * n)
+                rows.append({
+                    "image_id": t.image_id, "n_px": n,
+                    "brightness_milli": int(bright),
+                    "contrast_milli": int(contrast),
+                    "entropy_micro": int(entropy),
+                    "p_min": int(flat.min()), "p_max": int(flat.max()),
+                })
+            yield pd.DataFrame(rows, columns=rows_cols)
+
+    return df.mapInPandas(
+        _gen, schema="image_id string, n_px long, brightness_milli long, "
+                     "contrast_milli long, entropy_micro long, "
+                     "p_min int, p_max int")
+
+
 # ---------------------------------------------------------------------
 # cross-modal alignment (CLIP-score filter shape)
 # ---------------------------------------------------------------------

@@ -266,6 +266,69 @@ def test_drift_shifted_source_ranks_highest(spark):
     assert out["s0"] == out["s1"]
 
 
+def test_ring_metrics_known_rectangle(spark):
+    from aef_mosaic_spark.functions.geo import ring_metrics_exprs
+    e = ring_metrics_exprs("ring", 4, "spark")
+    row = spark.sql(
+        "SELECT array(0d,0d, 4d,0d, 4d,3d, 0d,3d) AS ring").selectExpr(
+        f"{e['area']} AS a", f"{e['perimeter']} AS p",
+        f"{e['centroid_x']} AS cx", f"{e['centroid_y']} AS cy"
+    ).collect()[0]
+    assert (row.a, row.p, row.cx, row.cy) == (12.0, 14.0, 2.0, 1.5)
+
+
+def test_ring_metrics_diamond_area_law(spark):
+    # the _quads diamond (left, bottom, right, top) has area 2*wx*wy
+    import __spark_entry__ as entry
+    quads = entry._quads(spark, "/root/testdata/sf0.001").limit(50)
+    from aef_mosaic_spark.functions.geo import ring_metrics_exprs
+    e = ring_metrics_exprs("ring", 4, "spark")
+    rows = quads.selectExpr(
+        "quad_id", f"{e['area']} AS a",
+        "(max_lon - min_lon) * (max_lat - min_lat) / 2 AS expect"
+    ).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert abs(r.a - r.expect) < 1e-9, r
+
+
+def test_image_stats_matches_float_reference(spark):
+    """The exact-integer brightness/contrast/entropy land within one
+    quantum of the straightforward float statistics, per image."""
+    import math
+
+    from aef_mosaic_spark import codecs, generator
+    from aef_mosaic_spark.functions.multimodal import image_stats
+
+    images = generator.images_df(spark, 24)
+    got = {r.image_id: r for r in image_stats(images).collect()}
+    pdf = generator.images_pdf(24)
+    assert len(got) == 24
+    for t in pdf.itertuples(index=False):
+        img = codecs.decode(bytes(t.bytes), t.fmt, t.w, t.h)
+        flat = img.astype(np.float64).ravel()
+        r = got[t.image_id]
+        assert r.n_px == flat.size
+        assert abs(r.brightness_milli / 1000 - flat.mean()) < 0.001
+        assert abs(r.contrast_milli / 1000 - flat.std()) < 0.002
+        p = np.bincount(img.ravel(), minlength=256) / flat.size
+        h = float(-(p[p > 0] * np.log(p[p > 0])).sum())
+        assert abs(r.entropy_micro / 1e6 - h) < 1e-4
+        assert r.p_min == int(flat.min()) and r.p_max == int(flat.max())
+
+
+def test_image_stats_uniform_image_zero_entropy(spark):
+    from aef_mosaic_spark.functions.multimodal import image_stats
+    df = spark.createDataFrame(
+        [("u1", bytes([77]) * (3 * 8 * 8), 8, 8, "raw", "c")],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string")
+    r = image_stats(df).collect()[0]
+    assert (r.entropy_micro, r.contrast_milli, r.brightness_milli) == \
+        (0, 0, 77000)
+    assert r.p_min == 77 and r.p_max == 77
+
+
 # ----------------------------------------------------------- change detect
 
 def test_temporal_change_numpy_parity(spark):
