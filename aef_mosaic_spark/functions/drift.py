@@ -60,6 +60,13 @@ def source_js_drift(docs: DataFrame, source_col: str = "source",
                 .where(F.col("w") != ""))
     cnt = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).alias("c_s"))
+    # cnt feeds FOUR consumers (tot/glob/gtot/the grid join); without
+    # a cut Catalyst re-executes the corpus scan + explode per branch
+    # (measured: 4x "Scan parquet" in the physical plan, zero
+    # ReusedExchange). localCheckpoint materializes the vocab-sized
+    # table once — every downstream pass is vocab-bound, and the
+    # corpus is read exactly once.
+    cnt = cnt.localCheckpoint()
     tot = cnt.groupBy("source").agg(
         F.sum("c_s").alias("t_s"),
         F.count(F.lit(1)).alias("n_words"))

@@ -130,6 +130,12 @@ def tile_heatmap_pyramid(df, id_col: str = "point_id",
                     F.col("tile_x").alias("tx"),
                     F.col("tile_y").alias("ty"),
                     "n_points", "id_sum"))
+    # the base aggregate feeds every coarser level AND the output
+    # union; without a cut each consumer re-executes the corpus scan
+    # (measured 3x "Scan parquet"). Checkpoint the tile-count-sized
+    # aggregate once — the corpus is read exactly once, rollups are
+    # tile-bound.
+    base = base.localCheckpoint()
     parts = [base]
     prev = base
     prev_zoom = base_zoom
