@@ -1799,7 +1799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
         g = act.groupBy("cohort_week", "week_offset").agg(
             F.countDistinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"))
+            F.count(F.lit(1)).alias("n_events")) \
+            .localCheckpoint()  # feeds sizes AND the final join:
+        # without the cut the events scan + join re-executes per
+        # branch (scan_audit: 4 scans -> 2)
         sizes = (g.where(F.col("week_offset") == 0)
                  .select("cohort_week",
                          F.col("n_users").alias("cohort_size")))

@@ -62,14 +62,21 @@ def bigram_perplexity(docs: DataFrame, id_col: str, text_col: str,
     train = docs.where(is_train)
     tbg = _bigrams_df(train, id_col, text_col)
 
-    ctx = tbg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # ONE pass over the train bigrams: ctx and vocab derive from the
+    # bigram count table (sum over w2 == the w1 context count; the
+    # distinct words of big's two columns == the distinct words of
+    # tbg's), and big is localCheckpointed because it feeds three
+    # consumers — without the cut Catalyst re-executes the train scan
+    # + explode per branch (scan_audit: 5 scans -> 2).
     big = (tbg.groupBy("w1", "w2")
-              .agg(F.count(F.lit(1)).cast("long").alias("b")))
+              .agg(F.count(F.lit(1)).cast("long").alias("b"))
+              .localCheckpoint())
+    ctx = big.groupBy("w1").agg(F.sum("b").cast("long").alias("c"))
     # V = distinct vocabulary over ALL train token positions (w1 of
     # every bigram plus the final w2 covers every token of every doc
     # with >= 2 tokens)
-    vocab = (tbg.select(F.col("w1").alias("w")).unionAll(
-             tbg.select(F.col("w2").alias("w")))
+    vocab = (big.select(F.col("w1").alias("w")).unionAll(
+             big.select(F.col("w2").alias("w")))
              .agg(F.countDistinct("w").cast("long").alias("v")))
 
     sbg = _bigrams_df(docs, id_col, text_col)
