@@ -1956,6 +1956,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_stats(generator.images_df(spark, 60))
     q["q127_image_stats"] = q127_image_stats
 
+    def q128_source_overlap(spark, sf):
+        # corpus-level pairwise source MinHash: which crawl slices are
+        # vocabulary near-copies, at sources^2 x perms cost after ONE
+        # corpus pass (functions/drift.py source_overlap_matrix)
+        from aef_mosaic_spark.functions.drift import source_overlap_matrix
+        return source_overlap_matrix(_pq(spark, sf, "documents"))
+    q["q128_source_overlap"] = q128_source_overlap
+
     return _driver_order(q)
 
 
@@ -3128,6 +3136,8 @@ def oracle_sql() -> dict[str, str]:
     o["q127_image_stats"] = (
         f"SELECT * FROM read_parquet("
         f"'{_FIXTURE_DIR}/golden_q127_image_stats.parquet')")
+    from aef_mosaic_spark.functions.drift import source_overlap_matrix_sql
+    o["q128_source_overlap"] = source_overlap_matrix_sql("documents")
 
     return o
 

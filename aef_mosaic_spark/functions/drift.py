@@ -111,6 +111,90 @@ def source_js_drift(docs: DataFrame, source_col: str = "source",
         F.expr("(kl_src_micro + kl_rest_micro + 1) div 2"))
 
 
+N_OVERLAP_PERMS = 64
+
+
+def source_overlap_matrix(docs: DataFrame, source_col: str = "source",
+                          text_col: str = "text",
+                          n_perms: int = N_OVERLAP_PERMS) -> DataFrame:
+    """Pairwise vocabulary-overlap estimate between sources -> one row
+    per unordered source pair: (source_a, source_b, matches,
+    jaccard_micro). The corpus-level dedup diagnostic: which crawl
+    slices are near-copies of each other BEFORE paying per-document
+    near-dup costs between them.
+
+    Corpus-level MinHash (Broder): per source, the signature is the
+    min over its DISTINCT words of h32(word || ':' || p) for each of
+    n_perms permutations; P(min_a == min_b) = J(vocab_a, vocab_b), so
+    matches/n_perms estimates vocabulary Jaccard. Signature table is
+    |sources| x n_perms rows — pairwise comparison is sources^2 x
+    n_perms, corpus-independent (the whole point at 100 TB: the
+    corpus is read once, the quadratic part is over SOURCES).
+
+    Exact cross-engine law: md5-h32 is the shared hash; matches and
+    the half-up micro-Jaccard are pure integers."""
+    from .hashes import h32_col
+
+    words = (docs.select(F.col(source_col).alias("source"),
+                         F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                           r"\s+")).alias("w"))
+                 .where(F.col("w") != "")
+                 .distinct())
+    hashed = words.select(
+        "source",
+        F.explode(F.expr(f"sequence(0, {n_perms - 1})")).alias("p"),
+        "w").select(
+        "source", "p",
+        h32_col(F.concat_ws(":", F.col("w"), F.col("p"))).alias("h"))
+    sig = hashed.groupBy("source", "p").agg(F.min("h").alias("mh"))
+    sig = sig.localCheckpoint()  # two consumers (both join sides)
+    a = sig.select(F.col("source").alias("source_a"), "p",
+                   F.col("mh").alias("ha"))
+    b = sig.select(F.col("source").alias("source_b"), "p",
+                   F.col("mh").alias("hb"))
+    return (a.join(b, "p")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.sum((F.col("ha") == F.col("hb")).cast("long"))
+                  .alias("matches"))
+             .withColumn("jaccard_micro",
+                         F.expr(f"(matches * 2000000 + {n_perms}) "
+                                f"div (2 * {n_perms})")))
+
+
+def source_overlap_matrix_sql(table: str = "documents",
+                              source_col: str = "source",
+                              text_col: str = "text",
+                              n_perms: int = N_OVERLAP_PERMS) -> str:
+    from .hashes import h32_sql
+    h = h32_sql(f"(w || ':' || p::VARCHAR)")
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT {source_col} AS source,
+               unnest(string_split_regex(lower(trim({text_col})),
+                                         '\\s+')) AS w
+        FROM {table})
+      WHERE w <> ''),
+    hashed AS (
+      SELECT source, p, {h} AS hh
+      FROM words, (SELECT unnest(generate_series(0, {n_perms - 1}))
+                   AS p)),
+    sig AS (SELECT source, p, min(hh) AS mh
+            FROM hashed GROUP BY source, p),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT
+               AS matches
+      FROM sig a JOIN sig b ON a.p = b.p AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, matches,
+           (matches * 2000000 + {n_perms}) // (2 * {n_perms})
+             AS jaccard_micro
+    FROM pairs
+    """
+
+
 def source_js_drift_sql(table: str = "documents",
                         source_col: str = "source",
                         text_col: str = "text") -> str:

@@ -292,6 +292,30 @@ def test_ring_metrics_diamond_area_law(spark):
         assert abs(r.a - r.expect) < 1e-9, r
 
 
+def test_source_overlap_identical_and_disjoint(spark):
+    from aef_mosaic_spark.functions.drift import source_overlap_matrix
+    rows = ([(i, "sA", "alpha beta gamma delta") for i in range(5)]
+            + [(10 + i, "sB", "alpha beta gamma delta")
+               for i in range(5)]
+            + [(20 + i, "sC", "xx yy zz ww") for i in range(5)])
+    out = {(r.source_a, r.source_b): r.jaccard_micro
+           for r in source_overlap_matrix(_docs(spark, rows)).collect()}
+    assert out[("sA", "sB")] == 1_000_000      # identical vocab: exact
+    assert out[("sA", "sC")] == 0 and out[("sB", "sC")] == 0
+
+
+def test_source_overlap_half_shared_estimate(spark):
+    from aef_mosaic_spark.functions.drift import source_overlap_matrix
+    shared = " ".join(f"s{i}" for i in range(40))
+    a_only = " ".join(f"a{i}" for i in range(40))
+    b_only = " ".join(f"b{i}" for i in range(40))
+    rows = [(1, "sA", shared + " " + a_only),
+            (2, "sB", shared + " " + b_only)]
+    r = source_overlap_matrix(_docs(spark, rows)).collect()[0]
+    # true J = 40/120 = 1/3; 64-perm std ~ 0.059 -> assert 3 sigma
+    assert abs(r.jaccard_micro / 1e6 - 1 / 3) < 0.18, r
+
+
 def test_image_stats_matches_float_reference(spark):
     """The exact-integer brightness/contrast/entropy land within one
     quantum of the straightforward float statistics, per image."""
