@@ -1964,6 +1964,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return source_overlap_matrix(_pq(spark, sf, "documents"))
     q["q128_source_overlap"] = q128_source_overlap
 
+    def q129_interval_join(spark, sf):
+        # keyed interval-overlap join (concurrent orders per customer):
+        # bucket-blocked equi-join, each pair emitted exactly once in
+        # the bucket containing max(start) — no distinct() shuffle, no
+        # per-key cartesian (operators/intervals.py)
+        from aef_mosaic_spark.operators.intervals import (
+            concurrent_intervals, order_intervals)
+        return concurrent_intervals(order_intervals(_pq(spark, sf, "orders")))
+    q["q129_interval_join"] = q129_interval_join
+
+    def q130_dbscan(spark, sf):
+        # distributed DBSCAN: eps-cell blocked neighbor join -> core
+        # flags -> pre-contracted CC over core edges -> min-rule
+        # border attach; exact integer-d2 law, brute-force O(n^2)
+        # oracle (operators/clustering.py)
+        from aef_mosaic_spark.operators.clustering import (
+            dbscan, dbscan_points)
+        return dbscan(dbscan_points(_pq(spark, sf, "orders")))
+    q["q130_dbscan"] = q130_dbscan
+
+    def q131_entity_resolution(spark, sf):
+        # blocked record linkage: two complementary blocking passes
+        # (prefix / suffix) + JVM levenshtein verify, dedup-free
+        # emission; 1-substitution dups have 100% recall by
+        # construction (operators/linkage.py)
+        from aef_mosaic_spark.operators.linkage import (
+            blocked_pairs, dirty_records)
+        return blocked_pairs(dirty_records(_pq(spark, sf, "customer")))
+    q["q131_entity_resolution"] = q131_entity_resolution
+
+    def q132_rolling_anomaly(spark, sf):
+        # trailing-window z-score monitor in exact integer algebra
+        # ((n*x-s)^2 > k^2(n*ss-s^2) — no sqrt, no float variance);
+        # one user_id exchange, three aggs share one window frame
+        from aef_mosaic_spark.operators.anomaly import rolling_anomalies
+        return rolling_anomalies(_pq(spark, sf, "events"))
+    q["q132_rolling_anomaly"] = q132_rolling_anomaly
+
+    def q133_triangle_counts(spark, sf):
+        # per-node triangle counts with degree-ordered edge
+        # orientation (the O(m^1.5) wedge bound on skewed graphs);
+        # one wedge self-join + one closure equi-join
+        from aef_mosaic_spark.operators.graph import (
+            customer_edges, triangle_counts)
+        return triangle_counts(customer_edges(
+            _pq(spark, sf, "orders"), _pq(spark, sf, "customer")))
+    q["q133_triangle_counts"] = q133_triangle_counts
+
+    def q134_idw_surface(spark, sf):
+        # IDW vector->raster interpolation: R-cell blocked candidate
+        # join (grid side takes the 9x emission), integer hyperbolic
+        # weights, sum(w*v) div sum(w) — completes the
+        # raster<->vector pair with q60 (operators/interpolate.py)
+        from aef_mosaic_spark.operators.interpolate import (
+            idw_grid, order_samples)
+        return idw_grid(spark, order_samples(_pq(spark, sf, "orders")))
+    q["q134_idw_surface"] = q134_idw_surface
+
     return _driver_order(q)
 
 
@@ -3138,6 +3196,19 @@ def oracle_sql() -> dict[str, str]:
         f"'{_FIXTURE_DIR}/golden_q127_image_stats.parquet')")
     from aef_mosaic_spark.functions.drift import source_overlap_matrix_sql
     o["q128_source_overlap"] = source_overlap_matrix_sql("documents")
+
+    from aef_mosaic_spark.operators.intervals import concurrent_orders_sql
+    o["q129_interval_join"] = concurrent_orders_sql("orders")
+    from aef_mosaic_spark.operators.clustering import dbscan_sql
+    o["q130_dbscan"] = dbscan_sql("orders")
+    from aef_mosaic_spark.operators.linkage import blocked_pairs_sql
+    o["q131_entity_resolution"] = blocked_pairs_sql("customer")
+    from aef_mosaic_spark.operators.anomaly import rolling_anomalies_sql
+    o["q132_rolling_anomaly"] = rolling_anomalies_sql("events")
+    from aef_mosaic_spark.operators.graph import customer_triangles_sql
+    o["q133_triangle_counts"] = customer_triangles_sql("orders", "customer")
+    from aef_mosaic_spark.operators.interpolate import idw_orders_sql
+    o["q134_idw_surface"] = idw_orders_sql("orders")
 
     return o
 

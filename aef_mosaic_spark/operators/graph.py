@@ -136,3 +136,103 @@ def domain_pagerank_sql(src_table: str, doc_id: str = "doc_id",
             GROUP BY e.dst) s ON s.node = nd.node)""")
     return ("WITH " + ",\n    ".join(ctes)
             + f"\n    SELECT node, rank_scaled FROM r{iters}")
+
+
+# ------------------------------------------------------------------ #
+# Triangle counting — degree-ordered orientation (the m^1.5 bound)   #
+# ------------------------------------------------------------------ #
+
+def customer_edges(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Deterministic undirected test graph over customers: each order
+    links its customer to the customer indexed h32('t'||orderkey) mod
+    C (md5 law); canonical (a < b), distinct, self-loops dropped.
+    Used by q133 and its oracle twin."""
+    c = customer.count()
+    h = h32_col(F.concat(F.lit("t"), F.col("o_orderkey").cast("string")))
+    raw = orders.select(F.col("o_custkey").alias("u"), (h % c).alias("v"))
+    return (raw.where(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"),
+                    F.greatest("u", "v").alias("b"))
+            .distinct())
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected canonical
+    (a < b) edge table -> (node, n_tri), nodes in >= 1 triangle only.
+
+    Scale shape: edges are oriented low-rank -> high-rank by
+    (degree, node) — the classic degree orientation that bounds wedge
+    enumeration by O(m^1.5) instead of sum(deg^2) on skewed graphs
+    (hub nodes get the HIGH rank, so their out-degree stays small).
+    Then one self-join builds wedges and one equi-join closes them;
+    the rank table is node-sized and broadcast-eligible. The global
+    row_number window runs over the NODE table (domain-scale, not the
+    corpus — the q119 precedent; swap in sharded_keyed_rank if nodes
+    ever rival edges)."""
+    deg = (edges.select(F.col("a").alias("node"))
+           .unionByName(edges.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    rk = deg.select(
+        "node",
+        F.row_number().over(Window.orderBy("deg", "node")).alias("rk"))
+    e = (edges
+         .join(rk.select(F.col("node").alias("a"),
+                         F.col("rk").alias("rka")), "a")
+         .join(rk.select(F.col("node").alias("b"),
+                         F.col("rk").alias("rkb")), "b"))
+    dir_e = (e.select(
+        F.when(F.col("rka") < F.col("rkb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("rka") < F.col("rkb"), F.col("rka")).otherwise(F.col("rkb")).alias("src_rk"),
+        F.when(F.col("rka") < F.col("rkb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("rka") < F.col("rkb"), F.col("rkb")).otherwise(F.col("rka")).alias("dst_rk"))
+        .localCheckpoint())  # 3 consumers below — the scan-audit law
+    e1 = dir_e.select(F.col("src").alias("x"), F.col("dst").alias("y"),
+                      F.col("dst_rk").alias("y_rk"))
+    e2 = dir_e.select(F.col("src").alias("x"), F.col("dst").alias("z"),
+                      F.col("dst_rk").alias("z_rk"))
+    wedge = (e1.join(e2, "x")
+             .where(F.col("y_rk") < F.col("z_rk")))
+    closer = dir_e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedge.join(closer, ["y", "z"]).select("x", "y", "z")
+    return (tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+
+
+def customer_triangles_sql(orders: str = "orders",
+                           customer: str = "customer") -> str:
+    """DuckDB twin — identical degree-orientation law."""
+    h = h32_sql("'t' || o_orderkey::VARCHAR")
+    return f"""
+    WITH raw AS (
+      SELECT o_custkey AS u,
+             {h} % (SELECT count(*) FROM {customer}) AS v
+      FROM {orders}),
+    edges AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v),
+    deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+              SELECT a AS node FROM edges
+              UNION ALL SELECT b FROM edges) GROUP BY node),
+    rk AS (SELECT node, row_number() OVER (ORDER BY deg, node) AS rk
+           FROM deg),
+    dir_e AS (
+      SELECT CASE WHEN ra.rk < rb.rk THEN e.a ELSE e.b END AS src,
+             CASE WHEN ra.rk < rb.rk THEN ra.rk ELSE rb.rk END AS src_rk,
+             CASE WHEN ra.rk < rb.rk THEN e.b ELSE e.a END AS dst,
+             CASE WHEN ra.rk < rb.rk THEN rb.rk ELSE ra.rk END AS dst_rk
+      FROM edges e JOIN rk ra ON ra.node = e.a
+                   JOIN rk rb ON rb.node = e.b),
+    tri AS (
+      SELECT e1.x, e1.y, e2.z
+      FROM (SELECT src AS x, dst AS y, dst_rk AS y_rk FROM dir_e) e1
+      JOIN (SELECT src AS x, dst AS z, dst_rk AS z_rk FROM dir_e) e2
+        USING (x)
+      JOIN (SELECT src AS y, dst AS z FROM dir_e) e3
+        ON e3.y = e1.y AND e3.z = e2.z
+      WHERE e1.y_rk < e2.z_rk)
+    SELECT node, count(*)::BIGINT AS n_tri FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    GROUP BY node
+    """

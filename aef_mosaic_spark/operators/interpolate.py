@@ -1,0 +1,114 @@
+"""Inverse-distance-weighted (IDW) grid interpolation — scattered
+integer points -> regular raster grid (Shepard 1968), cell-blocked
+neighbor search, all-integer weight law, oracle-twinned.
+
+Why this op: turning sparse station/sample observations into a
+continuous surface is the standard vector->raster interpolation step
+(climate surfaces, ground-truth densification for training rasters);
+the naive form is a grid x points cross join.
+
+Law (exact in both engines):
+  grid node g, point p with integer coords and integer value v
+  (cents); candidates at squared distance d2 <= R^2;
+  w(p) = WSCALE div (d2 + 1)            -- integer hyperbolic weight
+  pred(g) = sum(w * v) div sum(w)       -- integer division
+Bounds at WSCALE 10^6: w <= 10^6, |v| < 2^26 cents, so a node with
+<= 10^4 in-radius points stays < 2^63 (document denser inputs by
+lowering WSCALE).
+
+Scale shape (100 TB): points hash to R-cells once; grid nodes are
+emitted into their 9 covering neighbor cells (the SMALL side takes
+the 9x, points are never replicated); one equi-join on the cell key +
+one groupBy(grid node). No cross join, no driver loop; nodes with
+zero in-radius points produce no row (inner-join semantics,
+documented).
+
+Behavioral reference: reference engine samples rasters AT points
+(operators/raster_vector.py q60); this is the inverse direction,
+completing the vector<->raster pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WSCALE = 10 ** 6
+GRID_N = 48       # 48 x 48 nodes
+GRID_STEP = 660
+RADIUS = 700
+FIELD = 32000
+
+
+def idw_grid(spark: SparkSession, points: DataFrame,
+             n: int = GRID_N, step: int = GRID_STEP,
+             radius: int = RADIUS) -> DataFrame:
+    """points: (id, xm, ym, v) integer coords/value -> (gx, gy,
+    n_pts, pred) for every grid node with >= 1 point within radius."""
+    grid = (spark.range(n * n)
+            .select((F.col("id") % n).alias("gx"),
+                    F.expr(f"id div {n}").alias("gy"))
+            .select("gx", "gy",
+                    (F.col("gx") * step).alias("gxm"),
+                    (F.col("gy") * step).alias("gym")))
+    gcells = (grid
+              .withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+              .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+              .select("gx", "gy", "gxm", "gym",
+                      (F.expr(f"gxm div {radius}") + F.col("_dx")).alias("_cx"),
+                      (F.expr(f"gym div {radius}") + F.col("_dy")).alias("_cy")))
+    p = points.select(
+        F.col("xm").cast("long").alias("_px"),
+        F.col("ym").cast("long").alias("_py"),
+        F.col("v").cast("long").alias("_v"),
+        F.expr(f"xm div {radius}").alias("_cx"),
+        F.expr(f"ym div {radius}").alias("_cy"))
+    d2 = ((F.col("gxm") - F.col("_px")) * (F.col("gxm") - F.col("_px"))
+          + (F.col("gym") - F.col("_py")) * (F.col("gym") - F.col("_py")))
+    w = F.expr(f"{WSCALE} div (_d2 + 1)")
+    return (gcells.join(p, on=["_cx", "_cy"])
+            .withColumn("_d2", d2)
+            .where(F.col("_d2") <= radius * radius)
+            .withColumn("_w", w)
+            .groupBy("gx", "gy")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.expr("sum(_w * _v) div sum(_w)").alias("pred")))
+
+
+def order_samples(orders: DataFrame) -> DataFrame:
+    """Deterministic sample points from orders: integer coords spread
+    over the FIELD, value = o_totalprice in cents."""
+    return orders.selectExpr(
+        "o_orderkey AS id",
+        f"(o_orderkey * 7919) % {FIELD} AS xm",
+        f"(o_orderkey * 104729) % {FIELD} AS ym",
+        "CAST(floor(o_totalprice * 100 + 0.5e0) AS BIGINT) AS v")
+
+
+def idw_orders_sql(table: str = "orders", n: int = GRID_N,
+                   step: int = GRID_STEP, radius: int = RADIUS) -> str:
+    """DuckDB twin: brute-force grid x points theta join (the oracle
+    never re-implements the blocking)."""
+    return f"""
+    WITH pts AS (
+      SELECT (o_orderkey * 7919) % {FIELD} AS xm,
+             (o_orderkey * 104729) % {FIELD} AS ym,
+             floor(o_totalprice * 100 + 0.5e0)::BIGINT AS v
+      FROM {table}),
+    grid AS (
+      SELECT (g % {n})::BIGINT AS gx, (g // {n})::BIGINT AS gy,
+             ((g % {n}) * {step})::BIGINT AS gxm,
+             ((g // {n}) * {step})::BIGINT AS gym
+      FROM (SELECT unnest(generate_series(0, {n * n - 1})) AS g)),
+    cand AS (
+      SELECT gx, gy,
+             ((gxm - xm) * (gxm - xm) + (gym - ym) * (gym - ym)) AS d2,
+             v
+      FROM grid JOIN pts
+        ON (gxm - xm) * (gxm - xm) + (gym - ym) * (gym - ym)
+           <= {radius * radius})
+    SELECT gx, gy, count(*)::BIGINT AS n_pts,
+           (sum(({WSCALE} // (d2 + 1)) * v)::BIGINT
+            // sum({WSCALE} // (d2 + 1))::BIGINT) AS pred
+    FROM cand GROUP BY gx, gy
+    """
