@@ -2012,6 +2012,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _pq(spark, sf, "orders"), _pq(spark, sf, "customer")))
     q["q133_triangle_counts"] = q133_triangle_counts
 
+    def q135_equi_depth_profile(spark, sf):
+        # exact per-lang decile profile of doc length: the EXACT twin
+        # of the q118 log2 sketch; rank = sharded_keyed_rank (no
+        # single window task per key — the q86 law)
+        from aef_mosaic_spark.operators.sampling import equi_depth_profile
+        return equi_depth_profile(_pq(spark, sf, "documents"),
+                                  ["lang"], "n_chars", "doc_id")
+    q["q135_equi_depth_profile"] = q135_equi_depth_profile
+
+    def q136_region_labels(spark, sf):
+        # distributed raster CCL: per-chunk run-based union-find ->
+        # O(perimeter) edge stitching (no chunk binary re-shuffled) ->
+        # CC -> anchor-keyed region table; golden = same labeler on
+        # the stitched raster (operators/regions.py); pinned fixture
+        from aef_mosaic_spark.operators import mosaic as M
+        from aef_mosaic_spark.operators.regions import label_regions
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return label_regions(chunks, grid, threshold=160)
+    q["q136_region_labels"] = q136_region_labels
+
+    def q137_stay_points(spark, sf):
+        # trajectory stay-point detection: sessionization keyed on
+        # SPACE change (grid cell) instead of time gap; same one
+        # user_id exchange as q120 (operators/sessions.py)
+        from aef_mosaic_spark.operators.sessions import (
+            event_fixes, stay_points)
+        return stay_points(event_fixes(_pq(spark, sf, "events")))
+    q["q137_stay_points"] = q137_stay_points
+
     def q134_idw_surface(spark, sf):
         # IDW vector->raster interpolation: R-cell blocked candidate
         # join (grid side takes the 9x emission), integer hyperbolic
@@ -3209,6 +3240,14 @@ def oracle_sql() -> dict[str, str]:
     o["q133_triangle_counts"] = customer_triangles_sql("orders", "customer")
     from aef_mosaic_spark.operators.interpolate import idw_orders_sql
     o["q134_idw_surface"] = idw_orders_sql("orders")
+    from aef_mosaic_spark.operators.sampling import equi_depth_profile_sql
+    o["q135_equi_depth_profile"] = equi_depth_profile_sql(
+        "documents", "lang", "n_chars", "doc_id")
+    o["q136_region_labels"] = (
+        f"SELECT * FROM read_parquet("
+        f"'{_FIXTURE_DIR}/golden_q136_region_labels.parquet')")
+    from aef_mosaic_spark.operators.sessions import stay_points_sql
+    o["q137_stay_points"] = stay_points_sql("events")
 
     return o
 

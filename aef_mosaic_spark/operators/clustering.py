@@ -95,7 +95,7 @@ def dbscan(points: DataFrame, eps: int = DEFAULT_EPS,
           .join(core.select(F.col("id").alias("a")), "a")
           .join(core.select(F.col("id").alias("b")), "b")
           .select(F.col("a").alias("id_a"), F.col("b").alias("id_b")))
-    cc = connected_components(ce, core)  # (id, cluster_id)
+    cc = connected_components(ce, core, doubling=True)  # (id, cluster_id)
     # border: non-core point -> min cluster among its core neighbors
     border = (pairs.where(F.col("a") != F.col("b"))
               .join(core.select(F.col("id").alias("b")), "b")

@@ -50,12 +50,15 @@ def blocked_pairs(records: DataFrame, id_col: str = "rec_id",
                   max_dist: int = MAX_DIST) -> DataFrame:
     """-> (rec_a, rec_b, dist): all intra-block pairs with
     levenshtein <= max_dist, rec_a < rec_b, each pair exactly once."""
+    # 4 consumers below (a/b x two passes): checkpoint the narrow
+    # (id, name, keys) projection once instead of recomputing the
+    # upstream 4x — the scan-audit law (8 -> 1 source scans)
     r = records.select(
         F.col(id_col).alias("_rid"), F.col(name_col).alias("_nm"),
         F.length(name_col).alias("_ln"),
         F.substring(name_col, 1, 2).alias("_pre"),
         F.expr(f"substring({name_col}, length({name_col}) - 1, 2)")
-        .alias("_suf"))
+        .alias("_suf")).localCheckpoint(eager=False)
     a = r.select(*[F.col(c).alias(c + "a") for c in r.columns])
     b = r.select(*[F.col(c).alias(c + "b") for c in r.columns])
     verify = (F.col("_rida") < F.col("_ridb")) & \

@@ -1,0 +1,234 @@
+"""Raster region labeling — distributed connected components over a
+thresholded pixel mask (the segmentation post-processing primitive:
+"turn the change/cloud/water mask into discrete objects with areas
+and bounding boxes").
+
+Algorithm (the classic block-wise CCL decomposition, cf. the
+two-pass union-find family in Wu 2009 / distributed variants in the
+MR literature):
+  1. per chunk (one mapInPandas pass): run-based two-pass union-find
+     labels the local mask (4-connectivity); each local label gets a
+     globally unique id  gid = (row_idx * n_cols + col_idx) * 2^20 +
+     local_label  (chunks are <= 2^20 pixels, so locals never
+     collide). The pass emits per-label STATS rows (pixel count,
+     global-coordinate bbox) and per-EDGE-PIXEL rows for the four
+     chunk borders.
+  2. stitch: bottom-edge rows equi-join the top-edge rows of the
+     chunk below on the shared column (same for right|left) — each
+     adjacent labeled pixel pair straddling a chunk border becomes a
+     label-equivalence edge. No chunk binary crosses the shuffle;
+     only O(perimeter) edge rows and O(labels) stats rows do.
+  3. connected_components (operators/dedup.py — pre-contracted
+     min-label propagation) over the equivalence graph -> one root
+     per local label.
+  4. one groupBy(root): region table (n_pixels, bbox, n_parts).
+
+Output identity is algorithm-independent: regions are reported by
+their ANCHOR (min_r, min_c — the topmost-then-leftmost pixel), so the
+distributed result can be compared bit-for-bit against a single-pass
+golden labeling of the stitched raster (the numpy-parity style of the
+mosaic kernels) without exposing internal label numbering.
+
+Scale shape (100 TB): the corpus-sized chunk binaries are read ONCE
+and never shuffled; everything after stage 1 is label/perimeter-sized
+(the focal.py halo-exchange philosophy applied to CCL). The one
+mapInPandas output feeds three consumers (stats, edges x2) and is
+localCheckpointed — the scan-audit law.
+
+Behavioral reference: reference engine has no segmentation surface;
+this completes the raster-analytics family (focal/temporal_change):
+change DETECTION (q123) -> change OBJECTS (this op).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..grid import OutputGrid
+from .dedup import connected_components
+
+LOCAL_BITS = 20  # local labels per chunk < 2^20 (chunk <= 1024x1024)
+
+# side codes for edge rows
+TOP, LEFT, BOTTOM, RIGHT = 0, 1, 2, 3
+
+
+def label_mask(mask: np.ndarray) -> np.ndarray:
+    """Two-pass run-based union-find CCL, 4-connectivity ->
+    int32 labels (0 = background, regions numbered from 1 in
+    first-run order). Shared by the distributed per-chunk pass and
+    the stitched-raster golden twin."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), np.int32)
+    parent: list[int] = [0]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label)
+    for y in range(h):
+        row = mask[y]
+        edges = np.flatnonzero(np.diff(np.concatenate(
+            ([False], row, [False])).astype(np.int8)))
+        runs = []
+        for i in range(0, len(edges), 2):
+            s, e = int(edges[i]), int(edges[i + 1])
+            lab = 0
+            for ps, pe, pl in prev_runs:
+                if ps < e and s < pe:  # column overlap (4-conn)
+                    rl = find(pl)
+                    if lab == 0:
+                        lab = rl
+                    elif rl != lab:
+                        # union
+                        ra, rb = find(lab), rl
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+                        lab = min(ra, rb)
+            if lab == 0:
+                parent.append(len(parent))
+                lab = len(parent) - 1
+            labels[y, s:e] = lab
+            runs.append((s, e, lab))
+        prev_runs = runs
+    # resolve to roots, then compact to 1..L in root order
+    if len(parent) > 1:
+        roots = np.array([find(i) for i in range(len(parent))],
+                         np.int32)
+        uniq = np.unique(roots[1:])
+        remap = np.zeros(len(parent), np.int32)
+        remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+        labels = remap[roots[labels]]
+    return labels
+
+
+def _label_aggregates(labels: np.ndarray):
+    """Vectorized per-label stats over a label image -> (nlab,
+    counts, min_r, min_c, max_r, max_c) arrays indexed 1..nlab."""
+    nlab = int(labels.max())
+    ys, xs = np.nonzero(labels)
+    labs = labels[ys, xs]
+    counts = np.bincount(labs, minlength=nlab + 1)
+    big = 1 << 30
+    minr = np.full(nlab + 1, big, np.int64)
+    minc = np.full(nlab + 1, big, np.int64)
+    maxr = np.full(nlab + 1, -1, np.int64)
+    maxc = np.full(nlab + 1, -1, np.int64)
+    np.minimum.at(minr, labs, ys)
+    np.minimum.at(minc, labs, xs)
+    np.maximum.at(maxr, labs, ys)
+    np.maximum.at(maxc, labs, xs)
+    return nlab, counts, minr, minc, maxr, maxc
+
+
+def region_stats_golden(mask: np.ndarray) -> list[tuple]:
+    """Golden twin: label the FULL stitched mask and report each
+    region as (min_r, min_c, max_r, max_c, n_pixels)."""
+    nlab, counts, minr, minc, maxr, maxc = _label_aggregates(
+        label_mask(mask))
+    return sorted((int(minr[i]), int(minc[i]), int(maxr[i]),
+                   int(maxc[i]), int(counts[i]))
+                  for i in range(1, nlab + 1))
+
+
+def label_regions(chunks: DataFrame, grid: OutputGrid,
+                  threshold: int = 128, band: int = 0,
+                  chunk_col: str = "chunk",
+                  min_pixels: int = 1) -> DataFrame:
+    """-> (time_idx, min_r, min_c, max_r, max_c, n_pixels, n_parts):
+    one row per connected region of (band pixel >= threshold), per
+    time slice (labels never stitch across time), coordinates in
+    global pixels; n_parts = chunk-local label fragments the region
+    was stitched from. A missing time_idx column is treated as a
+    single slice 0."""
+    import pandas as pd
+
+    chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
+    n_rows_g, n_cols = grid.chunk_rows, grid.chunk_cols
+
+    part_schema = ("kind int, ti int, side int, j long, gid long, "
+                   "n_pix long, min_r long, min_c long, "
+                   "max_r long, max_c long")
+
+    def _emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                ti = int(t.time_idx)
+                ri, ci = int(t.row_idx), int(t.col_idx)
+                arr = np.frombuffer(getattr(t, chunk_col), np.uint8) \
+                    .reshape(nb, chh, chw)
+                mask = arr[band] >= threshold
+                labels = label_mask(mask)
+                nlab = int(labels.max())
+                if nlab == 0:
+                    continue
+                base = ((ti * n_rows_g + ri) * n_cols + ci) << LOCAL_BITS
+                oy, ox = ri * chh, ci * chw
+                _, counts, minr, minc, maxr, maxc = \
+                    _label_aggregates(labels)
+                for lab in range(1, nlab + 1):
+                    rows.append((0, ti, 0, 0, base + lab,
+                                 int(counts[lab]),
+                                 oy + int(minr[lab]), ox + int(minc[lab]),
+                                 oy + int(maxr[lab]), ox + int(maxc[lab])))
+                # edge rows: j is the GLOBAL coordinate along the edge
+                for side, vec, off in (
+                        (TOP, labels[0, :], ox),
+                        (BOTTOM, labels[-1, :], ox),
+                        (LEFT, labels[:, 0], oy),
+                        (RIGHT, labels[:, -1], oy)):
+                    nz = np.flatnonzero(vec)
+                    for j in nz:
+                        rows.append((1, ti, side, off + int(j),
+                                     base + int(vec[j]),
+                                     0, ri, ci, 0, 0))
+            yield pd.DataFrame(rows, columns=[
+                "kind", "ti", "side", "j", "gid", "n_pix",
+                "min_r", "min_c", "max_r", "max_c"])
+
+    tcol = (F.col("time_idx") if "time_idx" in chunks.columns
+            else F.lit(0)).cast("int").alias("time_idx")
+    src = chunks.select(tcol, "row_idx", "col_idx", chunk_col)
+    parts = src.mapInPandas(_emit, schema=part_schema) \
+        .localCheckpoint()  # 3 consumers below — the scan-audit law
+
+    stats = parts.where(F.col("kind") == 0) \
+        .select("ti", "gid", "n_pix", "min_r", "min_c",
+                "max_r", "max_c")
+    edges_rows = parts.where(F.col("kind") == 1) \
+        .select("ti", "side", "j", "gid",
+                F.col("min_r").alias("ri"), F.col("min_c").alias("ci"))
+
+    def _adj(lo_side, hi_side, dr, dc):
+        lo = edges_rows.where(F.col("side") == lo_side).select(
+            "ti",
+            (F.col("ri") + dr).alias("ri"), (F.col("ci") + dc).alias("ci"),
+            "j", F.col("gid").alias("id_a"))
+        hi = edges_rows.where(F.col("side") == hi_side).select(
+            "ti", "ri", "ci", "j", F.col("gid").alias("id_b"))
+        return lo.join(hi, on=["ti", "ri", "ci", "j"]) \
+            .select("id_a", "id_b")
+
+    eq_edges = _adj(BOTTOM, TOP, 1, 0).unionByName(_adj(RIGHT, LEFT, 0, 1))
+    nodes = stats.select(F.col("gid").alias("id"))
+    cc = connected_components(eq_edges, nodes, doubling=True)  # (id, cluster_id)
+
+    return (stats.join(cc, stats.gid == cc.id)
+            .groupBy("cluster_id")
+            .agg(F.min("ti").alias("time_idx"),
+                 F.min("min_r").alias("min_r"),
+                 F.min("min_c").alias("min_c"),
+                 F.max("max_r").alias("max_r"),
+                 F.max("max_c").alias("max_c"),
+                 F.sum("n_pix").cast("long").alias("n_pixels"),
+                 F.count(F.lit(1)).alias("n_parts"))
+            .where(F.col("n_pixels") >= min_pixels)
+            .select("time_idx", "min_r", "min_c", "max_r", "max_c",
+                    "n_pixels", "n_parts"))

@@ -370,3 +370,55 @@ def spatially_balanced_sample_sql(source: str, id_col: str,
     SELECT {id_col}, cell::BIGINT AS cell, rk::INT AS rk
     FROM c WHERE rk <= {cap}
     """
+
+
+def equi_depth_profile(df: DataFrame, key_cols: list[str],
+                       val_col: str, id_col: str,
+                       n_bins: int = 10) -> DataFrame:
+    """Equi-depth (quantile-bucket) profile: per key, split rows into
+    n_bins equal-population bins by val_col and report per-bin stats
+    -> key_cols + (bin_idx, n_rows, min_val, max_val, sum_val).
+
+    The corpus-profiling twin of the log2 sketch (q118): EXACT bin
+    edges (bin = ((rank-1) * n_bins) div key_count over the
+    (val, id) order), at the cost of a rank instead of a register agg.
+
+    Scale shape: the rank is sampling.sharded_keyed_rank with an
+    equal-width value bucket as the monotone coarse key — no single
+    window task per key (the q86 law); the per-key counts are a tiny
+    agg broadcast back.
+    """
+    # monotone coarse bucket of the sort key; clamp into [0, BUCKETS)
+    hb = F.expr(f"least(greatest(CAST({val_col} AS BIGINT), 0) div 2,"
+                f" {BUCKETS - 1})")
+    d = df.withColumn("_hbv", hb)
+    r = sharded_keyed_rank(d, key_cols, "_hbv", id_col,
+                           order_cols=[F.col(val_col)])
+    n = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return (r.join(F.broadcast(n), on=list(key_cols))
+            .withColumn("bin_idx",
+                        F.expr(f"((_rk - 1) * {n_bins}) div _n"))
+            .groupBy(*key_cols, "bin_idx")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min(val_col).alias("min_val"),
+                 F.max(val_col).alias("max_val"),
+                 F.sum(val_col).cast("long").alias("sum_val")))
+
+
+def equi_depth_profile_sql(table: str, key: str, val: str,
+                           id_col: str, n_bins: int = 10) -> str:
+    """DuckDB twin: plain per-key window rank (the oracle never
+    re-implements the sharding)."""
+    return f"""
+    WITH r AS (
+      SELECT {key} AS k, {val} AS v,
+             row_number() OVER (PARTITION BY {key}
+                                ORDER BY {val}, {id_col}) AS rk,
+             count(*) OVER (PARTITION BY {key}) AS n
+      FROM {table})
+    SELECT k AS {key}, ((rk - 1) * {n_bins}) // n AS bin_idx,
+           count(*)::BIGINT AS n_rows,
+           min(v) AS min_val, max(v) AS max_val,
+           sum(v)::BIGINT AS sum_val
+    FROM r GROUP BY k, ((rk - 1) * {n_bins}) // n
+    """

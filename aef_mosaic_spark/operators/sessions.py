@@ -188,3 +188,106 @@ def session_stats_sql(table: str = "events",
            (sum(vmicro))::BIGINT AS value_micro
     FROM sess GROUP BY user_id, session_idx
     """
+
+
+# ------------------------------------------------------------------ #
+# Stay-point detection — spatial sessionization over trajectories    #
+# ------------------------------------------------------------------ #
+
+STAY_CELL = 400        # grid cell size (milli-units)
+STAY_MIN_SEC = 3600    # minimum dwell to call it a stay
+
+
+def stay_points(fixes: DataFrame, user_col: str = "user_id",
+                ts_col: str = "es", id_col: str = "event_id",
+                x_col: str = "xm", y_col: str = "ym",
+                cell: int = STAY_CELL,
+                min_sec: int = STAY_MIN_SEC) -> DataFrame:
+    """Grid-cell stay-point detection (the Li/Zheng 2008 trajectory
+    primitive, discretized): a stay is a maximal run of consecutive
+    fixes in the SAME cell whose dwell time >= min_sec ->
+    (user_id, stay_idx, cell_x, cell_y, n_fixes, start_es, end_es,
+    dwell_sec).
+
+    Same one-exchange shape as sessionize: the lag window, the
+    run-index cumsum, and the (user, run) groupBy all partition by
+    user — sessionization keyed on SPACE change instead of time gap.
+    Integer cell quantization keeps the law exact in both engines
+    (the reference's geodetic clustering analog without float
+    distance)."""
+    w = (Window.partitionBy(user_col)
+         .orderBy(ts_col, id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lag_w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    f = fixes.withColumn("_cx", F.expr(f"{x_col} div {cell}")) \
+             .withColumn("_cy", F.expr(f"{y_col} div {cell}"))
+    moved = (F.col("_cx") != F.lag("_cx").over(lag_w)) | \
+            (F.col("_cy") != F.lag("_cy").over(lag_w))
+    runs = (f.withColumn("_new", F.when(moved, 1).otherwise(0))
+            .withColumn("stay_idx", F.sum("_new").over(w)))
+    return (runs.groupBy(user_col, "stay_idx")
+            .agg(F.min("_cx").alias("cell_x"),
+                 F.min("_cy").alias("cell_y"),
+                 F.count(F.lit(1)).alias("n_fixes"),
+                 F.min(ts_col).alias("start_es"),
+                 F.max(ts_col).alias("end_es"),
+                 (F.max(ts_col) - F.min(ts_col)).alias("dwell_sec"))
+            .where(F.col("dwell_sec") >= min_sec))
+
+
+def event_fixes(events: DataFrame, anchor_sec: int = 7200,
+                jitter: int = 50) -> DataFrame:
+    """Deterministic trajectory fixes from the events table: each
+    user occupies an h32-derived anchor cell per anchor_sec block
+    (moving every block) with a small per-event jitter — md5 law,
+    identical in the SQL twin."""
+    from ..functions.hashes import h32_col
+
+    def anchor(tag):
+        return h32_col(F.concat(
+            F.lit(tag), F.col("user_id").cast("string"), F.lit("|"),
+            F.expr(f"CAST(es div {anchor_sec} AS STRING)"))) % 100000
+
+    def jit(tag):
+        return h32_col(F.concat(F.lit(tag),
+                                F.col("event_id").cast("string"))) % jitter
+
+    return (events
+            .withColumn("es", F.unix_timestamp(F.col("ts")))
+            .select("user_id", "event_id", "es",
+                    (anchor("sx") + jit("jx")).alias("xm"),
+                    (anchor("sy") + jit("jy")).alias("ym")))
+
+
+def stay_points_sql(table: str = "events", anchor_sec: int = 7200,
+                    jitter: int = 50, cell: int = STAY_CELL,
+                    min_sec: int = STAY_MIN_SEC) -> str:
+    from ..functions.hashes import h32_sql
+    ax = h32_sql(f"'sx' || user_id::VARCHAR || '|' || (es // {anchor_sec})::VARCHAR")
+    ay = h32_sql(f"'sy' || user_id::VARCHAR || '|' || (es // {anchor_sec})::VARCHAR")
+    jx = h32_sql("'jx' || event_id::VARCHAR")
+    jy = h32_sql("'jy' || event_id::VARCHAR")
+    return f"""
+    WITH fx AS (
+      SELECT user_id, event_id, es,
+             ({ax} % 100000 + {jx} % {jitter}) // {cell} AS cx,
+             ({ay} % 100000 + {jy} % {jitter}) // {cell} AS cy
+      FROM (SELECT user_id, event_id,
+                   floor(epoch(ts))::BIGINT AS es FROM {table})),
+    flagged AS (
+      SELECT *, CASE WHEN cx <> lag(cx) OVER w
+                       OR cy <> lag(cy) OVER w THEN 1 ELSE 0 END AS nw
+      FROM fx WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    runs AS (
+      SELECT *, (sum(nw) OVER (PARTITION BY user_id ORDER BY es,
+                 event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW))::BIGINT AS stay_idx
+      FROM flagged)
+    SELECT user_id, stay_idx,
+           min(cx) AS cell_x, min(cy) AS cell_y,
+           count(*)::BIGINT AS n_fixes,
+           min(es) AS start_es, max(es) AS end_es,
+           max(es) - min(es) AS dwell_sec
+    FROM runs GROUP BY user_id, stay_idx
+    HAVING max(es) - min(es) >= {min_sec}
+    """

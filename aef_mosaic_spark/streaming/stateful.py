@@ -168,3 +168,55 @@ def streaming_token_budget_admission(df: DataFrame, id_col: str,
     return df.groupBy(domain_col).applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def streaming_anomalies(df: DataFrame, win: int = 20, min_n: int = 10,
+                        k: int = 3) -> DataFrame:
+    """Streaming twin of operators/anomaly.rolling_anomalies: per-user
+    keyed state holds the trailing <=win (es, vcents) ring buffer
+    across microbatches; each arriving event is scored against the
+    buffer BEFORE being appended, with the IDENTICAL all-integer law
+    ((n*x - s)^2 > k^2 * (n*ss - s^2), n >= min_n).
+
+    Equivalence contract (reconciliation-tested): when events arrive
+    in (es, event_id) order per user — the replay/ingest case — the
+    flagged set is exactly the batch operator's. Out-of-order
+    arrivals score against the state as-of arrival (the streaming
+    semantics; same divergence-by-design note as the
+    admission-vs-mixture pair).
+
+    Input must already carry integer `es` and `vcents` columns (the
+    batch operator's quantization), so stream and batch share one
+    quantization law."""
+    out_schema = "user_id long, event_id long, es long, vcents long, win_n long"
+    state_schema = "ess array<long>, vcs array<long>"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ess, vcs = ([list(a) for a in state.get]
+                    if state.exists else ([], []))
+        flagged = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["es", "event_id"])
+        for t in rows.itertuples(index=False):
+            n = len(vcs)
+            if n >= min_n:
+                s = sum(vcs)
+                ss = sum(v * v for v in vcs)
+                x = int(t.vcents)
+                if (n * x - s) ** 2 > k * k * (n * ss - s * s):
+                    flagged.append({
+                        "user_id": int(key[0]),
+                        "event_id": int(t.event_id),
+                        "es": int(t.es), "vcents": x, "win_n": n})
+            ess.append(int(t.es))
+            vcs.append(int(t.vcents))
+            if len(vcs) > win:
+                ess.pop(0)
+                vcs.pop(0)
+        state.update((ess, vcs))
+        yield pd.DataFrame(flagged, columns=[
+            "user_id", "event_id", "es", "vcents", "win_n"])
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

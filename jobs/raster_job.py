@@ -34,7 +34,8 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change")
+STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change",
+          "regions")
 
 
 def main(argv=None):
@@ -64,6 +65,10 @@ def main(argv=None):
                     help="change: later time_idx")
     ap.add_argument("--threshold", type=int, default=16,
                     help="change: per-pixel |a-b| change threshold")
+    ap.add_argument("--min-pixels", type=int, default=1,
+                    help="regions: drop regions smaller than this")
+    ap.add_argument("--band", type=int, default=0,
+                    help="regions: band to threshold")
     ap.add_argument("--incremental", action="store_true",
                     help="focal only: recompute just the chunks whose "
                          "source changed since the derived table's "
@@ -138,6 +143,17 @@ def main(argv=None):
         partition_by = None
         stage_cfg.update(time_a=args.time_a, time_b=args.time_b,
                          threshold=args.threshold)
+    elif args.stage == "regions":
+        # vector OUTPUT stage: the region table, not chunks — change
+        # DETECTION (--stage change) composes into change OBJECTS by
+        # pointing --table at the committed change-mask table
+        from aef_mosaic_spark.operators.regions import label_regions
+        out_df = label_regions(chunks, grid, threshold=args.threshold,
+                               band=args.band, chunk_col="chunk",
+                               min_pixels=args.min_pixels)
+        partition_by = None
+        stage_cfg.update(threshold=args.threshold, band=args.band,
+                         min_pixels=args.min_pixels)
     elif args.stage == "stretch":
         from aef_mosaic_spark.operators.focal import histogram_stretch
         out_df = histogram_stretch(chunks, grid, p_low=args.p_low,

@@ -1,0 +1,213 @@
+"""Tests for the session-5 batch-2 operators: raster region labeling
+(distributed CCL), equi-depth profile, stay-point detection."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.grid import OutputGrid
+
+
+# ---------------------------------------------------------- regions
+
+def _grid(chh=8, chw=8, rows=3, cols=3, nb=1):
+    return OutputGrid(
+        bounds=(0.0, 0.0, cols * chw * 10.0, rows * chh * 10.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023,),
+        num_bands=nb, chunk_h=chh, chunk_w=chw)
+
+
+def _chunks_df(spark, full: np.ndarray, grid):
+    """Split a full (H, W) uint8 raster into the chunk table."""
+    rows = []
+    for ri in range(grid.chunk_rows):
+        for ci in range(grid.chunk_cols):
+            block = full[ri * grid.chunk_h:(ri + 1) * grid.chunk_h,
+                         ci * grid.chunk_w:(ci + 1) * grid.chunk_w]
+            rows.append((ri, ci,
+                         bytearray(np.ascontiguousarray(
+                             block[None, :, :]).tobytes())))
+    return spark.createDataFrame(
+        rows, "row_idx int, col_idx int, chunk binary")
+
+
+def test_label_regions_matches_golden_random(spark):
+    from aef_mosaic_spark.operators.regions import (
+        label_regions, region_stats_golden)
+    rng = np.random.RandomState(11)
+    grid = _grid()
+    full = (rng.rand(24, 24) < 0.45).astype(np.uint8) * 200
+    got = sorted(
+        (r.min_r, r.min_c, r.max_r, r.max_c, r.n_pixels)
+        for r in label_regions(_chunks_df(spark, full, grid), grid,
+                               threshold=128).collect())
+    assert got == region_stats_golden(full >= 128)
+
+
+def test_label_regions_cross_chunk_region(spark):
+    from aef_mosaic_spark.operators.regions import label_regions
+    grid = _grid()
+    full = np.zeros((24, 24), np.uint8)
+    full[7:10, 7:10] = 255      # straddles the 4 chunk corners at (8,8)
+    out = label_regions(_chunks_df(spark, full, grid), grid,
+                        threshold=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.min_r, r.min_c, r.max_r, r.max_c, r.n_pixels,
+            r.n_parts) == (7, 7, 9, 9, 9, 4)
+
+
+def test_label_regions_sparse_chunks_and_min_pixels(spark):
+    from aef_mosaic_spark.operators.regions import label_regions
+    grid = _grid()
+    full = np.zeros((24, 24), np.uint8)
+    full[0, 0] = 255            # 1-pixel region
+    full[20:23, 20:22] = 255    # 6-pixel region
+    df = _chunks_df(spark, full, grid)
+    assert label_regions(df, grid, threshold=128).count() == 2
+    out = label_regions(df, grid, threshold=128, min_pixels=2).collect()
+    assert len(out) == 1 and out[0].n_pixels == 6
+
+
+def test_label_mask_snake_across_rows():
+    from aef_mosaic_spark.operators.regions import label_mask
+    # serpentine region forcing multiple unions
+    m = np.array([
+        [1, 1, 1, 1, 1],
+        [0, 0, 0, 0, 1],
+        [1, 1, 1, 1, 1],
+        [1, 0, 0, 0, 0],
+        [1, 1, 1, 1, 1]], bool)
+    lab = label_mask(m)
+    assert lab[m].max() == lab[m].min() == 1  # one region
+
+
+# ----------------------------------------------------- equi-depth
+
+def test_equi_depth_profile_small(spark):
+    from aef_mosaic_spark.operators.sampling import equi_depth_profile
+    df = spark.createDataFrame(
+        [("a", i, i * 10) for i in range(20)]
+        + [("b", i, 5) for i in range(4)],
+        "k string, id long, v long")
+    out = {(r.k, r.bin_idx): (r.n_rows, r.min_val, r.max_val)
+           for r in equi_depth_profile(df, ["k"], "v", "id",
+                                       n_bins=4).collect()}
+    # key a: 20 rows, 4 bins of 5; values 0..190 step 10
+    assert out[("a", 0)] == (5, 0, 40)
+    assert out[("a", 3)] == (5, 150, 190)
+    # key b: 4 rows -> 1 per bin (ties broken by id)
+    assert out[("b", 0)] == (1, 5, 5)
+    assert len([k for k in out if k[0] == "b"]) == 4
+
+
+def test_equi_depth_bins_cover_all_rows(spark):
+    from aef_mosaic_spark.operators.sampling import equi_depth_profile
+    df = spark.range(1000).selectExpr(
+        "CAST(id % 3 AS STRING) AS k", "id", "(id * 37) % 500 AS v")
+    out = equi_depth_profile(df, ["k"], "v", "id").collect()
+    assert sum(r.n_rows for r in out) == 1000
+    for r in out:
+        assert 0 <= r.bin_idx < 10
+
+
+# ---------------------------------------------------- stay points
+
+def test_stay_points_basic(spark):
+    from aef_mosaic_spark.operators.sessions import stay_points
+    rows = []
+    # user 1: 2h in cell (0,0) -> stay; brief hop to cell (5,5);
+    # 90 min back in (0,0) -> second stay
+    for i, (es, x, y) in enumerate([
+            (0, 10, 10), (1800, 50, 60), (7000, 120, 30),   # dwell 7000
+            (7100, 2100, 2100),                             # hop
+            (8000, 15, 15), (11800, 30, 380)]):             # dwell 3800
+        rows.append((i, 1, es, x, y))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, xm long, ym long")
+    out = sorted((r.cell_x, r.cell_y, r.n_fixes, r.dwell_sec)
+                 for r in stay_points(df, ts_col="es").collect())
+    assert out == [(0, 0, 2, 3800), (0, 0, 3, 7000)]
+
+
+def test_stay_points_short_dwell_dropped(spark):
+    from aef_mosaic_spark.operators.sessions import stay_points
+    df = spark.createDataFrame(
+        [(0, 1, 0, 10, 10), (1, 1, 100, 20, 20)],
+        "event_id long, user_id long, es long, xm long, ym long")
+    assert stay_points(df, ts_col="es").count() == 0
+
+
+# ------------------------------------------------- streaming anomaly
+
+def test_streaming_anomalies_match_batch(spark, tmp_path):
+    """Reconciliation: with in-order arrival (contiguous time slices
+    as microbatches), the streaming flags == the batch operator's."""
+    import time
+
+    from aef_mosaic_spark.operators.anomaly import rolling_anomalies
+    from aef_mosaic_spark.streaming.stateful import streaming_anomalies
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = sorted(
+        (r.user_id, r.event_id, r.es, r.vcents, r.win_n)
+        for r in rolling_anomalies(ev).collect())
+    assert want, "fixture should flag something"
+
+    quant = ev.selectExpr(
+        "user_id", "event_id",
+        "unix_timestamp(ts) AS es",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS vcents")
+    cut = quant.approxQuantile("es", [0.5], 0.0)[0]
+    src = str(tmp_path / "in")
+    quant.where(F.col("es") < cut).coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(1.5)  # file-source order = mtime: slice 2 after slice 1
+    quant.where(F.col("es") >= cut).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, es long, vcents long") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (streaming_anomalies(stream)
+         .writeStream.format("memory").queryName("anom_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_id, r.es, r.vcents, r.win_n)
+        for r in spark.sql("SELECT * FROM anom_t").collect())
+    q.stop()
+    assert got == want
+
+
+def test_label_regions_flagship_numpy_parity(spark):
+    """q136's exact recipe vs the stitched-raster golden labeler,
+    per time slice (missing chunks = background in both)."""
+    import __spark_entry__ as entry
+    from aef_mosaic_spark import generator
+    from aef_mosaic_spark.operators import mosaic as M
+    from aef_mosaic_spark.operators.regions import (
+        label_regions, region_stats_golden)
+    grid = entry._flagship_grid()
+    images = generator.images_df(spark, 80)
+    chunks = M.mosaic(images, grid, mode="mean").persist()
+    got = {}
+    for r in label_regions(chunks, grid, threshold=160).collect():
+        got.setdefault(r.time_idx, []).append(
+            (r.min_r, r.min_c, r.max_r, r.max_c, r.n_pixels))
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+    full = {}
+    for r in chunks.collect():
+        f = full.setdefault(r.time_idx, np.zeros(
+            (grid.chunk_rows * chh, grid.chunk_cols * chw), np.uint8))
+        arr = np.frombuffer(r.chunk, np.uint8).reshape(nb, chh, chw)
+        f[r.row_idx * chh:(r.row_idx + 1) * chh,
+          r.col_idx * chw:(r.col_idx + 1) * chw] = arr[0]
+    chunks.unpersist()
+    assert set(got) <= set(full)
+    n_regions = 0
+    for t, f in full.items():
+        want = region_stats_golden(f >= 160)
+        assert sorted(got.get(t, [])) == want
+        n_regions += len(want)
+    assert n_regions >= 3
