@@ -2043,6 +2043,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stay_points(event_fixes(_pq(spark, sf, "events")))
     q["q137_stay_points"] = q137_stay_points
 
+    def q138_pmi_collocations(spark, sf):
+        # top-k adjacent-pair PMI (Church & Hanks): one bigram
+        # groupBy feeds four vocabulary-sized consumers via a single
+        # checkpoint; exact-integer ratio -> one quantized ln;
+        # TakeOrderedAndProject top-k (functions/lm.py)
+        from aef_mosaic_spark.functions.lm import pmi_pairs
+        return pmi_pairs(_pq(spark, sf, "documents"))
+    q["q138_pmi_collocations"] = q138_pmi_collocations
+
+    def q139_hll_rollup_cube(spark, sf):
+        # sketch CUBE: per-(type, day) user registers hashed from ONE
+        # corpus pass; the all-days level is a register groupBy(max)
+        # rollup — bit-identical to a direct coarse sketch by max
+        # associativity, which is exactly what the oracle's direct
+        # coarse pass checks (functions/sketches.py)
+        from aef_mosaic_spark.functions.sketches import hll_rollup_cube
+        e = _pq(spark, sf, "events").selectExpr(
+            "event_type",
+            "unix_timestamp(ts) div 86400 AS day",
+            "CAST(user_id AS STRING) AS v")
+        return hll_rollup_cube(e, ["event_type", "day"],
+                               ["event_type"], "v")
+    q["q139_hll_rollup_cube"] = q139_hll_rollup_cube
+
     def q134_idw_surface(spark, sf):
         # IDW vector->raster interpolation: R-cell blocked candidate
         # join (grid side takes the 9x emission), integer hyperbolic
@@ -3248,6 +3272,21 @@ def oracle_sql() -> dict[str, str]:
         f"'{_FIXTURE_DIR}/golden_q136_region_labels.parquet')")
     from aef_mosaic_spark.operators.sessions import stay_points_sql
     o["q137_stay_points"] = stay_points_sql("events")
+    from aef_mosaic_spark.functions.lm import pmi_pairs_sql
+    o["q138_pmi_collocations"] = pmi_pairs_sql("documents")
+    from aef_mosaic_spark.functions.sketches import hll_distinct_sql
+    _ev139 = ("(SELECT event_type, floor(epoch(ts))::BIGINT // 86400"
+              " AS day, user_id::VARCHAR AS v FROM events)")
+    _fine139 = hll_distinct_sql(_ev139, ["event_type", "day"], "v")
+    _coarse139 = hll_distinct_sql(_ev139, ["event_type"], "v")
+    o["q139_hll_rollup_cube"] = f"""
+    SELECT 'fine' AS lvl, event_type, day, n_registers, approx_distinct
+    FROM ({_fine139})
+    UNION ALL
+    SELECT 'rollup' AS lvl, event_type, (-1)::BIGINT AS day,
+           n_registers, approx_distinct
+    FROM ({_coarse139})
+    """
 
     return o
 

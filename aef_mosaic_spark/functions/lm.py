@@ -144,3 +144,69 @@ def bigram_perplexity_sql(table: str, id_col: str, text_col: str,
              AS keep
     FROM agg
     """
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+def pmi_pairs(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", min_count: int = PMI_MIN_COUNT,
+              k: int = PMI_TOP_K) -> DataFrame:
+    """Top-k adjacent-pair PMI (pointwise mutual information — the
+    classic collocation/association miner, Church & Hanks 1990) ->
+    (w1, w2, n_pair, pmi_micro), ordered deterministically by
+    (pmi desc, w1, w2) with an exact tiebreak.
+
+    Law: pmi = ln(b * N / (c1 * c2)) with all four counts exact
+    integers; the ratio is ONE double division of two exact <= 2^53
+    products (IEEE-identical in both engines), 6dp-floor-quantized
+    BEFORE the single ln, then micro-quantized (the q113/q122 law).
+
+    Scale shape: everything after the bigram groupBy is
+    vocabulary-sized; the count table feeds four consumers (c1, c2,
+    N, scoring) and is localCheckpointed once — the scan-audit law.
+    The top-k is TakeOrderedAndProject, never a global window."""
+    bg = _bigrams_df(docs, id_col, text_col)
+    big = (bg.groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).cast("long").alias("b"))
+             .localCheckpoint())
+    c1 = big.groupBy("w1").agg(F.sum("b").cast("long").alias("c1"))
+    c2 = big.groupBy("w2").agg(F.sum("b").cast("long").alias("c2"))
+    n = big.agg(F.sum("b").cast("long").alias("n"))
+    ratio = _q6_col((F.col("b") * F.col("n")).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double"))
+    return (big.where(F.col("b") >= min_count)
+            .join(c1, "w1").join(c2, "w2")
+            .crossJoin(F.broadcast(n))
+            .select("w1", "w2", F.col("b").alias("n_pair"),
+                    F.floor(F.log(ratio) * 1000000 + F.lit(0.5))
+                    .cast("long").alias("pmi_micro"))
+            .orderBy(F.desc("pmi_micro"), "w1", "w2")
+            .limit(k))
+
+
+def pmi_pairs_sql(table: str, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  min_count: int = PMI_MIN_COUNT,
+                  k: int = PMI_TOP_K) -> str:
+    """DuckDB twin — identical counts, quantization, ordering."""
+    toks = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    ratio = _q6_sql("(b.b * n.n)::DOUBLE / (c1.c1 * c2.c2)::DOUBLE")
+    return f"""
+    WITH bg AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM (SELECT {toks} AS t FROM {table})),
+    b AS (SELECT w1, w2, count(*)::BIGINT AS b FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(b)::BIGINT AS c1 FROM b GROUP BY w1),
+    c2 AS (SELECT w2, sum(b)::BIGINT AS c2 FROM b GROUP BY w2),
+    n AS (SELECT sum(b)::BIGINT AS n FROM b)
+    SELECT b.w1, b.w2, b.b AS n_pair,
+           floor(ln({ratio}) * 1000000 + 0.5e0)::BIGINT AS pmi_micro
+    FROM b JOIN c1 ON c1.w1 = b.w1
+           JOIN c2 ON c2.w2 = b.w2
+           CROSS JOIN n
+    WHERE b.b >= {min_count}
+    ORDER BY pmi_micro DESC, b.w1, b.w2
+    LIMIT {k}
+    """

@@ -330,3 +330,37 @@ def log2_quantiles_sql(source: str, group_cols: list[str],
     SELECT {gc}, q, bucket, (1::BIGINT << bucket)::BIGINT AS est_lo
     FROM ans
     """
+
+
+def hll_rollup_cube(df: DataFrame, fine_cols: list[str],
+                    coarse_cols: list[str], value_col: str,
+                    p: int = 8) -> DataFrame:
+    """Sketch CUBE: estimate distinct counts at a fine grain AND at a
+    coarse rollup FROM THE SAME register table — the sketch analog of
+    the tile-pyramid rollup-from-aggregate pattern (q125): the raw
+    corpus is hashed ONCE at the fine grain; every coarser level is a
+    register-table groupBy(max), never a corpus re-scan.
+
+    Correct by max-associativity: rolling fine registers up with max
+    yields EXACTLY the registers a direct coarse pass would produce,
+    so the coarse estimates are bit-identical to a from-scratch
+    sketch (the property the q139 oracle checks, and the reason a
+    daily register table can serve weekly/monthly/all-time queries).
+
+    -> (lvl, *fine_cols, n_registers, approx_distinct), where rolled
+    levels carry -1 in the rolled-away columns ('fine' | 'rollup')."""
+    dropped = [c for c in fine_cols if c not in coarse_cols]
+    regs = hll_registers(df, fine_cols, value_col, p=p) \
+        .localCheckpoint()  # feeds both levels — the scan-audit law
+    fine = hll_estimate(regs, fine_cols, p=p) \
+        .select(F.lit("fine").alias("lvl"), *fine_cols,
+                "n_registers", "approx_distinct")
+    coarse_regs = (regs.groupBy(*coarse_cols, "j")
+                   .agg(F.max("r").cast("int").alias("r")))
+    coarse = hll_estimate(coarse_regs, coarse_cols, p=p) \
+        .select(F.lit("rollup").alias("lvl"),
+                *[F.col(c) if c in coarse_cols
+                  else F.lit(-1).cast("long").alias(c)
+                  for c in fine_cols],
+                "n_registers", "approx_distinct")
+    return fine.unionByName(coarse)

@@ -73,7 +73,13 @@ def neighbor_pairs(points: DataFrame, eps: int = DEFAULT_EPS,
                      (F.col("_cy") + F.col("_dy")).alias("_cy")))
     d2 = ((F.col("_px") - F.col("_bx")) * (F.col("_px") - F.col("_bx"))
           + (F.col("_py") - F.col("_by")) * (F.col("_py") - F.col("_by")))
-    return (base.join(right, on=["_cx", "_cy"])
+    # shuffle_hash hint: Catalyst's size estimate does not account for
+    # the 9x explode, so at small input it BROADCASTS the exploded
+    # side — a single-threaded build of 9n rows that flattens core
+    # scaling (measured 1.16x at 4x cores on 1M points; SHJ restores
+    # the partition-parallel plan, which is also the only feasible
+    # shape at 100 TB where neither side broadcasts)
+    return (base.hint("shuffle_hash").join(right, on=["_cx", "_cy"])
             .where(d2 <= F.lit(eps * eps))
             .select(F.col("_pid").alias("a"), "b"))
 
@@ -95,7 +101,13 @@ def dbscan(points: DataFrame, eps: int = DEFAULT_EPS,
           .join(core.select(F.col("id").alias("a")), "a")
           .join(core.select(F.col("id").alias("b")), "b")
           .select(F.col("a").alias("id_a"), F.col("b").alias("id_b")))
-    cc = connected_components(ce, core, doubling=True)  # (id, cluster_id)
+    # doubling=False measured faster here: eps-neighbor graphs are
+    # locally DENSE, so pre-contraction + 2-4 plain rounds converge and
+    # pointer doubling's per-round self-join is pure overhead (same-
+    # session A/B at 1M pts/local[16]: 15.2-16.6 s vs 18.8-28.5 s,
+    # identical signature). Chain-shaped graphs are the doubling case
+    # (operators/regions.py).
+    cc = connected_components(ce, core)  # (id, cluster_id)
     # border: non-core point -> min cluster among its core neighbors
     border = (pairs.where(F.col("a") != F.col("b"))
               .join(core.select(F.col("id").alias("b")), "b")

@@ -476,10 +476,13 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             # fixpoint are preserved exactly — this only SHORTENS
             # label chains, turning the O(component diameter) round
             # count of plain propagation into O(log diameter). Worth
-            # a node-sized self-join per round on MESH-shaped graphs
-            # (DBSCAN adjacency, region-fragment chains); clique-
-            # shaped near-dup graphs converge in ~3 rounds without it
-            # (default off — those paths stay byte-identical).
+            # a node-sized self-join per round ONLY on long-CHAIN
+            # graphs (region-fragment chains, operators/regions.py).
+            # Locally-dense graphs (near-dup cliques, eps-neighbor
+            # DBSCAN adjacency) converge in 2-4 rounds after the
+            # pre-contraction and the extra join is a measured LOSS
+            # (1M-pt dbscan A/B local[16]: 15.2-16.6 s plain vs
+            # 18.8-28.5 s doubling, identical output) — default off.
             labels = (labels.alias("a")
                       .join(labels.select(
                           F.col("id").alias("_lid"),

@@ -211,3 +211,48 @@ def test_label_regions_flagship_numpy_parity(spark):
         assert sorted(got.get(t, [])) == want
         n_regions += len(want)
     assert n_regions >= 3
+
+
+# ------------------------------------------------------ pmi / rollup
+
+def test_pmi_hand_math(spark):
+    from aef_mosaic_spark.functions.lm import pmi_pairs
+    import math
+    # corpus: "x y" 6 times, "x z" 2 times -> N=8, c1(x)=8,
+    # c2(y)=6, c2(z)=2; pmi(x,y)=ln(6*8/(8*6))=0
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(6)] + [(10 + i, "x z") for i in range(2)],
+        "doc_id long, text string")
+    out = {(r.w1, r.w2): (r.n_pair, r.pmi_micro)
+           for r in pmi_pairs(docs, min_count=1, k=10).collect()}
+    assert out[("x", "y")] == (6, 0)
+    want = math.floor(math.log(math.floor(
+        (2 * 8) / (8 * 2) * 1e6) / 1e6) * 1e6 + 0.5)
+    assert out[("x", "z")] == (2, want)
+
+
+def test_pmi_topk_deterministic_ties(spark):
+    from aef_mosaic_spark.functions.lm import pmi_pairs
+    docs = spark.createDataFrame(
+        [(i, f"a{i % 7} b{i % 7}") for i in range(70)],
+        "doc_id long, text string")
+    k3 = [(r.w1, r.w2) for r in pmi_pairs(docs, min_count=1, k=3).collect()]
+    # all 7 pairs tie on pmi -> tiebreak is (w1, w2) lexicographic
+    assert k3 == [("a0", "b0"), ("a1", "b1"), ("a2", "b2")]
+
+
+def test_hll_rollup_equals_direct(spark):
+    from aef_mosaic_spark.functions.sketches import (
+        hll_distinct, hll_rollup_cube)
+    df = spark.range(5000).selectExpr(
+        "CAST(id % 3 AS STRING) AS t", "id % 7 AS day",
+        "CAST((id * 131) % 900 AS STRING) AS v")
+    cube = hll_rollup_cube(df, ["t", "day"], ["t"], "v")
+    roll = {r.t: (r.n_registers, r.approx_distinct)
+            for r in cube.where(F.col("lvl") == "rollup").collect()}
+    direct = {r.t: (r.n_registers, r.approx_distinct)
+              for r in hll_distinct(df, ["t"], "v").collect()}
+    assert roll == direct          # max-associativity, bit-identical
+    assert len(roll) == 3
+    fine_n = cube.where(F.col("lvl") == "fine").count()
+    assert fine_n == 21
