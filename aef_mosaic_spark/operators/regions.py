@@ -52,6 +52,10 @@ from .dedup import connected_components
 
 LOCAL_BITS = 20  # local labels per chunk < 2^20 (chunk <= 1024x1024)
 
+FRAG_SCHEMA = ("time_idx int, row_idx int, col_idx int, kind int, "
+               "side int, j long, gid long, n_pix long, min_r long, "
+               "min_c long, max_r long, max_c long")
+
 # side codes for edge rows
 TOP, LEFT, BOTTOM, RIGHT = 0, 1, 2, 3
 
@@ -137,24 +141,27 @@ def region_stats_golden(mask: np.ndarray) -> list[tuple]:
                   for i in range(1, nlab + 1))
 
 
-def label_regions(chunks: DataFrame, grid: OutputGrid,
-                  threshold: int = 128, band: int = 0,
-                  chunk_col: str = "chunk",
-                  min_pixels: int = 1) -> DataFrame:
-    """-> (time_idx, min_r, min_c, max_r, max_c, n_pixels, n_parts):
-    one row per connected region of (band pixel >= threshold), per
-    time slice (labels never stitch across time), coordinates in
-    global pixels; n_parts = chunk-local label fragments the region
-    was stitched from. A missing time_idx column is treated as a
-    single slice 0."""
+def region_fragments(chunks: DataFrame, grid: OutputGrid,
+                     threshold: int = 128, band: int = 0,
+                     chunk_col: str = "chunk") -> DataFrame:
+    """Stage 1 of the CCL, as a PERSISTABLE per-chunk fragment table:
+    (time_idx, row_idx, col_idx, kind, side, j, gid, n_pix, min_r,
+    min_c, max_r, max_c). kind 0 = local-label stats, 1 = border edge
+    pixel, 2 = chunk marker (one per processed chunk, so an
+    incremental MERGE keyed on (time_idx, row_idx, col_idx) group-
+    replaces a chunk's fragments even when its new mask is EMPTY —
+    without the marker, a chunk whose regions vanished would leave
+    stale fragments behind).
+
+    This is the expensive pass (decode + label); everything in
+    assemble_regions is fragment-sized. Persisting this table (see
+    raster_job --stage regions) makes region maintenance O(changed
+    chunks): recompute fragments for CDC chunks, merge, re-assemble.
+    A missing time_idx column is treated as a single slice 0."""
     import pandas as pd
 
     chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
     n_rows_g, n_cols = grid.chunk_rows, grid.chunk_cols
-
-    part_schema = ("kind int, ti int, side int, j long, gid long, "
-                   "n_pix long, min_r long, min_c long, "
-                   "max_r long, max_c long")
 
     def _emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -167,6 +174,7 @@ def label_regions(chunks: DataFrame, grid: OutputGrid,
                 mask = arr[band] >= threshold
                 labels = label_mask(mask)
                 nlab = int(labels.max())
+                rows.append((ti, ri, ci, 2, 0, 0, 0, 0, 0, 0, 0, 0))
                 if nlab == 0:
                     continue
                 base = ((ti * n_rows_g + ri) * n_cols + ci) << LOCAL_BITS
@@ -174,7 +182,7 @@ def label_regions(chunks: DataFrame, grid: OutputGrid,
                 _, counts, minr, minc, maxr, maxc = \
                     _label_aggregates(labels)
                 for lab in range(1, nlab + 1):
-                    rows.append((0, ti, 0, 0, base + lab,
+                    rows.append((ti, ri, ci, 0, 0, 0, base + lab,
                                  int(counts[lab]),
                                  oy + int(minr[lab]), ox + int(minc[lab]),
                                  oy + int(maxr[lab]), ox + int(maxc[lab])))
@@ -186,25 +194,29 @@ def label_regions(chunks: DataFrame, grid: OutputGrid,
                         (RIGHT, labels[:, -1], oy)):
                     nz = np.flatnonzero(vec)
                     for j in nz:
-                        rows.append((1, ti, side, off + int(j),
-                                     base + int(vec[j]),
-                                     0, ri, ci, 0, 0))
+                        rows.append((ti, ri, ci, 1, side, off + int(j),
+                                     base + int(vec[j]), 0, 0, 0, 0, 0))
             yield pd.DataFrame(rows, columns=[
-                "kind", "ti", "side", "j", "gid", "n_pix",
-                "min_r", "min_c", "max_r", "max_c"])
+                "time_idx", "row_idx", "col_idx", "kind", "side", "j",
+                "gid", "n_pix", "min_r", "min_c", "max_r", "max_c"])
 
     tcol = (F.col("time_idx") if "time_idx" in chunks.columns
             else F.lit(0)).cast("int").alias("time_idx")
     src = chunks.select(tcol, "row_idx", "col_idx", chunk_col)
-    parts = src.mapInPandas(_emit, schema=part_schema) \
-        .localCheckpoint()  # 3 consumers below — the scan-audit law
+    return src.mapInPandas(_emit, schema=FRAG_SCHEMA)
 
+
+def assemble_regions(parts: DataFrame, min_pixels: int = 1) -> DataFrame:
+    """Stage 2: fragment table -> region table. Everything here is
+    fragment-sized (O(labels + perimeter)), never chunk binaries —
+    cheap enough to re-run globally after an incremental fragment
+    merge. Chain-shaped fragment graphs get the pointer-doubling CC."""
     stats = parts.where(F.col("kind") == 0) \
-        .select("ti", "gid", "n_pix", "min_r", "min_c",
-                "max_r", "max_c")
+        .select(F.col("time_idx").alias("ti"), "gid", "n_pix",
+                "min_r", "min_c", "max_r", "max_c")
     edges_rows = parts.where(F.col("kind") == 1) \
-        .select("ti", "side", "j", "gid",
-                F.col("min_r").alias("ri"), F.col("min_c").alias("ci"))
+        .select(F.col("time_idx").alias("ti"), "side", "j", "gid",
+                F.col("row_idx").alias("ri"), F.col("col_idx").alias("ci"))
 
     def _adj(lo_side, hi_side, dr, dc):
         lo = edges_rows.where(F.col("side") == lo_side).select(
@@ -218,7 +230,7 @@ def label_regions(chunks: DataFrame, grid: OutputGrid,
 
     eq_edges = _adj(BOTTOM, TOP, 1, 0).unionByName(_adj(RIGHT, LEFT, 0, 1))
     nodes = stats.select(F.col("gid").alias("id"))
-    cc = connected_components(eq_edges, nodes, doubling=True)  # (id, cluster_id)
+    cc = connected_components(eq_edges, nodes, doubling=True)
 
     return (stats.join(cc, stats.gid == cc.id)
             .groupBy("cluster_id")
@@ -232,3 +244,19 @@ def label_regions(chunks: DataFrame, grid: OutputGrid,
             .where(F.col("n_pixels") >= min_pixels)
             .select("time_idx", "min_r", "min_c", "max_r", "max_c",
                     "n_pixels", "n_parts"))
+
+
+def label_regions(chunks: DataFrame, grid: OutputGrid,
+                  threshold: int = 128, band: int = 0,
+                  chunk_col: str = "chunk",
+                  min_pixels: int = 1) -> DataFrame:
+    """-> (time_idx, min_r, min_c, max_r, max_c, n_pixels, n_parts):
+    one row per connected region of (band pixel >= threshold), per
+    time slice (labels never stitch across time), coordinates in
+    global pixels; n_parts = chunk-local label fragments the region
+    was stitched from. One-shot form: fragments are checkpointed
+    (3 consumers in assemble — the scan-audit law) instead of
+    persisted."""
+    parts = region_fragments(chunks, grid, threshold, band,
+                             chunk_col).localCheckpoint()
+    return assemble_regions(parts, min_pixels=min_pixels)

@@ -582,7 +582,8 @@ class Icelite:
 
     def read_incremental(self, spark: SparkSession, from_snapshot_id: int,
                          to_snapshot_id: int | None = None,
-                         filters: dict | None = None) -> DataFrame:
+                         filters: dict | None = None,
+                         allow_rewrites: bool = False) -> DataFrame:
         """Rows ADDED strictly after `from_snapshot_id`, up to and
         including `to_snapshot_id` (default: current) — the Iceberg
         incremental append scan, the read side of exactly-once
@@ -595,7 +596,15 @@ class Icelite:
         refuse, exactly as Iceberg's incremental read does for
         replace snapshots. Ancestry is validated by walking parent
         ids. Returns an empty frame (table schema) when no data was
-        added. File pruning via `filters` works as in read()."""
+        added. File pruning via `filters` works as in read().
+
+        allow_rewrites=True relaxes the append-only refusal for
+        KEY-level CDC consumers: across a MERGE, the added files also
+        carry the rewritten survivors, so the result is a SUPERSET of
+        the changed rows (Iceberg's changelog-with-carryover shape).
+        Correct for consumers that recompute per distinct key
+        (raster_job --incremental regions); NOT row-exact — never use
+        it where each returned row is treated as new data."""
         to_id = (to_snapshot_id if to_snapshot_id is not None
                  else self.current_snapshot_id())
         if to_id is None:
@@ -611,10 +620,11 @@ class Icelite:
         from_s = self.snapshot(from_snapshot_id) if from_snapshot_id else None
         to_s = self.snapshot(to_id)
         base = set(from_s["manifests"]) if from_s else set()
-        if not base <= set(to_s["manifests"]):
+        if not base <= set(to_s["manifests"]) and not allow_rewrites:
             raise ValueError(
                 f"snapshots {from_snapshot_id}..{to_id} include an "
-                f"overwrite; the delta is not append-only")
+                f"overwrite; the delta is not append-only (pass "
+                f"allow_rewrites=True for key-level superset CDC)")
         new = [m for m in to_s["manifests"] if m not in base]
         if not new:
             return self.read(spark, to_id).limit(0)

@@ -88,8 +88,10 @@ def main(argv=None):
     if args.stage == "change" and (args.time_a is None
                                    or args.time_b is None):
         ap.error("--stage change requires --time-a and --time-b")
-    if args.incremental and args.stage != "focal":
-        ap.error("--incremental is only supported for --stage focal")
+    if args.incremental and args.stage not in ("focal", "regions"):
+        ap.error("--incremental supports --stage focal or regions")
+    if args.incremental and args.stage == "regions":
+        return _run_incremental_regions(args)
     if args.incremental:
         return _run_incremental(args)
     if os.path.exists(args.output):
@@ -146,14 +148,30 @@ def main(argv=None):
     elif args.stage == "regions":
         # vector OUTPUT stage: the region table, not chunks — change
         # DETECTION (--stage change) composes into change OBJECTS by
-        # pointing --table at the committed change-mask table
-        from aef_mosaic_spark.operators.regions import label_regions
-        out_df = label_regions(chunks, grid, threshold=args.threshold,
-                               band=args.band, chunk_col="chunk",
-                               min_pixels=args.min_pixels)
-        partition_by = None
+        # pointing --table at the committed change-mask table.
+        # The per-chunk FRAGMENT table (the expensive decode+label
+        # pass) is persisted beside the output: incremental
+        # maintenance then recomputes fragments for CDC chunks only
+        # and re-assembles from the fragment-sized table.
+        from aef_mosaic_spark.operators.regions import (
+            assemble_regions, region_fragments)
         stage_cfg.update(threshold=args.threshold, band=args.band,
                          min_pixels=args.min_pixels)
+        frags_t = Icelite(args.output + "_fragments")
+        frags_t.append(
+            region_fragments(chunks, grid, threshold=args.threshold,
+                             band=args.band, chunk_col="chunk"),
+            partition_by=["time_idx"],
+            properties={
+                "derived_from": args.table,
+                "source_snapshot": str(src_snap),
+                "grid": props["grid"],
+                "stage_config": json.dumps(stage_cfg, sort_keys=True),
+            },
+            summary={"operation": "derive-region-fragments"})
+        out_df = assemble_regions(frags_t.read(spark),
+                                  min_pixels=args.min_pixels)
+        partition_by = None
     elif args.stage == "stretch":
         from aef_mosaic_spark.operators.focal import histogram_stretch
         out_df = histogram_stretch(chunks, grid, p_low=args.p_low,
@@ -273,6 +291,96 @@ def _run_incremental(args):
         "snapshot_id": snap_id, "stage": "focal", "incremental": True,
         "changed": n_changed, "affected": n_aff,
         "wall_s": round(_time.time() - t0, 3),
+        "source_snapshot": to_snap, "from_snapshot": from_snap,
+    }))
+
+
+
+def _run_incremental_regions(args):
+    """Incremental region maintenance: CDC chunk keys since the
+    FRAGMENT table's recorded source_snapshot -> recompute fragments
+    for exactly those chunks (NO neighbor ring — stitching is
+    assemble-time, so a chunk's fragments are a pure function of that
+    chunk) -> group-replace MERGE into the fragment table (the kind=2
+    marker guarantees a now-empty chunk still clears its old rows) ->
+    re-assemble the region table from the fragment-sized index and
+    OVERWRITE it. Decode+label work is O(changed); the global solve
+    is O(fragments), never O(chunk bytes)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators.regions import (assemble_regions,
+                                                    region_fragments)
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    spark = SparkSession.builder.getOrCreate()
+    t0 = _time.time()
+    src = Icelite(args.table)
+    frags_t = Icelite(args.output + "_fragments")
+    dst = Icelite(args.output)
+    if frags_t.current_snapshot_id() is None:
+        raise FileNotFoundError(
+            f"{args.output}_fragments has no snapshots; run the full "
+            "--stage regions derivation first")
+    fprops = frags_t.properties()
+    want = {"stage": "regions", "threshold": args.threshold,
+            "band": args.band, "min_pixels": args.min_pixels}
+    have = _json.loads(fprops.get("stage_config", "{}"))
+    if fprops.get("derived_from") != args.table or have != want:
+        raise ValueError(
+            f"incremental refused: {args.output}_fragments was derived "
+            f"with {fprops.get('derived_from')!r} {have} but this run "
+            f"asks {args.table!r} {want} — rebuild instead of mixing")
+    grid = OutputGrid.from_dict(_json.loads(fprops["grid"]))
+    from_snap = int(fprops["source_snapshot"])
+    to_snap = src.current_snapshot_id()
+    keys = ["time_idx", "row_idx", "col_idx"]
+
+    # allow_rewrites: a MERGE'd source chunk arrives as a rewritten
+    # file whose keys are a SUPERSET of the changed ones — extra keys
+    # just relabel unchanged chunks to the same fragments (idempotent)
+    cdc = src.read_incremental(spark, from_snap, allow_rewrites=True)
+    changed = cdc.select(*keys).distinct()
+    n_changed = changed.count()
+    if n_changed == 0:
+        print(_json.dumps({"stage": "regions", "incremental": True,
+                           "changed": 0, "wall_s":
+                           round(_time.time() - t0, 3),
+                           "source_snapshot": to_snap}))
+        return
+    bb = changed.agg(F.min("row_idx"), F.max("row_idx"),
+                     F.min("col_idx"), F.max("col_idx")).collect()[0]
+    chunks = src.read(spark, filters={"row_idx": (bb[0], bb[1]),
+                                      "col_idx": (bb[2], bb[3])})
+    inputs = chunks.join(changed, keys, "leftsemi")
+    upd = region_fragments(inputs, grid, threshold=args.threshold,
+                           band=args.band, chunk_col="chunk").persist()
+    n_frag = upd.count()  # materializes; merge reuses, not recomputes
+    frags_t.merge(
+        spark, upd, key_cols=keys, partition_by=["time_idx"],
+        filters={"row_idx": (bb[0], bb[1]), "col_idx": (bb[2], bb[3])},
+        properties={"source_snapshot": str(to_snap)},
+        summary={"operation": "region-fragments-incremental",
+                 "changed_chunks": n_changed})
+    upd.unpersist()
+    out = assemble_regions(frags_t.read(spark),
+                           min_pixels=args.min_pixels)
+    snap_id = dst.overwrite(
+        out, properties={
+            "derived_from": args.table,
+            "source_snapshot": str(to_snap),
+            "grid": fprops["grid"],
+            "stage_config": fprops.get("stage_config", ""),
+        })
+    n_out = dst.read(spark).count()
+    print(_json.dumps({
+        "snapshot_id": snap_id, "stage": "regions", "incremental": True,
+        "changed": n_changed, "fragments_merged": n_frag,
+        "regions_out": n_out, "wall_s": round(_time.time() - t0, 3),
         "source_snapshot": to_snap, "from_snapshot": from_snap,
     }))
 

@@ -256,3 +256,85 @@ def test_hll_rollup_equals_direct(spark):
     assert len(roll) == 3
     fine_n = cube.where(F.col("lvl") == "fine").count()
     assert fine_n == 21
+
+
+# ------------------------------------------- incremental regions job
+
+def test_incremental_regions_job_matches_full(spark, tmp_path):
+    """raster_job --stage regions e2e: full derivation persists the
+    fragment index; after a source MERGE that moves one region and
+    EMPTIES another chunk, --incremental recomputes only the changed
+    chunks' fragments and the re-assembled table equals a
+    from-scratch labeling (the marker row clears the emptied chunk)."""
+    import json
+
+    import jobs.raster_job as RJ
+    from aef_mosaic_spark.operators.regions import label_regions
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    grid = _grid()
+    full = np.zeros((24, 24), np.uint8)
+    full[2:6, 2:6] = 200        # chunk (0,0)
+    full[7:12, 7:12] = 200      # straddles all four corner chunks
+    full[20:22, 3:5] = 200      # chunk (2,0)
+    src_path = str(tmp_path / "mosaic")
+    src_t = Icelite(src_path)
+    chunks0 = _chunks_df(spark, full, grid).selectExpr(
+        "0 AS time_idx", "row_idx", "col_idx", "chunk")
+    src_t.append(chunks0, partition_by=["time_idx"],
+                 properties={"grid": json.dumps(grid.to_dict())})
+
+    out_path = str(tmp_path / "regions")
+    RJ.main(["--table", src_path, "--output", out_path,
+             "--stage", "regions", "--threshold", "128"])
+    base = {tuple(r) for r in Icelite(out_path).read(spark).collect()}
+    assert len(base) == 3
+
+    # source update: clear chunk (2,0) entirely; move the (0,0) blob
+    full2 = full.copy()
+    full2[20:22, 3:5] = 0
+    full2[2:6, 2:6] = 0
+    full2[0:3, 0:3] = 200
+    upd_keys = [(0, 2, 0), (0, 0, 0)]
+    upd = _chunks_df(spark, full2, grid).selectExpr(
+        "0 AS time_idx", "row_idx", "col_idx", "chunk") \
+        .where(F.expr("(time_idx, row_idx, col_idx) IN "
+                      "((0, 2, 0), (0, 0, 0))"))
+    assert upd.count() == len(upd_keys)
+    src_t.merge(spark, upd, key_cols=["time_idx", "row_idx", "col_idx"],
+                partition_by=["time_idx"])
+
+    RJ.main(["--table", src_path, "--output", out_path,
+             "--stage", "regions", "--threshold", "128",
+             "--incremental"])
+    got = {tuple(r) for r in Icelite(out_path).read(spark).collect()}
+    want = {tuple(r) for r in label_regions(
+        src_t.read(spark), grid, threshold=128).collect()}
+    assert got == want
+    # the emptied chunk's region is gone; the moved region is present
+    assert not any(r[1] >= 20 for r in got)      # min_r >= 20 cleared
+    assert any((r[1], r[2]) == (0, 0) for r in got)
+
+
+def test_incremental_regions_refuses_config_mismatch(spark, tmp_path):
+    import json
+
+    import jobs.raster_job as RJ
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    grid = _grid()
+    full = np.zeros((24, 24), np.uint8)
+    full[2:6, 2:6] = 200
+    src_path = str(tmp_path / "mosaic2")
+    Icelite(src_path).append(
+        _chunks_df(spark, full, grid).selectExpr(
+            "0 AS time_idx", "row_idx", "col_idx", "chunk"),
+        partition_by=["time_idx"],
+        properties={"grid": json.dumps(grid.to_dict())})
+    out_path = str(tmp_path / "regions2")
+    RJ.main(["--table", src_path, "--output", out_path,
+             "--stage", "regions", "--threshold", "128"])
+    with pytest.raises(ValueError, match="incremental refused"):
+        RJ.main(["--table", src_path, "--output", out_path,
+                 "--stage", "regions", "--threshold", "99",
+                 "--incremental"])
