@@ -2043,6 +2043,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stay_points(event_fixes(_pq(spark, sf, "events")))
     q["q137_stay_points"] = q137_stay_points
 
+    def q140_stay_transitions(spark, sf):
+        # origin-destination flow matrix over consecutive stays
+        # (home->work edges): q137's stays + one lead window on the
+        # SAME user exchange + a cell-pair groupBy
+        from aef_mosaic_spark.operators.sessions import (
+            event_fixes, stay_points, stay_transitions)
+        return stay_transitions(
+            stay_points(event_fixes(_pq(spark, sf, "events"))))
+    q["q140_stay_transitions"] = q140_stay_transitions
+
     def q138_pmi_collocations(spark, sf):
         # top-k adjacent-pair PMI (Church & Hanks): one bigram
         # groupBy feeds four vocabulary-sized consumers via a single
@@ -3270,8 +3280,10 @@ def oracle_sql() -> dict[str, str]:
     o["q136_region_labels"] = (
         f"SELECT * FROM read_parquet("
         f"'{_FIXTURE_DIR}/golden_q136_region_labels.parquet')")
-    from aef_mosaic_spark.operators.sessions import stay_points_sql
+    from aef_mosaic_spark.operators.sessions import (stay_points_sql,
+                                                      stay_transitions_sql)
     o["q137_stay_points"] = stay_points_sql("events")
+    o["q140_stay_transitions"] = stay_transitions_sql("events")
     from aef_mosaic_spark.functions.lm import pmi_pairs_sql
     o["q138_pmi_collocations"] = pmi_pairs_sql("documents")
     from aef_mosaic_spark.functions.sketches import hll_distinct_sql

@@ -81,20 +81,26 @@ def label_mask(mask: np.ndarray) -> np.ndarray:
         edges = np.flatnonzero(np.diff(np.concatenate(
             ([False], row, [False])).astype(np.int8)))
         runs = []
+        k = 0  # two-pointer over prev_runs: both lists are sorted by
+        #        start, and a prev run with pe <= s can never overlap
+        #        any later run, so the scan is O(runs + overlaps) per
+        #        row instead of O(runs^2) (noisy masks)
         for i in range(0, len(edges), 2):
             s, e = int(edges[i]), int(edges[i + 1])
             lab = 0
-            for ps, pe, pl in prev_runs:
-                if ps < e and s < pe:  # column overlap (4-conn)
-                    rl = find(pl)
-                    if lab == 0:
-                        lab = rl
-                    elif rl != lab:
-                        # union
-                        ra, rb = find(lab), rl
-                        if ra != rb:
-                            parent[max(ra, rb)] = min(ra, rb)
-                        lab = min(ra, rb)
+            while k < len(prev_runs) and prev_runs[k][1] <= s:
+                k += 1
+            j = k
+            while j < len(prev_runs) and prev_runs[j][0] < e:
+                rl = find(prev_runs[j][2])  # column overlap (4-conn)
+                if lab == 0:
+                    lab = rl
+                elif rl != lab:
+                    ra, rb = find(lab), rl
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                    lab = min(ra, rb)
+                j += 1
             if lab == 0:
                 parent.append(len(parent))
                 lab = len(parent) - 1
@@ -210,7 +216,7 @@ def assemble_regions(parts: DataFrame, min_pixels: int = 1) -> DataFrame:
     """Stage 2: fragment table -> region table. Everything here is
     fragment-sized (O(labels + perimeter)), never chunk binaries —
     cheap enough to re-run globally after an incremental fragment
-    merge. Chain-shaped fragment graphs get the pointer-doubling CC."""
+    merge."""
     stats = parts.where(F.col("kind") == 0) \
         .select(F.col("time_idx").alias("ti"), "gid", "n_pix",
                 "min_r", "min_c", "max_r", "max_c")
@@ -230,7 +236,11 @@ def assemble_regions(parts: DataFrame, min_pixels: int = 1) -> DataFrame:
 
     eq_edges = _adj(BOTTOM, TOP, 1, 0).unionByName(_adj(RIGHT, LEFT, 0, 1))
     nodes = stats.select(F.col("gid").alias("id"))
-    cc = connected_components(eq_edges, nodes, doubling=True)
+    # doubling measured OFF here too: typical fragment components are
+    # 1-5 fragments (4.5 s vs 3.9 s assemble at 197k fragments,
+    # same-session A/B) — reserve connected_components(doubling=True)
+    # for genuinely long chains (a river crossing hundreds of chunks)
+    cc = connected_components(eq_edges, nodes)
 
     return (stats.join(cc, stats.gid == cc.id)
             .groupBy("cluster_id")

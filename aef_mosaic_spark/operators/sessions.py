@@ -291,3 +291,41 @@ def stay_points_sql(table: str = "events", anchor_sec: int = 7200,
     FROM runs GROUP BY user_id, stay_idx
     HAVING max(es) - min(es) >= {min_sec}
     """
+
+
+def stay_transitions(stays: DataFrame, user_col: str = "user_id"
+                     ) -> DataFrame:
+    """Origin-destination flow matrix over consecutive stay points
+    (the trajectory-mining OD aggregation: home->work edges, site
+    transition graphs) -> (from_x, from_y, to_x, to_y, n_trips,
+    n_users). Consecutive = next stay of the same user in start_es
+    order (stay_idx tiebreak). Same single user exchange; the OD
+    groupBy output is cell-pair-sized."""
+    w = Window.partitionBy(user_col).orderBy("start_es", "stay_idx")
+    t = (stays
+         .withColumn("_tx", F.lead("cell_x").over(w))
+         .withColumn("_ty", F.lead("cell_y").over(w))
+         .where(F.col("_tx").isNotNull()))
+    return (t.groupBy(F.col("cell_x").alias("from_x"),
+                      F.col("cell_y").alias("from_y"),
+                      F.col("_tx").alias("to_x"),
+                      F.col("_ty").alias("to_y"))
+            .agg(F.count(F.lit(1)).alias("n_trips"),
+                 F.countDistinct(user_col).alias("n_users")))
+
+
+def stay_transitions_sql(table: str = "events", **stay_kwargs) -> str:
+    """DuckDB twin: q137's stay CTE + one lead window + groupBy."""
+    inner = stay_points_sql(table, **stay_kwargs)
+    return f"""
+    WITH stays AS ({inner}),
+    t AS (SELECT user_id, cell_x, cell_y,
+                 lead(cell_x) OVER w AS tx, lead(cell_y) OVER w AS ty
+          FROM stays
+          WINDOW w AS (PARTITION BY user_id ORDER BY start_es, stay_idx))
+    SELECT cell_x AS from_x, cell_y AS from_y, tx AS to_x, ty AS to_y,
+           count(*)::BIGINT AS n_trips,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM t WHERE tx IS NOT NULL
+    GROUP BY cell_x, cell_y, tx, ty
+    """

@@ -338,3 +338,16 @@ def test_incremental_regions_refuses_config_mismatch(spark, tmp_path):
         RJ.main(["--table", src_path, "--output", out_path,
                  "--stage", "regions", "--threshold", "99",
                  "--incremental"])
+
+
+def test_stay_transitions_basic(spark):
+    from aef_mosaic_spark.operators.sessions import stay_transitions
+    stays = spark.createDataFrame(
+        # user 1: A -> B -> A ; user 2: A -> B
+        [(1, 0, 0, 0, 100), (1, 1, 5, 5, 5000), (1, 2, 0, 0, 9000),
+         (2, 0, 0, 0, 50), (2, 1, 5, 5, 7000)],
+        "user_id long, stay_idx long, cell_x long, cell_y long, "
+        "start_es long")
+    out = {(r.from_x, r.from_y, r.to_x, r.to_y): (r.n_trips, r.n_users)
+           for r in stay_transitions(stays).collect()}
+    assert out == {(0, 0, 5, 5): (2, 2), (5, 5, 0, 0): (1, 1)}
