@@ -2053,6 +2053,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stay_points(event_fixes(_pq(spark, sf, "events"))))
     q["q140_stay_transitions"] = q140_stay_transitions
 
+    def q141_cluster_hulls(spark, sf):
+        # convex hull + exact integer area per DBSCAN cluster:
+        # two-level hull-of-hulls (hull is associative, so level 1
+        # runs per (cluster, h32-shard) — bounded groups even for a
+        # mega-cluster); pinned fixture + associativity pytest
+        from aef_mosaic_spark.operators.clustering import (
+            cluster_hulls, dbscan, dbscan_points)
+        pts = dbscan_points(_pq(spark, sf, "orders"))
+        return cluster_hulls(pts, dbscan(pts))
+    q["q141_cluster_hulls"] = q141_cluster_hulls
+
     def q138_pmi_collocations(spark, sf):
         # top-k adjacent-pair PMI (Church & Hanks): one bigram
         # groupBy feeds four vocabulary-sized consumers via a single
@@ -3284,6 +3295,9 @@ def oracle_sql() -> dict[str, str]:
                                                       stay_transitions_sql)
     o["q137_stay_points"] = stay_points_sql("events")
     o["q140_stay_transitions"] = stay_transitions_sql("events")
+    o["q141_cluster_hulls"] = (
+        f"SELECT * FROM read_parquet("
+        f"'{_FIXTURE_DIR}/golden_q141_cluster_hulls.parquet')")
     from aef_mosaic_spark.functions.lm import pmi_pairs_sql
     o["q138_pmi_collocations"] = pmi_pairs_sql("documents")
     from aef_mosaic_spark.functions.sketches import hll_distinct_sql

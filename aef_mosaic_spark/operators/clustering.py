@@ -218,3 +218,106 @@ def dbscan_sql(table: str = "orders", eps: int = DEFAULT_EPS,
     FROM pts WHERE id NOT IN (SELECT id FROM cc)
                 AND id NOT IN (SELECT id FROM border)
     """
+
+
+# ---------------------------------------------------------------- #
+# Convex hull per cluster — two-level hull-of-hulls                 #
+# ---------------------------------------------------------------- #
+
+HULL_SHARDS = 16
+
+
+def _monotone_chain(pts):
+    """Andrew's monotone chain over [(x, y)] ints -> hull vertices in
+    counter-clockwise order starting from the lexicographic minimum;
+    collinear points excluded (strict turns). Exact integer cross
+    products — deterministic on any host."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lo, up = [], []
+    for p in pts:
+        while len(lo) >= 2 and cross(lo[-2], lo[-1], p) <= 0:
+            lo.pop()
+        lo.append(p)
+    for p in reversed(pts):
+        while len(up) >= 2 and cross(up[-2], up[-1], p) <= 0:
+            up.pop()
+        up.append(p)
+    return lo[:-1] + up[:-1]
+
+
+def _area2(hull):
+    """Twice the polygon area (exact integer shoelace), 0 for
+    degenerate hulls."""
+    if len(hull) < 3:
+        return 0
+    s = 0
+    for i in range(len(hull)):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % len(hull)]
+        s += x1 * y2 - x2 * y1
+    return abs(s)
+
+
+def cluster_hulls(points: DataFrame, assignments: DataFrame,
+                  id_col: str = "id", x_col: str = "xm",
+                  y_col: str = "ym",
+                  shards: int = HULL_SHARDS) -> DataFrame:
+    """Convex hull + exact area per cluster ->
+    (cluster_id, n_points, n_hull, area2, hull_wkt).
+
+    Scale shape: the hull operator is ASSOCIATIVE
+    (hull(A u B) = hull(hull(A) u hull(B))), so level 1 computes
+    partial hulls per (cluster, h32 shard) — bounded groups even for
+    a mega-cluster — and level 2 merges the O(shards * hull_size)
+    survivors per cluster. Exact integer cross products end-to-end;
+    hull_wkt is the deterministic vertex list (CCW from the
+    lexicographic minimum)."""
+    import pandas as pd
+
+    pts = (assignments.where(F.col("cluster_id").isNotNull())
+           .select(F.col("id").alias("_id"), "cluster_id")
+           .join(points.select(F.col(id_col).alias("_id"),
+                               F.col(x_col).cast("long").alias("_x"),
+                               F.col(y_col).cast("long").alias("_y")),
+                 "_id")
+           .withColumn("_shard",
+                       F.pmod(h32_col(F.col("_id").cast("string")),
+                              F.lit(shards))))
+
+    def _partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = _monotone_chain(list(zip(pdf["_x"], pdf["_y"])))
+        # n_points is the SHARD total, repeated on each hull vertex
+        # row; level 2 de-dups by _shard before summing
+        return pd.DataFrame({
+            "cluster_id": [int(key[0])] * len(hull),
+            "_shard": [int(key[1])] * len(hull),
+            "n_points": [len(pdf)] * len(hull),
+            "_x": [p[0] for p in hull], "_y": [p[1] for p in hull]})
+
+    part = pts.groupBy("cluster_id", "_shard").applyInPandas(
+        _partial,
+        schema="cluster_id long, _shard int, n_points long, "
+               "_x long, _y long")
+
+    def _final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = _monotone_chain(list(zip(pdf["_x"], pdf["_y"])))
+        wkt = "POLYGON((" + ", ".join(
+            f"{x} {y}" for x, y in hull) + "))"
+        n_pts = int(pdf.drop_duplicates("_shard")["n_points"].sum())
+        return pd.DataFrame([{
+            "cluster_id": int(key[0]),
+            "n_points": n_pts,
+            "n_hull": len(hull), "area2": _area2(hull),
+            "hull_wkt": wkt}])
+
+    return part.groupBy("cluster_id").applyInPandas(
+        _final,
+        schema=("cluster_id long, n_points long, n_hull long, "
+                "area2 long, hull_wkt string"))

@@ -351,3 +351,73 @@ def test_stay_transitions_basic(spark):
     out = {(r.from_x, r.from_y, r.to_x, r.to_y): (r.n_trips, r.n_users)
            for r in stay_transitions(stays).collect()}
     assert out == {(0, 0, 5, 5): (2, 2), (5, 5, 0, 0): (1, 1)}
+
+
+# ------------------------------------------------------- cluster job
+
+def test_cluster_job_e2e(spark, tmp_path, capsys):
+    import json
+
+    import jobs.cluster_job as CJ
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    src = str(tmp_path / "pts")
+    a = [(i, 100 + i, 100) for i in range(6)]
+    b = [(10 + i, 5000 + i, 5000) for i in range(6)]
+    noise = [(99, 90000, 90000)]
+    spark.createDataFrame(a + b + noise,
+                          "id long, xm long, ym long") \
+        .write.parquet(src)
+    out = str(tmp_path / "clusters")
+    CJ.main(["--input", src, "--output", out,
+             "--eps", "10", "--min-pts", "4", "--summary"])
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_clusters"] == 2
+    assert metrics["n_noise"] == 1
+    assign = {r.id: r.cluster_id
+              for r in Icelite(out).read(spark).collect()}
+    assert assign[0] == 0 and assign[10] == 10 and assign[99] is None
+    summ = {r.cluster_id: (r.n_points, r.min_x, r.max_x)
+            for r in Icelite(out + "_summary").read(spark).collect()}
+    assert summ[0] == (6, 100, 105)
+    assert summ[10] == (6, 5000, 5005)
+
+
+# ----------------------------------------------------- cluster hulls
+
+def test_cluster_hulls_matches_single_level(spark):
+    """Two-level hull-of-hulls == direct hull on collected points
+    (associativity), exact integer area."""
+    from aef_mosaic_spark.operators.clustering import (
+        _area2, _monotone_chain, cluster_hulls, dbscan)
+    rows = [(i, 1000 + (i * 37) % 400, 2000 + (i * 53) % 300)
+            for i in range(60)]
+    rows += [(100 + i, 9000 + (i * 41) % 200, 500 + (i * 29) % 250)
+             for i in range(40)]
+    pts = spark.createDataFrame(rows, "id long, xm long, ym long")
+    assign = dbscan(pts, eps=120, min_pts=4)
+    out = {r.cluster_id: r for r in
+           cluster_hulls(pts, assign).collect()}
+    by_cluster = {}
+    for r in assign.collect():
+        if r.cluster_id is not None:
+            by_cluster.setdefault(r.cluster_id, []).append(r.id)
+    coords = dict((i, (x, y)) for i, x, y in rows)
+    assert set(out) == set(by_cluster)
+    for cid, ids in by_cluster.items():
+        hull = _monotone_chain([coords[i] for i in ids])
+        assert out[cid].n_points == len(ids)
+        assert out[cid].n_hull == len(hull)
+        assert out[cid].area2 == _area2(hull)
+        want_wkt = "POLYGON((" + ", ".join(
+            f"{x} {y}" for x, y in hull) + "))"
+        assert out[cid].hull_wkt == want_wkt
+
+
+def test_monotone_chain_known_square():
+    from aef_mosaic_spark.operators.clustering import (
+        _area2, _monotone_chain)
+    pts = [(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (1, 0), (4, 2)]
+    hull = _monotone_chain(pts)
+    assert set(hull) == {(0, 0), (4, 0), (4, 4), (0, 4)}
+    assert _area2(hull) == 32  # 2 * 16
