@@ -220,3 +220,54 @@ def streaming_anomalies(df: DataFrame, win: int = 20, min_n: int = 10,
     return df.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def streaming_stay_points(df: DataFrame, cell: int = 400,
+                          min_sec: int = 3600) -> DataFrame:
+    """Streaming twin of operators/sessions.stay_points: per-user
+    keyed state holds the OPEN cell run (cell, start_es, end_es,
+    n_fixes); a fix in a new cell CLOSES the run, emitting it when
+    dwell >= min_sec — identical cell/dwell law to the batch
+    operator.
+
+    Equivalence contract (reconciliation-tested): under in-order
+    arrival, the emitted set is exactly the batch operator's stays
+    MINUS each user's final (still-open) run — the inherent append-
+    mode difference: a stream can never know the last run has ended.
+    Input carries integer es/xm/ym (the batch quantization)."""
+    out_schema = ("user_id long, cell_x long, cell_y long, "
+                  "n_fixes long, start_es long, end_es long, "
+                  "dwell_sec long")
+    state_schema = "cx long, cy long, start_es long, end_es long, n long"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cur = list(state.get) if state.exists else None
+        closed = []
+
+        def close():
+            if cur and cur[3] - cur[2] >= min_sec:
+                closed.append({
+                    "user_id": int(key[0]), "cell_x": cur[0],
+                    "cell_y": cur[1], "n_fixes": cur[4],
+                    "start_es": cur[2], "end_es": cur[3],
+                    "dwell_sec": cur[3] - cur[2]})
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["es", "event_id"])
+        for t in rows.itertuples(index=False):
+            cx, cy = int(t.xm) // cell, int(t.ym) // cell
+            es = int(t.es)
+            if cur is None or (cx, cy) != (cur[0], cur[1]):
+                close()
+                cur = [cx, cy, es, es, 1]
+            else:
+                cur[3] = es
+                cur[4] += 1
+        state.update(tuple(cur))
+        yield pd.DataFrame(closed, columns=[
+            "user_id", "cell_x", "cell_y", "n_fixes",
+            "start_es", "end_es", "dwell_sec"])
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
