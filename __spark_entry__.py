@@ -2098,6 +2098,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return idw_grid(spark, order_samples(_pq(spark, sf, "orders")))
     q["q134_idw_surface"] = q134_idw_surface
 
+    def q142_k_core(spark, sf):
+        # T-round k-core peel (Seidman 1983): per round ONE degree
+        # groupBy + two semi-joins against the broadcast-eligible
+        # surviving-node set; fixed T so the oracle unrolls into
+        # chained CTEs (q119 precedent); localCheckpoint per round
+        # (operators/graph.py)
+        from aef_mosaic_spark.operators.graph import customer_edges, k_core
+        return k_core(customer_edges(_pq(spark, sf, "orders"),
+                                     _pq(spark, sf, "customer")))
+    q["q142_k_core"] = q142_k_core
+
+    def q143_ra_links(spark, sf):
+        # resource-allocation link prediction (Zhou 2009) — the
+        # exact-integer sibling of Adamic-Adar: wedge self-join on the
+        # shared neighbor, pair groupBy, anti-join vs existing edges;
+        # max_deg hub cap documented for skewed graphs
+        # (operators/graph.py)
+        from aef_mosaic_spark.operators.graph import (customer_edges,
+                                                      ra_link_prediction)
+        return ra_link_prediction(
+            customer_edges(_pq(spark, sf, "orders"),
+                           _pq(spark, sf, "customer")))
+    q["q143_ra_links"] = q143_ra_links
+
+    def q144_cusum_changepoints(spark, sf):
+        # two-sided CUSUM level-shift detection (Page 1954): the
+        # s=max(0,s+d) recursion unrolled exactly into running-sum +
+        # running-min windows; per-key mean reference kept exact by
+        # n_k scaling — one user_id exchange, no second pass
+        # (operators/anomaly.py)
+        from aef_mosaic_spark.operators.anomaly import cusum_changepoints
+        return cusum_changepoints(_pq(spark, sf, "events"))
+    q["q144_cusum_changepoints"] = q144_cusum_changepoints
+
+    def q145_kde_heatmap(spark, sf):
+        # join-free KDE splatting: each point explodes into its
+        # bounded (2r+1)^2 kernel cells -> ONE groupBy(cell) with
+        # map-side combine — the opposite blocking choice from
+        # q134 IDW (grid absorbs 9x there; points emit here)
+        # (operators/interpolate.py)
+        from aef_mosaic_spark.operators.clustering import dbscan_points
+        from aef_mosaic_spark.operators.interpolate import kde_heatmap
+        return kde_heatmap(dbscan_points(_pq(spark, sf, "orders")))
+    q["q145_kde_heatmap"] = q145_kde_heatmap
+
+    def q146_d8_flow(spark, sf):
+        # D8 steepest-descent flow direction (O'Callaghan & Mark
+        # 1984, the ESRI/TauDEM code convention) over the flagship
+        # mean mosaic via the same halo-exchange focal plan as
+        # q106/q112/q116. Pinned fixture oracle; numpy golden ==
+        # distributed kernel (same code)
+        from aef_mosaic_spark.operators.focal import focal_chunks
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return focal_chunks(chunks, grid, op="d8", radius=1) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
+    q["q146_d8_flow"] = q146_d8_flow
+
     return _driver_order(q)
 
 
@@ -3104,7 +3164,8 @@ def oracle_sql() -> dict[str, str]:
                    "q104_mosaic_median", "q105_rasterize_boxes",
                    "q106_focal_chunks", "q108_temporal_composite",
                    "q109_histogram_stretch", "q112_terrain",
-                   "q115_temporal_trend", "q116_aspect"):
+                   "q115_temporal_trend", "q116_aspect",
+                   "q146_d8_flow"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 
@@ -3313,6 +3374,16 @@ def oracle_sql() -> dict[str, str]:
            n_registers, approx_distinct
     FROM ({_coarse139})
     """
+
+    from aef_mosaic_spark.operators.graph import (customer_k_core_sql,
+                                                  customer_ra_links_sql)
+    o["q142_k_core"] = customer_k_core_sql("orders", "customer")
+    o["q143_ra_links"] = customer_ra_links_sql("orders", "customer")
+    from aef_mosaic_spark.operators.anomaly import cusum_changepoints_sql
+    o["q144_cusum_changepoints"] = cusum_changepoints_sql("events")
+    from aef_mosaic_spark.operators.clustering import dbscan_points_sql
+    from aef_mosaic_spark.operators.interpolate import kde_orders_sql
+    o["q145_kde_heatmap"] = kde_orders_sql(dbscan_points_sql("orders"))
 
     return o
 

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from ..grid import OutputGrid
 
-FOCAL_OPS = ("mean", "max", "min", "grad", "slope", "hillshade", "aspect")
+FOCAL_OPS = ("mean", "max", "min", "grad", "slope", "hillshade", "aspect",
+             "d8")
 
 # terrain-op constants (treating each band as an elevation surface):
 # classic 45-degree sun altitude / 315-degree (NW) azimuth defaults,
@@ -123,10 +124,43 @@ def _aspect(pad: np.ndarray) -> np.ndarray:
     return np.where(flat, np.uint8(255), q).astype(np.uint8)
 
 
+# D8 codes in ESRI order E, SE, S, SW, W, NW, N, NE (O'Callaghan &
+# Mark 1984; the ArcGIS/TauDEM flow-direction convention).  Row index
+# increases downward, matching _horn_gradients.
+_D8_CODES = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def _d8(pad: np.ndarray) -> np.ndarray:
+    """D8 steepest-descent flow direction: drop to each of the 8
+    neighbors weighted by 1/distance (1 straight, 1/sqrt2 diagonal);
+    the first maximum in ESRI code order wins (deterministic
+    tie-break); cells with no positive drop (sinks/flats) = 0.
+    Float64 weights are safe because the golden twin is the SAME
+    numpy code on the stitched raster (the q112 slope precedent)."""
+    p = pad.astype(np.float64)
+    c = p[:, 1:-1, 1:-1]
+    s2 = 1.0 / np.sqrt(2.0)
+    drops = np.stack([
+        c - p[:, 1:-1, 2:],          # E
+        (c - p[:, 2:, 2:]) * s2,     # SE
+        c - p[:, 2:, 1:-1],          # S
+        (c - p[:, 2:, :-2]) * s2,    # SW
+        c - p[:, 1:-1, :-2],         # W
+        (c - p[:, :-2, :-2]) * s2,   # NW
+        c - p[:, :-2, 1:-1],         # N
+        (c - p[:, :-2, 2:]) * s2,    # NE
+    ], axis=0)
+    best = drops.max(axis=0)
+    codes = np.array(_D8_CODES, dtype=np.uint8)[drops.argmax(axis=0)]
+    return np.where(best > 0.0, codes, np.uint8(0)).astype(np.uint8)
+
+
 def _apply_kernel(pad: np.ndarray, op: str, r: int,
                   chh: int, chw: int) -> np.ndarray:
     if op == "grad":
         return _sobel(pad, chh, chw)
+    if op == "d8":
+        return _d8(pad)
     if op == "slope":
         return _slope(pad)
     if op == "hillshade":

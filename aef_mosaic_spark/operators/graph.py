@@ -198,6 +198,169 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
 
 
+# ------------------------------------------------------------------ #
+# k-core decomposition — fixed-round peel                             #
+# ------------------------------------------------------------------ #
+
+KCORE_K = 4
+KCORE_ITERS = 6
+
+
+def k_core(edges: DataFrame, k: int = KCORE_K,
+           iters: int = KCORE_ITERS) -> DataFrame:
+    """T-round k-core peel over an undirected canonical (a < b) edge
+    table -> (node, deg): nodes surviving `iters` rounds of "drop
+    every node with degree < k", with their degree in the surviving
+    subgraph (Seidman 1983 cores; the standard iterative peel).
+
+    Determinism law: both engines run EXACTLY `iters` rounds, so the
+    result is engine-independent even when the peel has not reached
+    its fixpoint; `iters` >= the peel depth gives the true k-core
+    (converges in <= |V| rounds, in practice a handful — each round
+    either removes a node or is the fixpoint).  At scale, run the
+    same loop to fixpoint with a cheap `count()` convergence probe;
+    the fixed-T form exists so the DuckDB oracle unrolls into chained
+    CTEs (the q119 PageRank precedent).
+
+    Scale shape: each round is ONE groupBy(node) degree agg + TWO
+    semi-joins of the edge table against the (small) surviving-node
+    set; edges stay hash-partitioned, the node set is
+    broadcast-eligible. localCheckpoint per round cuts the join
+    lineage exactly like connected_components (operators/dedup.py).
+    """
+    e = edges.select("a", "b")
+    for _ in range(iters):
+        deg = (e.select(F.col("a").alias("node"))
+               .unionByName(e.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        alive = deg.where(F.col("deg") >= k).select("node")
+        e = (e.join(alive.select(F.col("node").alias("a")), "a", "semi")
+             .join(alive.select(F.col("node").alias("b")), "b", "semi")
+             .select("a", "b")
+             .localCheckpoint(eager=False))
+    return (e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")))
+
+
+def customer_k_core_sql(orders: str = "orders",
+                        customer: str = "customer",
+                        k: int = KCORE_K,
+                        iters: int = KCORE_ITERS) -> str:
+    """DuckDB twin of k_core(customer_edges(...)): the fixed round
+    count unrolls into chained CTEs (q119 precedent)."""
+    h = h32_sql("'t' || o_orderkey::VARCHAR")
+    # every e_i / a_i is referenced 2-3x downstream; DuckDB inlines
+    # CTEs per reference, so without MATERIALIZED the unrolled chain
+    # expands 3^iters copies of the base scan (measured: fd
+    # exhaustion at iters=6) — the CLAUDE.md CTE-materialize gotcha
+    ctes = [f"""raw AS MATERIALIZED (
+      SELECT o_custkey AS u,
+             {h} % (SELECT count(*) FROM {customer}) AS v
+      FROM {orders}),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v)"""]
+    for i in range(iters):
+        ctes.append(f"""a{i + 1} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM e{i}
+          UNION ALL SELECT b FROM e{i}) GROUP BY node)
+      WHERE deg >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i} e
+      JOIN a{i + 1} x ON x.node = e.a
+      JOIN a{i + 1} y ON y.node = e.b)""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, count(*)::BIGINT AS deg FROM (
+      SELECT a AS node FROM e{iters}
+      UNION ALL SELECT b FROM e{iters})
+    GROUP BY node""")
+
+
+# ------------------------------------------------------------------ #
+# Link prediction — resource-allocation index over common neighbors  #
+# ------------------------------------------------------------------ #
+
+RA_SCALE = 10 ** 6
+RA_MIN_COMMON = 2
+
+
+def ra_link_prediction(edges: DataFrame, min_common: int = RA_MIN_COMMON,
+                       scale: int = RA_SCALE,
+                       max_deg: int | None = None) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lu & Zhang 2009)
+    over an undirected canonical (a < b) edge table -> (u, v,
+    common_n, ra_score) for NON-adjacent pairs with >= min_common
+    common neighbors; ra_score = sum over common neighbors z of
+    scale div deg(z) — all integer, so Spark and DuckDB agree
+    bit-for-bit (the 1/log(deg) Adamic-Adar variant would drag libm
+    into the comparison; RA is the published exact-integer sibling).
+
+    Scale shape: ONE symmetrized adjacency pass -> degree groupBy ->
+    wedge self-join keyed on the shared neighbor z -> pair groupBy ->
+    anti-join against the edge table. Wedge count is sum(deg^2): on
+    hub-skewed graphs pass max_deg to skip hub wedges (the standard
+    documented approximation — a hub's 1/deg contribution is
+    negligible by construction); default None is exact, which is what
+    the oracle checks. The adjacency+degree table is multi-consumer
+    -> localCheckpoint (the scan-audit law, CLAUDE.md)."""
+    adj = (edges.select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+           .unionByName(edges.select(F.col("b").alias("z"),
+                                     F.col("a").alias("nbr"))))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    ad = adj.join(deg, "z")
+    if max_deg is not None:
+        ad = ad.where(F.col("deg") <= max_deg)
+    ad = ad.repartition("z").localCheckpoint()
+    left = ad.select("z", F.col("nbr").alias("u"), "deg")
+    right = ad.select("z", F.col("nbr").alias("v"))
+    wedges = (left.join(right, "z")
+              .where(F.col("u") < F.col("v")))
+    scored = (wedges.groupBy("u", "v")
+              .agg(F.count(F.lit(1)).cast("long").alias("common_n"),
+                   F.sum(F.expr(f"{scale} div deg")).cast("long")
+                   .alias("ra_score")))
+    return (scored
+            .join(edges.select(F.col("a").alias("u"),
+                               F.col("b").alias("v")),
+                  ["u", "v"], "left_anti")
+            .where(F.col("common_n") >= min_common))
+
+
+def customer_ra_links_sql(orders: str = "orders",
+                          customer: str = "customer",
+                          min_common: int = RA_MIN_COMMON,
+                          scale: int = RA_SCALE) -> str:
+    """DuckDB twin — identical integer RA law over customer_edges."""
+    h = h32_sql("'t' || o_orderkey::VARCHAR")
+    return f"""
+    WITH raw AS (
+      SELECT o_custkey AS u,
+             {h} % (SELECT count(*) FROM {customer}) AS v
+      FROM {orders}),
+    edges AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v),
+    adj AS (SELECT a AS z, b AS nbr FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT z, count(*)::BIGINT AS deg FROM adj GROUP BY z),
+    ad AS (SELECT adj.z, adj.nbr, deg.deg FROM adj JOIN deg USING (z)),
+    scored AS (
+      SELECT l.nbr AS u, r.nbr AS v,
+             count(*)::BIGINT AS common_n,
+             sum({scale} // l.deg)::BIGINT AS ra_score
+      FROM ad l JOIN ad r ON l.z = r.z AND l.nbr < r.nbr
+      GROUP BY l.nbr, r.nbr)
+    SELECT u, v, common_n, ra_score
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.a = s.u AND e.b = s.v)
+      AND common_n >= {min_common}
+    """
+
+
 def customer_triangles_sql(orders: str = "orders",
                            customer: str = "customer") -> str:
     """DuckDB twin — identical degree-orientation law."""

@@ -112,3 +112,83 @@ def idw_orders_sql(table: str = "orders", n: int = GRID_N,
             // sum({WSCALE} // (d2 + 1))::BIGINT) AS pred
     FROM cand GROUP BY gx, gy
     """
+
+
+# ------------------------------------------------------------------ #
+# KDE heatmap — join-free kernel splatting                            #
+# ------------------------------------------------------------------ #
+
+KDE_STEP = 250
+KDE_R = 600
+
+
+def kde_heatmap(points: DataFrame, step: int = KDE_STEP,
+                radius: int = KDE_R) -> DataFrame:
+    """Kernel-density heatmap over integer points -> (cx, cy, n_pts,
+    density): Epanechnikov-family kernel splatted from each point onto
+    every grid cell whose CENTER lies within `radius`.
+
+    All-integer law (exact in both engines): distances are measured
+    in DOUBLED units so the half-unit cell center stays integral —
+      ddx = 2*cx*step + step - 2*px
+      w   = max(0, 4*radius^2 - (ddx^2 + ddy^2))   (the kernel)
+      density(cell) = sum w,  n_pts = count of w > 0 contributions.
+    Bounds: w <= 4*radius^2 (1.44e6 at the default), so a cell
+    tolerates ~6e12 contributing points before BIGINT overflow.
+
+    Scale shape (100 TB): this is the OPPOSITE blocking choice from
+    idw_grid — there the fixed-size grid absorbs the 9x emission and
+    a join finds the points; here each POINT emits its own bounded
+    (2r+1)^2 cell contributions via one explode, so the whole op is
+    scan -> explode -> ONE groupBy(cell): join-free, embarrassingly
+    parallel, the map-side combine absorbs local density before the
+    single exchange. That is the right shape when points vastly
+    outnumber touched cells (GPS heatmaps); idw_grid's shape wins
+    when the grid rivals the points."""
+    r = radius // step + 1
+    seq = F.sequence(F.lit(-r), F.lit(r))
+    p = points.select(
+        (2 * F.col("xm").cast("long")).alias("_px2"),
+        (2 * F.col("ym").cast("long")).alias("_py2"),
+        F.expr(f"xm div {step}").alias("_bx"),
+        F.expr(f"ym div {step}").alias("_by"))
+    cells = (p.withColumn("_dx", F.explode(seq))
+             .withColumn("_dy", F.explode(seq))
+             .select((F.col("_bx") + F.col("_dx")).alias("cx"),
+                     (F.col("_by") + F.col("_dy")).alias("cy"),
+                     "_px2", "_py2"))
+    ddx = (2 * F.col("cx") * step + step) - F.col("_px2")
+    ddy = (2 * F.col("cy") * step + step) - F.col("_py2")
+    w = F.lit(4 * radius * radius) - (ddx * ddx + ddy * ddy)
+    return (cells.withColumn("_w", w)
+            .where(F.col("_w") > 0)
+            .groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pts"),
+                 F.sum("_w").cast("long").alias("density")))
+
+
+def kde_orders_sql(points_sql: str, step: int = KDE_STEP,
+                   radius: int = KDE_R) -> str:
+    """DuckDB twin: identical splat law; constant-arg generate_series
+    (column-arg lateral is the documented DuckDB trap, CLAUDE.md).
+    `points_sql` must yield (id, xm, ym)."""
+    r = radius // step + 1
+    return f"""
+    WITH pts AS ({points_sql}),
+    splat AS (
+      SELECT (xm // {step} + dx)::BIGINT AS cx,
+             (ym // {step} + dy)::BIGINT AS cy,
+             (2 * (xm // {step} + dx) * {step} + {step} - 2 * xm)
+               AS ddx,
+             (2 * (ym // {step} + dy) * {step} + {step} - 2 * ym)
+               AS ddy
+      FROM pts
+      CROSS JOIN (SELECT unnest(generate_series(-{r}, {r})) AS dx) xs
+      CROSS JOIN (SELECT unnest(generate_series(-{r}, {r})) AS dy) ys)
+    SELECT cx, cy, count(*)::BIGINT AS n_pts,
+           sum({4 * radius * radius} - (ddx * ddx + ddy * ddy))::BIGINT
+             AS density
+    FROM splat
+    WHERE {4 * radius * radius} - (ddx * ddx + ddy * ddy) > 0
+    GROUP BY cx, cy
+    """

@@ -267,6 +267,41 @@ def test_aspect_analytic():
     assert (a3[:, 1:-1, 1:-1] == 0).all()
 
 
+def test_d8_analytic():
+    """D8 flow direction on analytic surfaces (pure numpy golden —
+    distributed parity rides test_halo_matches_stitched_golden)."""
+    from aef_mosaic_spark.operators.focal import focal_oracle_np
+    # flat interior: no positive drop -> sink code 0
+    flat = np.full((1, 16, 16), 100, np.uint8)
+    d = focal_oracle_np(flat, "d8", 1)
+    assert (d[:, 1:-1, 1:-1] == 0).all()
+    # elevation increasing eastward -> flow west (code 16); the
+    # diagonal drops are the same dz but scaled by 1/sqrt2, so the
+    # straight west neighbor wins everywhere in the interior
+    ramp_e = np.tile(np.arange(1, 17, dtype=np.uint8), (16, 1))[None] * 10
+    d2 = focal_oracle_np(ramp_e.astype(np.uint8), "d8", 1)
+    assert (d2[:, 1:-1, 1:-1] == 16).all()
+    # increasing southward (down rows) -> flow north (code 64)
+    ramp_s = np.tile(np.arange(1, 17, dtype=np.uint8), (16, 1)).T[None] * 10
+    d3 = focal_oracle_np(ramp_s.astype(np.uint8), "d8", 1)
+    assert (d3[:, 1:-1, 1:-1] == 64).all()
+    # single pit in a bowl: the pit is 0, its 8 neighbors point at it
+    bowl = np.full((1, 9, 9), 200, np.uint8)
+    bowl[0, 4, 4] = 10
+    d4 = focal_oracle_np(bowl, "d8", 1)
+    assert d4[0, 4, 4] == 0
+    assert d4[0, 4, 3] == 1    # west neighbor flows E into the pit
+    assert d4[0, 4, 5] == 16   # east neighbor flows W
+    assert d4[0, 3, 4] == 4    # north neighbor flows S
+    assert d4[0, 5, 4] == 64   # south neighbor flows N
+    assert d4[0, 3, 3] == 2    # NW corner flows SE
+    # ties break on first code in ESRI order: equal E/W drops -> E (1)
+    ridge = np.full((1, 9, 9), 50, np.uint8)
+    ridge[0, :, 4] = 60
+    d5 = focal_oracle_np(ridge, "d8", 1)
+    assert d5[0, 4, 4] == 1
+
+
 def test_temporal_trend(spark, grid):
     """temporal_trend: exact ramp recovery, NODATA masking, den==0
     guard, and parity with a per-pixel integer-law Python reference."""

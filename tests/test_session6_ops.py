@@ -1,0 +1,184 @@
+"""Session-6 operators: k-core peel, RA link prediction, CUSUM
+changepoints, KDE splat heatmap — hand-computed parity + law checks."""
+
+import datetime
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from aef_mosaic_spark.operators.anomaly import cusum_changepoints
+from aef_mosaic_spark.operators.graph import k_core, ra_link_prediction
+from aef_mosaic_spark.operators.interpolate import KDE_R, KDE_STEP, kde_heatmap
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["a", "b"]).astype("int64"))
+
+
+# ------------------------------------------------------------------ #
+# k-core                                                              #
+# ------------------------------------------------------------------ #
+
+def test_k_core_peels_tail(spark):
+    # K4 on 1..4 plus a pendant chain 4-5-6: 2-core = the K4 exactly
+    # (5 and 6 peel off in two rounds)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = _edges(spark, k4 + [(4, 5), (5, 6)])
+    got = {r.node: r.deg for r in k_core(e, k=2, iters=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_fixed_rounds_is_prefix_of_peel(spark):
+    # a 4-chain under k=2 peels one endpoint layer per round:
+    # after 1 round nodes {2,3} remain edge (2,3); after 2 rounds empty
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    one = {r.node for r in k_core(e, k=2, iters=1).collect()}
+    assert one == {2, 3}
+    assert k_core(e, k=2, iters=2).count() == 0
+
+
+def test_k_core_whole_graph_survives(spark):
+    # cycle: every node has degree 2 forever under k=2
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    got = {r.node: r.deg for r in k_core(e, k=2, iters=6).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+# ------------------------------------------------------------------ #
+# RA link prediction                                                  #
+# ------------------------------------------------------------------ #
+
+def test_ra_hand_computed(spark):
+    # path 1-3, 2-3, 1-4, 2-4: candidates (1,2) via z=3 (deg 2) and
+    # z=4 (deg 2) -> ra = 2 * (10^6 div 2); (3,4) via z=1, z=2 same.
+    e = _edges(spark, [(1, 3), (2, 3), (1, 4), (2, 4)])
+    got = {(r.u, r.v): (r.common_n, r.ra_score)
+           for r in ra_link_prediction(e, min_common=2).collect()}
+    assert got == {(1, 2): (2, 1000000), (3, 4): (2, 1000000)}
+
+
+def test_ra_excludes_existing_edges(spark):
+    # triangle + apex: (1,2) are adjacent -> never emitted even with
+    # common neighbor 3
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (1, 4), (2, 4)])
+    got = ra_link_prediction(e, min_common=1).collect()
+    pairs = {(r.u, r.v) for r in got}
+    assert (1, 2) not in pairs and (1, 3) not in pairs
+
+
+def test_ra_max_deg_drops_hub_wedges(spark):
+    # star center 9 with leaves 1..4 plus wedge 1-5-2: capping deg<=2
+    # removes the hub's wedges, keeping only z=5's pair
+    star = [(i, 9) for i in range(1, 5)]
+    e = _edges(spark, star + [(1, 5), (2, 5)])
+    capped = {(r.u, r.v): r.common_n
+              for r in ra_link_prediction(e, min_common=1,
+                                          max_deg=2).collect()}
+    # z=5 keeps (1,2); z=1 and z=2 (deg 2) each see {5,9} -> (5,9);
+    # every wedge through the deg-4 hub 9 is gone, so (3,4) is not
+    assert capped == {(1, 2): 1, (5, 9): 2}
+    exact = {(r.u, r.v) for r in
+             ra_link_prediction(e, min_common=1).collect()}
+    assert (3, 4) in exact  # the hub wedge the cap dropped
+
+
+# ------------------------------------------------------------------ #
+# CUSUM changepoints                                                  #
+# ------------------------------------------------------------------ #
+
+def _events(spark, vals, user=1):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [{"user_id": user, "event_id": i,
+             "ts": t0 + datetime.timedelta(seconds=i), "value": float(v)}
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_cusum_flags_level_shift_both_sides(spark):
+    # 30 at level 10, then 30 at level 30: the reference is the key's
+    # own mean (20), so the retrospective CUSUM flags BOTH regimes —
+    # the low half accumulates on the negative side, the high half on
+    # the positive side (never the other way around)
+    vals = [10.0] * 30 + [30.0] * 30
+    got = cusum_changepoints(_events(spark, vals), h=6).collect()
+    assert got, "level shift must be detected"
+    lim = 6 * got[0].aad_n
+    for r in got:
+        if r.event_id < 30:
+            assert r.s_neg > lim and r.s_pos <= lim
+        elif r.event_id >= 40:
+            # away from the boundary the residual s_neg has decayed
+            assert r.s_pos > lim and r.s_neg <= lim
+    assert any(r.event_id >= 40 for r in got)
+    assert any(r.event_id < 30 for r in got)
+
+
+def test_cusum_stable_series_clean(spark):
+    # pure noise around a level: the slack term keeps s bounded
+    vals = [10.0, 10.01, 9.99] * 20
+    assert cusum_changepoints(_events(spark, vals), h=6).count() == 0
+    # exactly-constant series: aad = 0, statistics 0, clean
+    assert cusum_changepoints(_events(spark, [7.0] * 25), h=0).count() == 0
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    # brute-force the textbook slack recursion with the same integer
+    # law; h=0 emits every row with a positive statistic
+    vals = [5.0, 5.0, 9.0, 1.0, 5.0, 12.0, 12.0, 12.0, 2.0, 5.0]
+    n = len(vals)
+    vc = [int(v * 100 + 0.5) for v in vals]
+    s = sum(vc)
+    d = [n * x - s for x in vc]
+    aad = sum(abs(x) for x in d) // n
+    sl = aad // 2
+    sp = sn = 0
+    expect = {}
+    for i, di in enumerate(d):
+        sp = max(0, sp + di - sl)
+        sn = max(0, sn - di - sl)
+        expect[i] = (sp, sn)
+    got = {r.event_id: (r.s_pos, r.s_neg)
+           for r in cusum_changepoints(_events(spark, vals), h=0).collect()}
+    for i, (esp, esn) in expect.items():
+        if esp > 0 or esn > 0:
+            assert got[i] == (esp, esn)
+        else:
+            assert i not in got
+
+
+# ------------------------------------------------------------------ #
+# KDE heatmap                                                         #
+# ------------------------------------------------------------------ #
+
+def test_kde_single_point_splat(spark):
+    # one point dead-center of cell (2,2): w = 4R^2 - d2 over the
+    # doubled lattice, checked against a python replica
+    pts = spark.createDataFrame(pd.DataFrame(
+        [{"id": 1, "xm": 2 * KDE_STEP + KDE_STEP // 2,
+          "ym": 2 * KDE_STEP + KDE_STEP // 2}]))
+    got = {(r.cx, r.cy): r.density for r in kde_heatmap(pts).collect()}
+    px2 = 2 * (2 * KDE_STEP + KDE_STEP // 2)
+    r = KDE_R // KDE_STEP + 1
+    expect = {}
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            cx, cy = 2 + dx, 2 + dy
+            ddx = 2 * cx * KDE_STEP + KDE_STEP - px2
+            ddy = 2 * cy * KDE_STEP + KDE_STEP - px2
+            w = 4 * KDE_R * KDE_R - (ddx * ddx + ddy * ddy)
+            if w > 0:
+                expect[(cx, cy)] = w
+    assert got == expect
+
+
+def test_kde_density_additive(spark):
+    # density is a plain sum: duplicating every point doubles density
+    pdf = pd.DataFrame([{"id": i, "xm": 100 + 37 * i, "ym": 900 - 13 * i}
+                        for i in range(20)])
+    one = {(r.cx, r.cy): (r.n_pts, r.density)
+           for r in kde_heatmap(spark.createDataFrame(pdf)).collect()}
+    two = {(r.cx, r.cy): (r.n_pts, r.density)
+           for r in kde_heatmap(
+               spark.createDataFrame(pd.concat([pdf, pdf]))).collect()}
+    assert two == {k: (n * 2, d * 2) for k, (n, d) in one.items()}
