@@ -2158,6 +2158,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
     q["q146_d8_flow"] = q146_d8_flow
 
+    def q147_trajectory_similarity(spark, sf):
+        # partial directed Hausdorff companion join (Huttenlocher
+        # 1993): thresh-cell blocked candidate pairs (9x on the probe
+        # side, shuffle_hash pinned), per-point min -> per-pair
+        # max/count, half-coverage gate — NO user x user product
+        # (operators/trajectory.py)
+        from aef_mosaic_spark.operators.trajectory import (hausdorff_pairs,
+                                                           traj_fixes)
+        return hausdorff_pairs(traj_fixes(_pq(spark, sf, "events")))
+    q["q147_trajectory_similarity"] = q147_trajectory_similarity
+
     return _driver_order(q)
 
 
@@ -3384,6 +3395,8 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.operators.clustering import dbscan_points_sql
     from aef_mosaic_spark.operators.interpolate import kde_orders_sql
     o["q145_kde_heatmap"] = kde_orders_sql(dbscan_points_sql("orders"))
+    from aef_mosaic_spark.operators.trajectory import hausdorff_pairs_sql
+    o["q147_trajectory_similarity"] = hausdorff_pairs_sql("events")
 
     return o
 

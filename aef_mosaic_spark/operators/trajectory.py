@@ -1,0 +1,166 @@
+"""Trajectory-similarity join — partial directed Hausdorff distance
+with cell-blocked candidate search, oracle-twinned.
+
+Why this op: "which users/vehicles/vessels move together" is the
+standard co-movement primitive (convoy / companion detection, GPS
+account linking, fleet dedup). The textbook statistic for "trajectory
+A stays close to trajectory B" is the directed Hausdorff distance
+H(A->B) = max over a of min over b of d(a, b); the robust form used
+in practice is the PARTIAL directed Hausdorff (Huttenlocher, Rucklidge
+1993): require only a quantile of A's points to be matched, so a few
+GPS glitches don't disqualify a genuine companion pair.
+
+Law (all-integer, exact in both engines): points are integer
+coordinates; a point a MATCHES B when some b has
+d2(a, b) <= thresh^2. For each directed user pair (ua -> ub):
+    n_a       = |A|
+    matched_n = #{a in A : a matches B}
+    h2        = max over matched a of (min over b of d2(a, b))
+emit iff 2 * matched_n >= n_a (the half-coverage partial Hausdorff).
+h2 is the exact squared partial-Hausdorff distance at that coverage.
+
+Scale shape (100 TB): NO user x user product anywhere. Points hash to
+thresh-cells once; the probe side explodes into its 9 covering
+neighbor cells (the J1/q130 blocking law), ONE equi-join on the cell
+key produces only true <=thresh candidate point pairs, then two
+groupBys — (ua, ub, a_pt) for the min, (ua, ub) for the max/count —
+and one broadcast join of the per-user point counts. Pair output is
+bounded by users that genuinely co-locate, never the quadratic user
+product; a dense mega-cell is a data property (raise thresh
+granularity), same as DBSCAN.
+
+Behavioral reference: reference engine has no trajectory surface;
+this extends the q137/q140 stay-point family (operators/sessions.py)
+with a cross-user similarity output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import h32_col, h32_sql
+
+TRAJ_GROUPS = 7
+TRAJ_ANCHOR_SEC = 345600   # 4-day blocks: ~8 shared anchors over
+                           # the 30-day events span, so planted
+                           # companions co-occupy most blocks
+TRAJ_JITTER = 60
+TRAJ_FIELD = 100000
+TRAJ_THRESH = 150
+TRAJ_USER_CAP = 150
+
+
+def traj_fixes(events: DataFrame, groups: int = TRAJ_GROUPS,
+               anchor_sec: int = TRAJ_ANCHOR_SEC,
+               jitter: int = TRAJ_JITTER,
+               user_cap: int = TRAJ_USER_CAP) -> DataFrame:
+    """Deterministic co-moving trajectories from the events table:
+    users in the same residue class (user_id % groups) share the
+    h32-derived anchor cell per time block — planted companions —
+    with a per-event jitter; md5 law, identical in SQL. user_cap
+    bounds the oracle's brute-force cost (the q130 POINT_CAP
+    precedent)."""
+    def anchor(tag):
+        return h32_col(F.concat(
+            F.lit(tag),
+            (F.col("user_id") % groups).cast("string"), F.lit("|"),
+            F.expr(f"CAST(es div {anchor_sec} AS STRING)"))) % TRAJ_FIELD
+
+    def jit(tag):
+        return h32_col(F.concat(F.lit(tag),
+                                F.col("event_id").cast("string"))) % jitter
+
+    return (events
+            .where(F.col("user_id") < user_cap)
+            .withColumn("es", F.unix_timestamp(F.col("ts")))
+            .select("user_id", "event_id",
+                    (anchor("sx") + jit("jx")).alias("xm"),
+                    (anchor("sy") + jit("jy")).alias("ym")))
+
+
+def hausdorff_pairs(fixes: DataFrame,
+                    thresh: int = TRAJ_THRESH) -> DataFrame:
+    """Directed partial-Hausdorff companion pairs over (user_id,
+    event_id, xm, ym) -> (ua, ub, n_a, matched_n, h2); emitted iff
+    2*matched_n >= n_a and ua != ub."""
+    t2 = thresh * thresh
+    a = fixes.select(F.col("user_id").alias("ua"),
+                     F.col("event_id").alias("ae"),
+                     F.col("xm").cast("long").alias("ax"),
+                     F.col("ym").cast("long").alias("ay"),
+                     F.expr(f"xm div {thresh}").alias("_cx"),
+                     F.expr(f"ym div {thresh}").alias("_cy"))
+    b = (fixes.select(F.col("user_id").alias("ub"),
+                      F.col("xm").cast("long").alias("bx"),
+                      F.col("ym").cast("long").alias("by"),
+                      F.expr(f"xm div {thresh}").alias("_bcx"),
+                      F.expr(f"ym div {thresh}").alias("_bcy"))
+         .withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+         .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+         .select("ub", "bx", "by",
+                 (F.col("_bcx") + F.col("_dx")).alias("_cx"),
+                 (F.col("_bcy") + F.col("_dy")).alias("_cy")))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    # shuffle_hash: the 9x-exploded side must never be the broadcast
+    # build (Catalyst's estimate is explode-blind — the q130 lesson)
+    per_pt = (a.hint("shuffle_hash").join(b, on=["_cx", "_cy"])
+              .where((F.col("ua") != F.col("ub")) & (d2 <= F.lit(t2)))
+              .groupBy("ua", "ub", "ae")
+              .agg(F.min(d2).alias("_d2min")))
+    n_a = fixes.groupBy(F.col("user_id").alias("ua")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    return (per_pt.groupBy("ua", "ub")
+            .agg(F.count(F.lit(1)).cast("long").alias("matched_n"),
+                 F.max("_d2min").cast("long").alias("h2"))
+            .join(F.broadcast(n_a), "ua")
+            .where(2 * F.col("matched_n") >= F.col("n_a"))
+            .select("ua", "ub", "n_a", "matched_n", "h2"))
+
+
+def hausdorff_pairs_sql(table: str = "events",
+                        groups: int = TRAJ_GROUPS,
+                        anchor_sec: int = TRAJ_ANCHOR_SEC,
+                        jitter: int = TRAJ_JITTER,
+                        thresh: int = TRAJ_THRESH,
+                        user_cap: int = TRAJ_USER_CAP) -> str:
+    """DuckDB twin: brute-force point join under the box prefilter
+    (|dx| <= thresh AND |dy| <= thresh is implied by d2 <= thresh^2,
+    so the prefilter is semantics-free; the oracle never re-implements
+    the cell blocking)."""
+    ax = h32_sql(f"'sx' || (user_id % {groups})::VARCHAR || '|' "
+                 f"|| (es // {anchor_sec})::VARCHAR")
+    ay = h32_sql(f"'sy' || (user_id % {groups})::VARCHAR || '|' "
+                 f"|| (es // {anchor_sec})::VARCHAR")
+    jx = h32_sql("'jx' || event_id::VARCHAR")
+    jy = h32_sql("'jy' || event_id::VARCHAR")
+    t2 = thresh * thresh
+    return f"""
+    WITH fx AS MATERIALIZED (
+      SELECT user_id, event_id,
+             ({ax} % {TRAJ_FIELD} + {jx} % {jitter})::BIGINT AS xm,
+             ({ay} % {TRAJ_FIELD} + {jy} % {jitter})::BIGINT AS ym
+      FROM (SELECT user_id, event_id,
+                   floor(epoch(ts))::BIGINT AS es
+            FROM {table} WHERE user_id < {user_cap})),
+    mind AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, a.event_id AS ae,
+             min((a.xm - b.xm) * (a.xm - b.xm)
+                 + (a.ym - b.ym) * (a.ym - b.ym))::BIGINT AS d2min
+      FROM fx a JOIN fx b
+        ON a.user_id <> b.user_id
+       AND abs(a.xm - b.xm) <= {thresh}
+       AND abs(a.ym - b.ym) <= {thresh}
+       AND (a.xm - b.xm) * (a.xm - b.xm)
+           + (a.ym - b.ym) * (a.ym - b.ym) <= {t2}
+      GROUP BY a.user_id, b.user_id, a.event_id),
+    na AS (SELECT user_id AS ua, count(*)::BIGINT AS n_a
+           FROM fx GROUP BY user_id)
+    SELECT m.ua, m.ub, na.n_a,
+           count(*)::BIGINT AS matched_n,
+           max(d2min)::BIGINT AS h2
+    FROM mind m JOIN na ON na.ua = m.ua
+    GROUP BY m.ua, m.ub, na.n_a
+    HAVING 2 * count(*) >= na.n_a
+    """

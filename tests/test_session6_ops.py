@@ -182,3 +182,83 @@ def test_kde_density_additive(spark):
            for r in kde_heatmap(
                spark.createDataFrame(pd.concat([pdf, pdf]))).collect()}
     assert two == {k: (n * 2, d * 2) for k, (n, d) in one.items()}
+
+
+# ------------------------------------------------------------------ #
+# trajectory similarity (partial directed Hausdorff)                  #
+# ------------------------------------------------------------------ #
+
+def _fixes(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "event_id", "xm", "ym"]).astype("int64"))
+
+
+def test_hausdorff_companions_and_far_user(spark):
+    from aef_mosaic_spark.operators.trajectory import hausdorff_pairs
+    # users 1 and 2 walk the same line 40 apart; user 3 is far away
+    rows = []
+    for i in range(10):
+        rows.append((1, 100 + i, 1000 + 100 * i, 5000))
+        rows.append((2, 200 + i, 1000 + 100 * i, 5040))
+        rows.append((3, 300 + i, 90000 + 100 * i, 90000))
+    got = {(r.ua, r.ub): (r.n_a, r.matched_n, r.h2)
+           for r in hausdorff_pairs(_fixes(spark, rows),
+                                    thresh=150).collect()}
+    # every point of 1 has the 40-away twin; symmetric
+    assert got == {(1, 2): (10, 10, 1600), (2, 1): (10, 10, 1600)}
+
+
+def test_hausdorff_half_coverage_gate_is_directed(spark):
+    from aef_mosaic_spark.operators.trajectory import hausdorff_pairs
+    # user 1: 10 points spaced 400 (> thresh + shadow offset); user 2
+    # shadows only the first 4 -> H(1->2) matches 4/10 (fails the
+    # gate), H(2->1) matches 4/4 (passes)
+    rows = []
+    for i in range(10):
+        rows.append((1, 100 + i, 1000 + 400 * i, 5000))
+    for i in range(4):
+        rows.append((2, 200 + i, 1000 + 400 * i, 5030))
+    got = {(r.ua, r.ub): (r.n_a, r.matched_n, r.h2)
+           for r in hausdorff_pairs(_fixes(spark, rows),
+                                    thresh=150).collect()}
+    assert got == {(2, 1): (4, 4, 900)}
+
+
+def test_hausdorff_cross_cell_match(spark):
+    from aef_mosaic_spark.operators.trajectory import hausdorff_pairs
+    # neighbors straddling a thresh-cell boundary still match: point
+    # at 149 and point at 151 sit in different cells at thresh=150
+    rows = [(1, 1, 149, 149), (2, 2, 151, 151)]
+    got = {(r.ua, r.ub): r.h2
+           for r in hausdorff_pairs(_fixes(spark, rows),
+                                    thresh=150).collect()}
+    assert got == {(1, 2): 8, (2, 1): 8}
+
+
+def test_hausdorff_matches_bruteforce_on_planted_law(spark):
+    from aef_mosaic_spark.operators.trajectory import (hausdorff_pairs,
+                                                       traj_fixes)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fixes = traj_fixes(ev)
+    pts = [(r.user_id, r.event_id, r.xm, r.ym) for r in fixes.collect()]
+    t2 = 150 * 150
+    from collections import defaultdict
+    by = defaultdict(list)
+    for u, e, x, y in pts:
+        by[u].append((x, y))
+    expect = {}
+    for ua, apts in by.items():
+        for ub, bpts in by.items():
+            if ua == ub:
+                continue
+            mins = []
+            for ax, ay in apts:
+                best = min((ax - bx) ** 2 + (ay - by_) ** 2
+                           for bx, by_ in bpts)
+                if best <= t2:
+                    mins.append(best)
+            if 2 * len(mins) >= len(apts):
+                expect[(ua, ub)] = (len(apts), len(mins), max(mins))
+    got = {(r.ua, r.ub): (r.n_a, r.matched_n, r.h2)
+           for r in hausdorff_pairs(fixes).collect()}
+    assert got == expect and got
