@@ -2169,6 +2169,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hausdorff_pairs(traj_fixes(_pq(spark, sf, "events")))
     q["q147_trajectory_similarity"] = q147_trajectory_similarity
 
+    def q148_flow_accumulation(spark, sf):
+        # T-hop D8 flow accumulation: one d8 focal pass + `iters`
+        # chained radius-1 halo exchanges of the packed (d8, acc)
+        # state — an ITERATED stencil where each round ships only
+        # O(perimeter) edge strips. Pinned fixture oracle; golden ==
+        # the same kernel iterated on the stitched raster
+        from aef_mosaic_spark.operators.focal import flow_accumulation
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return flow_accumulation(chunks, grid, iters=6) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
+    q["q148_flow_accumulation"] = q148_flow_accumulation
+
     return _driver_order(q)
 
 
@@ -3176,7 +3191,7 @@ def oracle_sql() -> dict[str, str]:
                    "q106_focal_chunks", "q108_temporal_composite",
                    "q109_histogram_stretch", "q112_terrain",
                    "q115_temporal_trend", "q116_aspect",
-                   "q146_d8_flow"):
+                   "q146_d8_flow", "q148_flow_accumulation"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -208,11 +208,29 @@ def focal_chunks(chunks: DataFrame, grid: OutputGrid, op: str = "mean",
         raise ValueError("strategy must be 'halo' or 'replicate'")
 
     chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
-    n_rows, n_cols = grid.chunk_rows, grid.chunk_cols
     r = radius
 
     src = chunks.select("time_idx", "row_idx", "col_idx",
                         F.col(chunk_col).alias("chunk"))
+    return _halo_pass(src, n_rows=grid.chunk_rows, n_cols=grid.chunk_cols,
+                      nbands=nb, chh=chh, chw=chw, r=r,
+                      kernel=lambda pad: _apply_kernel(pad, op, r, chh, chw),
+                      strategy=strategy)
+
+
+def _halo_pass(src: DataFrame, *, n_rows: int, n_cols: int, nbands: int,
+               chh: int, chw: int, r: int, kernel,
+               strategy: str = "halo") -> DataFrame:
+    """The halo-exchange machinery shared by focal_chunks and
+    flow_accumulation: emit each chunk once plus r-wide edge strips to
+    its <=8 existing neighbor keys, assemble the padded canvas per
+    key, apply `kernel(pad) -> (nbands_out, chh, chw) uint8`.  nbands
+    is the INPUT band count (may differ from grid.num_bands — the
+    flow-accumulation state packs 2x)."""
+    import pandas as pd
+
+    nb = nbands
+
     part_schema = ("time_idx int, row_idx int, col_idx int, "
                    "sy int, sx int, part binary")
 
@@ -285,7 +303,7 @@ def focal_chunks(chunks: DataFrame, grid: OutputGrid, op: str = "mean",
             py = (0 if sy == -1 else r if sy == 0 else r + chh)
             px = (0 if sx == -1 else r if sx == 0 else r + chw)
             pad[:, py:py + arr.shape[1], px:px + arr.shape[2]] = arr
-        out = _apply_kernel(pad, op, r, chh, chw)
+        out = kernel(pad)
         return pd.DataFrame([{
             "time_idx": int(pdf["time_idx"].iloc[0]),
             "row_idx": int(pdf["row_idx"].iloc[0]),
@@ -307,6 +325,111 @@ def focal_oracle_np(canvas: np.ndarray, op: str, radius: int) -> np.ndarray:
     pad = np.zeros((nb, H + 2 * r, W + 2 * r), np.uint8)
     pad[:, r:r + H, r:r + W] = canvas
     return _apply_kernel(pad, op, r, H, W)
+
+
+# ------------------------------------------------------------------ #
+# Flow accumulation — iterated halo stencil over the D8 raster        #
+# ------------------------------------------------------------------ #
+
+# (dy, dx, code): a neighbor at offset (dy, dx) from the center flows
+# INTO the center iff its D8 code is `code` (the opposite direction).
+_D8_INFLOW = ((0, 1, 16), (1, 1, 32), (1, 0, 64), (1, -1, 128),
+              (0, -1, 1), (-1, -1, 2), (-1, 0, 4), (-1, 1, 8))
+
+FLOWACC_ITERS = 8
+
+
+def _flowacc_kernel(nb: int):
+    """Kernel over the packed 2*nb-band state (bands [0:nb] = static
+    D8 codes, [nb:2nb] = current accumulation): new A = 1 + sum of
+    neighbor A where the neighbor's D8 points at the center, saturated
+    at 255; D8 bands pass through unchanged."""
+    def k(pad: np.ndarray) -> np.ndarray:
+        d8 = pad[:nb]
+        acc = pad[nb:].astype(np.int64)
+        H, W = pad.shape[1] - 2, pad.shape[2] - 2
+        inflow = np.zeros((nb, H, W), np.int64)
+        for dy, dx, code in _D8_INFLOW:
+            nd8 = d8[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+            nacc = acc[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+            inflow += nacc * (nd8 == code)
+        new_a = np.minimum(1 + inflow, 255).astype(np.uint8)
+        return np.concatenate(
+            [np.ascontiguousarray(d8[:, 1:-1, 1:-1]), new_a], axis=0)
+    return k
+
+
+def flow_accumulation(chunks: DataFrame, grid: OutputGrid,
+                      iters: int = FLOWACC_ITERS,
+                      chunk_col: str = "chunk") -> DataFrame:
+    """T-hop D8 flow accumulation (O'Callaghan & Mark 1984) ->
+    (time_idx, row_idx, col_idx, chunk, n_parts): per-band count of
+    upstream cells within `iters` hops INCLUDING self, saturated at
+    255 (uint8 chunks — document deeper basins by widening the chunk
+    dtype).  The fixed hop count makes the law deterministic and the
+    golden twin unrollable; information travels exactly one pixel per
+    round, so `iters` >= the longest flow path gives the classic
+    (saturated) accumulation grid.
+
+    Scale shape (100 TB): ONE d8 focal pass, then `iters` chained
+    radius-1 halo exchanges — each round ships O(perimeter) edge
+    strips of the 2*nb-band state, never full-chunk 9x replication;
+    the chain is linear (each round consumed exactly once) so no
+    checkpoint is needed and the whole loop is one lazy plan."""
+    import pandas as pd
+
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+    d8 = focal_chunks(chunks, grid, op="d8", radius=1,
+                      chunk_col=chunk_col)
+
+    def _pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                d = np.frombuffer(t.chunk, np.uint8).reshape(nb, chh, chw)
+                state = np.concatenate([d, np.ones_like(d)], axis=0)
+                rows.append((int(t.time_idx), int(t.row_idx),
+                             int(t.col_idx), state.tobytes(),
+                             int(t.n_parts)))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "chunk", "n_parts"])
+
+    state = d8.mapInPandas(_pack, schema=_OUT_SCHEMA)
+    kernel = _flowacc_kernel(nb)
+    for _ in range(iters):
+        state = _halo_pass(state, n_rows=grid.chunk_rows,
+                           n_cols=grid.chunk_cols, nbands=2 * nb,
+                           chh=chh, chw=chw, r=1, kernel=kernel)
+
+    def _strip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                s = np.frombuffer(t.chunk, np.uint8).reshape(
+                    2 * nb, chh, chw)
+                rows.append((int(t.time_idx), int(t.row_idx),
+                             int(t.col_idx),
+                             np.ascontiguousarray(s[nb:]).tobytes(),
+                             int(t.n_parts)))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "chunk", "n_parts"])
+
+    return state.mapInPandas(_strip, schema=_OUT_SCHEMA)
+
+
+def flowacc_oracle_np(canvas: np.ndarray,
+                      iters: int = FLOWACC_ITERS) -> np.ndarray:
+    """NumPy golden twin on the full stitched raster: the SAME packed
+    kernel iterated with zero padding."""
+    nb, H, W = canvas.shape
+    d8 = focal_oracle_np(canvas, "d8", 1)
+    state = np.concatenate([d8, np.ones_like(d8)], axis=0)
+    kernel = _flowacc_kernel(nb)
+    for _ in range(iters):
+        pad = np.zeros((2 * nb, H + 2, W + 2), np.uint8)
+        pad[:, 1:-1, 1:-1] = state
+        state = kernel(pad)
+    return state[nb:]
 
 
 def global_histogram(chunks: DataFrame, grid: OutputGrid,

@@ -35,7 +35,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change",
-          "regions")
+          "regions", "flowacc")
 
 
 def main(argv=None):
@@ -50,6 +50,8 @@ def main(argv=None):
     ap.add_argument("--strategy", default="halo",
                     choices=("halo", "replicate"),
                     help="focal shuffle strategy (replicate = A/B twin)")
+    ap.add_argument("--iters", type=int, default=8,
+                    help="flowacc hop count (flow travels 1 px/round)")
     ap.add_argument("--levels", type=int, default=1,
                     help="overview pyramid levels to apply")
     ap.add_argument("--p-low", type=float, default=2.0,
@@ -121,6 +123,12 @@ def main(argv=None):
         partition_by = ["time_idx"]
         stage_cfg.update(op=args.op, radius=args.radius,
                          strategy=args.strategy)
+    elif args.stage == "flowacc":
+        from aef_mosaic_spark.operators.focal import flow_accumulation
+        out_df = flow_accumulation(chunks, grid, iters=args.iters,
+                                   chunk_col="chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(iters=args.iters)
     elif args.stage == "temporal":
         from aef_mosaic_spark.operators.mosaic import temporal_composite
         out_df = temporal_composite(chunks, grid, op=args.op,

@@ -364,3 +364,40 @@ def test_temporal_trend(spark, grid):
         arr, n_times, fit_px = got[key]
         assert n_times == T and fit_px == nfit
         assert np.array_equal(arr.astype(np.int64), exp), key
+
+
+def test_flow_accumulation_matches_stitched_golden(spark, grid):
+    """T-hop accumulation across chunk boundaries must equal the same
+    iterated kernel on the stitched raster — the multi-round halo
+    exchange carries state correctly."""
+    from aef_mosaic_spark.operators.focal import (flow_accumulation,
+                                                  flowacc_oracle_np)
+    rows, canvas = _make_chunks(sparse=False)
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    golden = flowacc_oracle_np(canvas, iters=4)
+    got = _collect(flow_accumulation(sdf, grid, iters=4))
+    assert len(got) == N_ROWS * N_COLS
+    for (t, ri, ci), (arr, _n) in got.items():
+        exp = golden[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        assert np.array_equal(arr, exp), (ri, ci)
+
+
+def test_flow_accumulation_analytic():
+    """Analytic laws on the golden (same kernel the distributed path
+    runs): west-flowing ramp chains, pit collects its ring."""
+    from aef_mosaic_spark.operators.focal import flowacc_oracle_np
+    # elevation increasing eastward: interior cells flow west; border
+    # cells drain outward (zero pad), so the upstream chain into
+    # (i, j) is cols j+1..14 -> A = 1 + min(14 - j, T) for interior
+    ramp = (np.tile(np.arange(1, 17, dtype=np.uint8), (16, 1)) * 10)[None]
+    for T in (1, 3, 8):
+        acc = flowacc_oracle_np(ramp.astype(np.uint8), iters=T)
+        for i in range(1, 15):
+            for j in range(1, 15):
+                assert acc[0, i, j] == 1 + min(14 - j, T), (T, i, j)
+    # bowl: the 8 ring-1 neighbors point at the pit, ring-2 is flat
+    bowl = np.full((1, 9, 9), 200, np.uint8)
+    bowl[0, 4, 4] = 10
+    acc = flowacc_oracle_np(bowl, iters=3)
+    assert acc[0, 4, 4] == 9          # self + 8 inflowing neighbors
+    assert acc[0, 4, 3] == 1          # ring-1 cells have no inflow
