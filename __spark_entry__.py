@@ -2184,6 +2184,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
     q["q148_flow_accumulation"] = q148_flow_accumulation
 
+    def q149_focal_median(spark, sf):
+        # focal median denoise: exact integer median (odd window, the
+        # middle of the sorted (2r+1)^2 values — no float averaging)
+        # over the same O(perimeter) halo-exchange plan as q106; the
+        # standard salt-and-pepper cleanup pass before training-crop
+        # extraction
+        from aef_mosaic_spark.operators.focal import focal_chunks
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return focal_chunks(chunks, grid, op="median", radius=1) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
+    q["q149_focal_median"] = q149_focal_median
+
+    def q150_distance_transform(spark, sf):
+        # chamfer 3-4 distance transform (Borgefors 1986): distance to
+        # the nearest bright pixel, saturated at 255 — the two-scan
+        # sequential classic re-expressed as an iterated min-plus halo
+        # stencil (q148 machinery); state is proximity-encoded
+        # (s = 255 - d) so the halo's zero padding is the identity
+        from aef_mosaic_spark.operators.focal import distance_transform
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return distance_transform(chunks, grid, iters=6, threshold=192) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
+    q["q150_distance_transform"] = q150_distance_transform
+
     return _driver_order(q)
 
 
@@ -3191,7 +3221,8 @@ def oracle_sql() -> dict[str, str]:
                    "q106_focal_chunks", "q108_temporal_composite",
                    "q109_histogram_stretch", "q112_terrain",
                    "q115_temporal_trend", "q116_aspect",
-                   "q146_d8_flow", "q148_flow_accumulation"):
+                   "q146_d8_flow", "q148_flow_accumulation",
+                   "q149_focal_median", "q150_distance_transform"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

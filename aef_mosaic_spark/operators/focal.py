@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 
 from ..grid import OutputGrid
 
-FOCAL_OPS = ("mean", "max", "min", "grad", "slope", "hillshade", "aspect",
-             "d8")
+FOCAL_OPS = ("mean", "max", "min", "median", "grad", "slope", "hillshade",
+             "aspect", "d8")
 
 # terrain-op constants (treating each band as an elevation surface):
 # classic 45-degree sun altitude / 315-degree (NW) azimuth defaults,
@@ -173,6 +173,15 @@ def _apply_kernel(pad: np.ndarray, op: str, r: int,
         return win.max(axis=(3, 4))
     if op == "min":
         return win.min(axis=(3, 4))
+    if op == "median":
+        # exact integer median: (2r+1)^2 is odd, so the middle element
+        # of the sorted window IS the median — no float averaging, so
+        # the op is bit-stable by construction (salt-and-pepper
+        # denoise; zero padding participates at the raster border,
+        # same documented convention as `min`)
+        den = (2 * r + 1) ** 2
+        flat = win.reshape(*win.shape[:3], den)
+        return np.sort(flat, axis=-1)[..., den // 2].astype(np.uint8)
     # mean: integer half-away-up on the full zero-padded denominator
     den = (2 * r + 1) ** 2
     s = win.sum(axis=(3, 4), dtype=np.int64)
@@ -430,6 +439,112 @@ def flowacc_oracle_np(canvas: np.ndarray,
         pad[:, 1:-1, 1:-1] = state
         state = kernel(pad)
     return state[nb:]
+
+
+# ------------------------------------------------------------------ #
+# Chamfer distance transform — iterated min-plus halo stencil         #
+# ------------------------------------------------------------------ #
+
+CHAMFER_STRAIGHT = 3
+CHAMFER_DIAG = 4
+DISTTRANS_ITERS = 8
+DISTTRANS_THRESHOLD = 128
+
+_CHAMFER_OFFS = ((0, 1, CHAMFER_STRAIGHT), (0, -1, CHAMFER_STRAIGHT),
+                 (1, 0, CHAMFER_STRAIGHT), (-1, 0, CHAMFER_STRAIGHT),
+                 (1, 1, CHAMFER_DIAG), (1, -1, CHAMFER_DIAG),
+                 (-1, 1, CHAMFER_DIAG), (-1, -1, CHAMFER_DIAG))
+
+
+def _chamfer_kernel(pad: np.ndarray) -> np.ndarray:
+    """One min-plus round over the PROXIMITY encoding s = 255 - d:
+    s_new = max(s, neighbor_s - w) clipped at 0.  The flip makes the
+    halo's zero padding exactly the identity element (a missing
+    neighbor contributes s=0 == d=255 == 'no feature seen'), the same
+    trick that lets flow accumulation zero-pad its acc band."""
+    s = pad.astype(np.int16)
+    H, W = pad.shape[1] - 2, pad.shape[2] - 2
+    best = s[:, 1:-1, 1:-1].copy()
+    for dy, dx, w in _CHAMFER_OFFS:
+        np.maximum(best, s[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W] - w,
+                   out=best)
+    return np.clip(best, 0, 255).astype(np.uint8)
+
+
+def distance_transform(chunks: DataFrame, grid: OutputGrid,
+                       iters: int = DISTTRANS_ITERS,
+                       threshold: int = DISTTRANS_THRESHOLD,
+                       chunk_col: str = "chunk") -> DataFrame:
+    """Chamfer 3-4 distance transform (Borgefors 1986) ->
+    (time_idx, row_idx, col_idx, chunk, n_parts): per-band distance
+    from every pixel to the nearest FEATURE pixel (value >= threshold)
+    in the chamfer metric (3 per straight step, 4 per diagonal ~
+    3*sqrt2), saturated at 255; feature pixels read 0.  All-integer,
+    bit-stable.
+
+    Determinism law: exactly `iters` min-plus rounds; each round
+    extends the correct-distance front by one pixel ring, so pixels
+    farther than `iters` hops from any feature stay at 255 (saturated)
+    — iters >= ceil(255/3) = 85 gives the full saturated transform.
+
+    Scale shape (100 TB): the classic two-scan raster algorithm is
+    inherently sequential across the whole raster; the distributed
+    form is this iterated radius-1 halo stencil — each round ships
+    only O(perimeter) edge strips of the proximity state (the q148
+    flow-accumulation machinery, one lazy linear plan, no
+    checkpoints).  Internally the state is s = 255 - d so the halo's
+    zero padding is the min-plus identity (see _chamfer_kernel)."""
+    import pandas as pd
+
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+
+    def _init(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.chunk, np.uint8).reshape(nb, chh, chw)
+                s = np.where(arr >= threshold, np.uint8(255), np.uint8(0))
+                rows.append((int(t.time_idx), int(t.row_idx),
+                             int(t.col_idx), s.tobytes(), 1))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "chunk", "n_parts"])
+
+    state = chunks.select("time_idx", "row_idx", "col_idx",
+                          F.col(chunk_col).alias("chunk")) \
+        .mapInPandas(_init, schema=_OUT_SCHEMA)
+    for _ in range(iters):
+        state = _halo_pass(state, n_rows=grid.chunk_rows,
+                           n_cols=grid.chunk_cols, nbands=nb,
+                           chh=chh, chw=chw, r=1, kernel=_chamfer_kernel)
+
+    def _flip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                s = np.frombuffer(t.chunk, np.uint8).reshape(nb, chh, chw)
+                rows.append((int(t.time_idx), int(t.row_idx),
+                             int(t.col_idx),
+                             (np.uint8(255) - s).tobytes(),
+                             int(t.n_parts)))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "chunk", "n_parts"])
+
+    return state.mapInPandas(_flip, schema=_OUT_SCHEMA)
+
+
+def disttrans_oracle_np(canvas: np.ndarray,
+                        iters: int = DISTTRANS_ITERS,
+                        threshold: int = DISTTRANS_THRESHOLD) -> np.ndarray:
+    """NumPy golden twin on the full stitched raster: the SAME
+    proximity kernel iterated with zero padding, flipped back to
+    distance at the end."""
+    nb, H, W = canvas.shape
+    s = np.where(canvas >= threshold, np.uint8(255), np.uint8(0))
+    for _ in range(iters):
+        pad = np.zeros((nb, H + 2, W + 2), np.uint8)
+        pad[:, 1:-1, 1:-1] = s
+        s = _chamfer_kernel(pad)
+    return np.uint8(255) - s
 
 
 def global_histogram(chunks: DataFrame, grid: OutputGrid,

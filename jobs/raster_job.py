@@ -35,7 +35,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change",
-          "regions", "flowacc")
+          "regions", "flowacc", "disttrans")
 
 
 def main(argv=None):
@@ -51,7 +51,7 @@ def main(argv=None):
                     choices=("halo", "replicate"),
                     help="focal shuffle strategy (replicate = A/B twin)")
     ap.add_argument("--iters", type=int, default=8,
-                    help="flowacc hop count (flow travels 1 px/round)")
+                    help="flowacc/disttrans round count (fronts move 1 px/round)")
     ap.add_argument("--levels", type=int, default=1,
                     help="overview pyramid levels to apply")
     ap.add_argument("--p-low", type=float, default=2.0,
@@ -123,6 +123,13 @@ def main(argv=None):
         partition_by = ["time_idx"]
         stage_cfg.update(op=args.op, radius=args.radius,
                          strategy=args.strategy)
+    elif args.stage == "disttrans":
+        from aef_mosaic_spark.operators.focal import distance_transform
+        out_df = distance_transform(chunks, grid, iters=args.iters,
+                                    threshold=args.threshold,
+                                    chunk_col="chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(iters=args.iters, threshold=args.threshold)
     elif args.stage == "flowacc":
         from aef_mosaic_spark.operators.focal import flow_accumulation
         out_df = flow_accumulation(chunks, grid, iters=args.iters,

@@ -71,7 +71,7 @@ def test_halo_matches_stitched_golden(spark, grid, op):
 def test_halo_equals_replicate_and_radius2(spark, grid):
     rows, canvas = _make_chunks(sparse=False)
     sdf = spark.createDataFrame(pd.DataFrame(rows))
-    for op, r in (("mean", 2), ("max", 3)):
+    for op, r in (("mean", 2), ("max", 3), ("median", 2)):
         halo = _collect(focal_chunks(sdf, grid, op=op, radius=r))
         rep = _collect(focal_chunks(sdf, grid, op=op, radius=r,
                                     strategy="replicate"))
@@ -102,7 +102,7 @@ def test_validation_errors(spark, grid):
     rows, _ = _make_chunks(sparse=False)
     sdf = spark.createDataFrame(pd.DataFrame(rows))
     with pytest.raises(ValueError, match="op must be"):
-        focal_chunks(sdf, grid, op="median")
+        focal_chunks(sdf, grid, op="mode")
     with pytest.raises(ValueError, match="radius must be 1"):
         focal_chunks(sdf, grid, op="grad", radius=2)
     with pytest.raises(ValueError, match="strategy"):
@@ -401,3 +401,38 @@ def test_flow_accumulation_analytic():
     acc = flowacc_oracle_np(bowl, iters=3)
     assert acc[0, 4, 4] == 9          # self + 8 inflowing neighbors
     assert acc[0, 4, 3] == 1          # ring-1 cells have no inflow
+
+
+def test_distance_transform_matches_stitched_golden(spark, grid):
+    """Chamfer fronts must cross chunk boundaries exactly: iterated
+    min-plus halo == same kernel on the stitched raster."""
+    from aef_mosaic_spark.operators.focal import (disttrans_oracle_np,
+                                                  distance_transform)
+    rows, canvas = _make_chunks(sparse=False)
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    golden = disttrans_oracle_np(canvas, iters=4, threshold=200)
+    got = _collect(distance_transform(sdf, grid, iters=4, threshold=200))
+    assert len(got) == N_ROWS * N_COLS
+    for (t, ri, ci), (arr, _n) in got.items():
+        exp = golden[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        assert np.array_equal(arr, exp), (ri, ci)
+
+
+def test_distance_transform_analytic():
+    """Single feature pixel: distances are the exact chamfer 3-4
+    metric d = 3*max(|dy|,|dx|) + 1*min(|dy|,|dx|) within the iterated
+    front; beyond `iters` hops everything stays saturated at 255."""
+    from aef_mosaic_spark.operators.focal import disttrans_oracle_np
+    img = np.zeros((1, 17, 17), np.uint8)
+    img[0, 8, 8] = 255
+    d = disttrans_oracle_np(img, iters=5, threshold=128)
+    assert d[0, 8, 8] == 0
+    for dy in range(-8, 9):
+        for dx in range(-8, 9):
+            a, b = abs(dy), abs(dx)
+            exact = 3 * max(a, b) + min(a, b)
+            exp = exact if max(a, b) <= 5 else 255
+            assert d[0, 8 + dy, 8 + dx] == exp, (dy, dx)
+    # no feature anywhere -> all saturated
+    blank = np.zeros((1, 8, 8), np.uint8)
+    assert (disttrans_oracle_np(blank, iters=3) == 255).all()
