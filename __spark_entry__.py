@@ -2214,6 +2214,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.md5(F.col("chunk")).alias("chunk_md5"), "n_parts")
     q["q150_distance_transform"] = q150_distance_transform
 
+    def q151_bfs_hop_distance(spark, sf):
+        # multi-source BFS (Pregel's hello world): T rounds of ONE
+        # dist-onto-edges equi-join + ONE groupBy(node) min; the dist
+        # table carries only reached nodes (frontier rings), fixed T
+        # so the oracle unrolls into chained CTEs (q119/q142
+        # precedent). Seeds = graph nodes where node % 41 == 0
+        # (operators/graph.py)
+        from aef_mosaic_spark.operators.graph import (BFS_SEED_MOD,
+                                                      customer_edges,
+                                                      hop_distance)
+        e = customer_edges(_pq(spark, sf, "orders"),
+                           _pq(spark, sf, "customer"))
+        nodes = (e.select(F.col("a").alias("node"))
+                 .unionByName(e.select(F.col("b").alias("node")))
+                 .distinct())
+        seeds = nodes.where(F.col("node") % BFS_SEED_MOD == 0)
+        return hop_distance(e, seeds)
+    q["q151_bfs_hop_distance"] = q151_bfs_hop_distance
+
+    def q152_pareto_skyline(spark, sf):
+        # 2-D Pareto skyline (Borzsonyi 2001): "no other part both
+        # cheaper and larger" WITHOUT the O(n^2) NOT-EXISTS —
+        # groupBy(size) collapses the corpus to a ~50-row dimension
+        # table, prefix-min window over THAT, broadcast verdict join
+        # back (operators/skyline.py)
+        from aef_mosaic_spark.operators.skyline import part_skyline
+        return part_skyline(_pq(spark, sf, "part"))
+    q["q152_pareto_skyline"] = q152_pareto_skyline
+
     return _driver_order(q)
 
 
@@ -3432,9 +3461,14 @@ def oracle_sql() -> dict[str, str]:
     FROM ({_coarse139})
     """
 
-    from aef_mosaic_spark.operators.graph import (customer_k_core_sql,
+    from aef_mosaic_spark.operators.graph import (customer_hop_distance_sql,
+                                                  customer_k_core_sql,
                                                   customer_ra_links_sql)
     o["q142_k_core"] = customer_k_core_sql("orders", "customer")
+    o["q151_bfs_hop_distance"] = customer_hop_distance_sql(
+        "orders", "customer")
+    from aef_mosaic_spark.operators.skyline import part_skyline_sql
+    o["q152_pareto_skyline"] = part_skyline_sql("part")
     o["q143_ra_links"] = customer_ra_links_sql("orders", "customer")
     from aef_mosaic_spark.operators.anomaly import cusum_changepoints_sql
     o["q144_cusum_changepoints"] = cusum_changepoints_sql("events")

@@ -399,3 +399,83 @@ def customer_triangles_sql(orders: str = "orders",
       UNION ALL SELECT z FROM tri)
     GROUP BY node
     """
+
+
+# ------------------------------------------------------------------ #
+# Multi-source BFS hop distance — fixed-round min-propagation        #
+# ------------------------------------------------------------------ #
+
+BFS_ITERS = 6
+BFS_SEED_MOD = 41
+
+
+def hop_distance(edges: DataFrame, seeds: DataFrame,
+                 iters: int = BFS_ITERS) -> DataFrame:
+    """T-round multi-source BFS over an undirected canonical (a < b)
+    edge table -> (node, dist): the hop distance from every reached
+    node to its nearest seed (unreached nodes emit no row).  The
+    proximity signal behind "distance to a trusted/spam domain" and
+    graph-expansion dedup policies.
+
+    Determinism law: exactly `iters` rounds of
+    dist(v) = min(dist(v), min over neighbors u of dist(u) + 1); each
+    round extends the correct frontier by one hop, so the result at
+    round T is exact for every node within T hops and absent beyond —
+    the graph twin of the q148/q150 one-pixel-per-round stencil law,
+    fixed T so the DuckDB oracle unrolls into chained CTEs.
+
+    Scale shape: the dist table carries only REACHED nodes (grows one
+    frontier ring per round, never |V| until saturation); each round
+    is ONE equi-join of dist onto the symmetrized edge table + ONE
+    groupBy(node) min — the textbook distributed BFS (Pregel's hello
+    world).  localCheckpoint per round cuts join lineage exactly like
+    connected_components (operators/dedup.py); at true scale replace
+    the fixed T with a convergence count() probe."""
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(
+               edges.select(F.col("b").alias("u"), F.col("a").alias("v"))))
+    dist = seeds.select("node").distinct() \
+        .withColumn("dist", F.lit(0).cast("long"))
+    for _ in range(iters):
+        hop = (dist.join(sym, dist.node == sym.u)
+               .select(F.col("v").alias("node"),
+                       (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionByName(hop)
+                .groupBy("node")
+                .agg(F.min("dist").cast("long").alias("dist"))
+                .localCheckpoint(eager=False))
+    return dist
+
+
+def customer_hop_distance_sql(orders: str = "orders",
+                              customer: str = "customer",
+                              iters: int = BFS_ITERS,
+                              seed_mod: int = BFS_SEED_MOD) -> str:
+    """DuckDB twin of hop_distance(customer_edges(...), seeds) with
+    seeds = graph nodes where node % seed_mod == 0; the fixed round
+    count unrolls into chained MATERIALIZED CTEs (the k_core fd
+    lesson: every d_i is referenced twice downstream)."""
+    h = h32_sql("'t' || o_orderkey::VARCHAR")
+    ctes = [f"""raw AS MATERIALIZED (
+      SELECT o_custkey AS u,
+             {h} % (SELECT count(*) FROM {customer}) AS v
+      FROM {orders}),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v),
+    sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e0
+      UNION ALL SELECT b, a FROM e0),
+    d0 AS MATERIALIZED (
+      SELECT node, 0::BIGINT AS dist FROM (
+        SELECT DISTINCT u AS node FROM sym) WHERE node % {seed_mod} = 0)"""]
+    for i in range(iters):
+        ctes.append(f"""d{i + 1} AS MATERIALIZED (
+      SELECT node, min(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT s.v AS node, d.dist + 1 AS dist
+        FROM d{i} d JOIN sym s ON s.u = d.node)
+      GROUP BY node)""")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT node, dist FROM d{iters}")

@@ -51,3 +51,24 @@ def test_domain_link_edges_law(spark):
     # dsts are a subset of the node set
     nodes = {r.source for r in d.select("source").distinct().collect()}
     assert {r.dst for r in e.select("dst").distinct().collect()} <= nodes
+
+
+def test_hop_distance_path_graph(spark):
+    """Path 1-2-...-8 plus isolated edge (20,21): seeds {1, 20};
+    distances are exact within T hops, absent beyond."""
+    from aef_mosaic_spark.operators.graph import hop_distance
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(20, 21)], "a long, b long")
+    seeds = spark.createDataFrame([(1,), (20,)], "node long")
+    got = {r.node: r.dist for r in hop_distance(edges, seeds, iters=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 20: 0, 21: 1}
+    # a seed with no edges still reports dist 0; full run reaches all
+    got8 = {r.node: r.dist
+            for r in hop_distance(edges, seeds, iters=8).collect()}
+    assert got8[8] == 7 and got8[5] == 4
+    # min over both seeds: add a shortcut edge 21-5 -> node 5 is 2 hops
+    edges2 = edges.unionByName(
+        spark.createDataFrame([(5, 21)], "a long, b long"))
+    got2 = {r.node: r.dist
+            for r in hop_distance(edges2, seeds, iters=8).collect()}
+    assert got2[5] == 2 and got2[8] == 5

@@ -262,3 +262,27 @@ def test_hausdorff_matches_bruteforce_on_planted_law(spark):
     got = {(r.ua, r.ub): (r.n_a, r.matched_n, r.h2)
            for r in hausdorff_pairs(fixes).collect()}
     assert got == expect and got
+
+
+# ------------------------------------------------------------------ #
+# q152 Pareto skyline                                                 #
+# ------------------------------------------------------------------ #
+
+def test_skyline_matches_bruteforce(spark):
+    """Window+broadcast skyline == the O(n^2) dominance definition,
+    including ties (identical points both survive)."""
+    from aef_mosaic_spark.operators.skyline import skyline_2d
+    rows = [(i, (i * 37) % 23, float((i * 91) % 50)) for i in range(200)]
+    rows += [(900, 5, 3.0), (901, 5, 3.0)]          # exact tie pair
+    df = spark.createDataFrame(rows, "id long, size long, price double")
+    got = {r.id for r in skyline_2d(df, "id", "price", "size").collect()}
+    pts = {i: (s, p) for i, s, p in rows}
+    brute = set()
+    for x, (sx, px) in pts.items():
+        dominated = any(
+            (py <= px and sy >= sx and (py < px or sy > sx))
+            for y, (sy, py) in pts.items() if y != x)
+        if not dominated:
+            brute.add(x)
+    assert got == brute
+    assert {900, 901} & got == ({900, 901} if 900 in brute else set())
