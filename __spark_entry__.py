@@ -2243,6 +2243,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return part_skyline(_pq(spark, sf, "part"))
     q["q152_pareto_skyline"] = q152_pareto_skyline
 
+    def q153_trajectory_resample(spark, sf):
+        # fixed time-grid trajectory resampling: lead-window segments
+        # (one user_id exchange, the q120 law) -> narrow
+        # sequence()-explode of covered grid epochs -> exact integer
+        # linear interpolation (all terms nonnegative, so truncating
+        # and flooring division agree cross-engine)
+        # (operators/trajectory.py)
+        from aef_mosaic_spark.operators.trajectory import (
+            resample_trajectories, timed_fixes)
+        return resample_trajectories(timed_fixes(_pq(spark, sf, "events")))
+    q["q153_trajectory_resample"] = q153_trajectory_resample
+
     return _driver_order(q)
 
 
@@ -3469,6 +3481,9 @@ def oracle_sql() -> dict[str, str]:
         "orders", "customer")
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
+    from aef_mosaic_spark.operators.trajectory import (
+        resample_trajectories_sql)
+    o["q153_trajectory_resample"] = resample_trajectories_sql("events")
     o["q143_ra_links"] = customer_ra_links_sql("orders", "customer")
     from aef_mosaic_spark.operators.anomaly import cusum_changepoints_sql
     o["q144_cusum_changepoints"] = cusum_changepoints_sql("events")

@@ -36,7 +36,7 @@ with a cross-user similarity output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashes import h32_col, h32_sql
@@ -163,4 +163,132 @@ def hausdorff_pairs_sql(table: str = "events",
     FROM mind m JOIN na ON na.ua = m.ua
     GROUP BY m.ua, m.ub, na.n_a
     HAVING 2 * count(*) >= na.n_a
+    """
+
+
+# ------------------------------------------------------------------ #
+# Trajectory resampling — fixed time-grid linear interpolation        #
+# ------------------------------------------------------------------ #
+
+RESAMPLE_GRID_SEC = 3600
+
+
+def timed_fixes(events: DataFrame, groups: int = TRAJ_GROUPS,
+                anchor_sec: int = TRAJ_ANCHOR_SEC,
+                jitter: int = TRAJ_JITTER,
+                user_cap: int = TRAJ_USER_CAP) -> DataFrame:
+    """traj_fixes with the epoch second retained ->
+    (user_id, es, xm, ym), ONE row per (user_id, es): simultaneous
+    fixes collapse by min(xm), min(ym) — a documented deterministic
+    law so the lead-window segments are unambiguous in both engines."""
+    def anchor(tag):
+        return h32_col(F.concat(
+            F.lit(tag),
+            (F.col("user_id") % groups).cast("string"), F.lit("|"),
+            F.expr(f"CAST(es div {anchor_sec} AS STRING)"))) % TRAJ_FIELD
+
+    def jit(tag):
+        return h32_col(F.concat(F.lit(tag),
+                                F.col("event_id").cast("string"))) % jitter
+
+    return (events
+            .where(F.col("user_id") < user_cap)
+            .withColumn("es", F.unix_timestamp(F.col("ts")))
+            .select("user_id", "es",
+                    (anchor("sx") + jit("jx")).alias("xm"),
+                    (anchor("sy") + jit("jy")).alias("ym"))
+            .groupBy("user_id", "es")
+            .agg(F.min("xm").alias("xm"), F.min("ym").alias("ym")))
+
+
+def resample_trajectories(fixes: DataFrame,
+                          grid_sec: int = RESAMPLE_GRID_SEC) -> DataFrame:
+    """Resample each user's fix sequence onto the fixed epoch grid
+    (multiples of grid_sec) by linear interpolation between bracketing
+    fixes -> (user_id, gs, xg, yg): the alignment pass every
+    trajectory-mining stack runs first (uniform sampling makes
+    sequences comparable across devices with different report rates).
+
+    Law (exact integer, both engines): consecutive fixes (es0, p0) ->
+    (es1, p1) cover grid epochs gs = g*grid_sec with es0 <= gs < es1
+    (half-open; an epoch equal to the LAST fix of a user is excluded
+    — documented);
+        p(gs) = (p0*(es1 - gs) + p1*(gs - es0)) div (es1 - es0)
+    — every term nonnegative, so truncating and flooring division
+    agree and there is no negative-division cross-engine hazard.
+
+    Scale shape: ONE user_id exchange for the lead window (the q120
+    sessionization exchange), then a narrow explode of
+    sequence(g_lo, g_hi) per segment — output rows are bounded by
+    span/grid_sec per user, never |fixes|^2; no join anywhere."""
+    w = Window.partitionBy("user_id").orderBy("es")
+    seg = (fixes
+           .select("user_id",
+                   F.col("es").alias("es0"),
+                   F.col("xm").alias("x0"), F.col("ym").alias("y0"),
+                   F.lead("es").over(w).alias("es1"),
+                   F.lead("xm").over(w).alias("x1"),
+                   F.lead("ym").over(w).alias("y1"))
+           .where(F.col("es1").isNotNull()))
+    g = F.lit(int(grid_sec))
+    seg = seg.select(
+        "*",
+        F.expr(f"(es0 + {grid_sec} - 1) div {grid_sec}").alias("g_lo"),
+        F.expr(f"(es1 - 1) div {grid_sec}").alias("g_hi"))
+    return (seg.where(F.col("g_lo") <= F.col("g_hi"))
+            .select("user_id", "es0", "es1", "x0", "y0", "x1", "y1",
+                    F.explode(F.sequence("g_lo", "g_hi")).alias("gi"))
+            .select("user_id", (F.col("gi") * g).alias("gs"),
+                    F.expr("(x0 * (es1 - gi * {g}) + x1 * (gi * {g} - es0))"
+                           " div (es1 - es0)".format(g=grid_sec))
+                    .cast("long").alias("xg"),
+                    F.expr("(y0 * (es1 - gi * {g}) + y1 * (gi * {g} - es0))"
+                           " div (es1 - es0)".format(g=grid_sec))
+                    .cast("long").alias("yg")))
+
+
+def resample_trajectories_sql(events: str = "events",
+                              grid_sec: int = RESAMPLE_GRID_SEC,
+                              groups: int = TRAJ_GROUPS,
+                              anchor_sec: int = TRAJ_ANCHOR_SEC,
+                              jitter: int = TRAJ_JITTER,
+                              user_cap: int = TRAJ_USER_CAP) -> str:
+    """DuckDB twin of resample_trajectories(timed_fixes(events)).
+    generate_series is not lateral-joinable with column args — unnest
+    it in the SELECT list (the q-series gotcha); epoch() floors to
+    integer seconds to match Spark unix_timestamp."""
+    ax = h32_sql(f"'sx' || (user_id % {groups})::VARCHAR || '|' "
+                 f"|| (es // {anchor_sec})::VARCHAR")
+    ay = h32_sql(f"'sy' || (user_id % {groups})::VARCHAR || '|' "
+                 f"|| (es // {anchor_sec})::VARCHAR")
+    jx = h32_sql("'jx' || event_id::VARCHAR")
+    jy = h32_sql("'jy' || event_id::VARCHAR")
+    G = grid_sec
+    return f"""
+    WITH te AS (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es
+      FROM {events} WHERE user_id < {user_cap}),
+    fx AS (
+      SELECT user_id, es,
+             min({ax} % {TRAJ_FIELD} + {jx} % {jitter})::BIGINT AS xm,
+             min({ay} % {TRAJ_FIELD} + {jy} % {jitter})::BIGINT AS ym
+      FROM te GROUP BY user_id, es),
+    seg AS (
+      SELECT user_id, es AS es0, xm AS x0, ym AS y0,
+             lead(es) OVER w AS es1,
+             lead(xm) OVER w AS x1, lead(ym) OVER w AS y1
+      FROM fx WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+    segg AS (
+      SELECT *, (es0 + {G} - 1) // {G} AS g_lo, (es1 - 1) // {G} AS g_hi
+      FROM seg WHERE es1 IS NOT NULL),
+    ex AS (
+      SELECT user_id, es0, es1, x0, y0, x1, y1,
+             unnest(generate_series(g_lo, g_hi)) AS gi
+      FROM segg WHERE g_lo <= g_hi)
+    SELECT user_id, (gi * {G})::BIGINT AS gs,
+           ((x0 * (es1 - gi * {G}) + x1 * (gi * {G} - es0))
+            // (es1 - es0))::BIGINT AS xg,
+           ((y0 * (es1 - gi * {G}) + y1 * (gi * {G} - es0))
+            // (es1 - es0))::BIGINT AS yg
+    FROM ex
     """

@@ -286,3 +286,28 @@ def test_skyline_matches_bruteforce(spark):
             brute.add(x)
     assert got == brute
     assert {900, 901} & got == ({900, 901} if 900 in brute else set())
+
+
+# ------------------------------------------------------------------ #
+# q153 trajectory resampling                                          #
+# ------------------------------------------------------------------ #
+
+def test_resample_trajectories_exact(spark):
+    """Hand-checkable segments: half-open coverage, exact integer
+    interpolation, per-user independence."""
+    from aef_mosaic_spark.operators.trajectory import resample_trajectories
+    fixes = spark.createDataFrame(
+        [(1, 100, 0, 1000), (1, 350, 500, 500), (1, 400, 600, 0),
+         (2, 95, 70, 70), (2, 105, 80, 80)],
+        "user_id long, es long, xm long, ym long")
+    got = {(r.user_id, r.gs): (r.xg, r.yg)
+           for r in resample_trajectories(fixes, grid_sec=100).collect()}
+    # user 1 seg [100,350): epochs 100,200,300; seg [350,400): none
+    #   (g_lo=4 > g_hi=3); epoch 400 == last fix -> excluded
+    # user 2 seg [95,105): epoch 100
+    assert set(got) == {(1, 100), (1, 200), (1, 300), (2, 100)}
+    assert got[(1, 100)] == (0, 1000)
+    # x(200) = (0*150 + 500*100) div 250 = 200; y = (1000*150+500*100)/250
+    assert got[(1, 200)] == (200, 800)
+    assert got[(1, 300)] == (400, 600)
+    assert got[(2, 100)] == ((70 * 5 + 80 * 5) // 10, 75)
