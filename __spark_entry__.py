@@ -2255,6 +2255,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return resample_trajectories(timed_fixes(_pq(spark, sf, "events")))
     q["q153_trajectory_resample"] = q153_trajectory_resample
 
+    def q154_trajectory_simplify(spark, sf):
+        # one-pass SED simplification (Meratnia & de By 2004): keep a
+        # fix iff its squared deviation from the position interpolated
+        # AT ITS TIMESTAMP between temporal neighbors exceeds tol^2 —
+        # lag/lead windows on the same single user_id exchange, zero
+        # joins, per-row verdict (operators/trajectory.py)
+        from aef_mosaic_spark.operators.trajectory import (
+            simplify_trajectories, timed_fixes)
+        return simplify_trajectories(timed_fixes(_pq(spark, sf, "events")))
+    q["q154_trajectory_simplify"] = q154_trajectory_simplify
+
     return _driver_order(q)
 
 
@@ -3482,8 +3493,9 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
     from aef_mosaic_spark.operators.trajectory import (
-        resample_trajectories_sql)
+        resample_trajectories_sql, simplify_trajectories_sql)
     o["q153_trajectory_resample"] = resample_trajectories_sql("events")
+    o["q154_trajectory_simplify"] = simplify_trajectories_sql("events")
     o["q143_ra_links"] = customer_ra_links_sql("orders", "customer")
     from aef_mosaic_spark.operators.anomaly import cusum_changepoints_sql
     o["q144_cusum_changepoints"] = cusum_changepoints_sql("events")

@@ -292,3 +292,96 @@ def resample_trajectories_sql(events: str = "events",
             // (es1 - es0))::BIGINT AS yg
     FROM ex
     """
+
+
+# ------------------------------------------------------------------ #
+# Trajectory simplification — one-pass SED significance filter        #
+# ------------------------------------------------------------------ #
+
+SIMPLIFY_TOL = 40
+
+
+def simplify_trajectories(fixes: DataFrame,
+                          tol: int = SIMPLIFY_TOL) -> DataFrame:
+    """One-pass trajectory simplification by synchronized Euclidean
+    distance (SED — Meratnia & de By 2004, the time-ratio law TD-TR
+    builds on) -> (user_id, es, xm, ym, sed2): keep a fix iff its
+    squared deviation from the position linearly interpolated AT ITS
+    TIMESTAMP between its two temporal neighbors exceeds tol^2;
+    endpoints are always kept (sed2 = -1 sentinel).  Dropping a kept
+    row loses real signal; dropped rows are within tol of the linear
+    prediction — the standard lossy GPS compression gate.
+
+    Law (exact integer, both engines): with neighbors (ta, pa) and
+    (tc, pc) and tb strictly between,
+        p' = (pa*(tc - tb) + pc*(tb - ta)) div (tc - ta)   [q153 law]
+        sed2 = (xb - x'b)^2 + (yb - y'b)^2
+    All interpolation terms nonnegative; deviations are bounded by the
+    coordinate field (~1e5) so sed2 < 2^63 with huge margin.
+
+    Scale shape: ONE user_id exchange for the lag/lead windows, zero
+    joins — a per-row verdict, unlike Douglas-Peucker's recursive
+    global argmax (which needs per-trajectory applyInPandas; this
+    one-pass gate is the distributable opening-window building
+    block)."""
+    w = Window.partitionBy("user_id").orderBy("es")
+    d = fixes.select(
+        "user_id", "es", "xm", "ym",
+        F.lag("es").over(w).alias("ta"),
+        F.lag("xm").over(w).alias("xa"),
+        F.lag("ym").over(w).alias("ya"),
+        F.lead("es").over(w).alias("tc"),
+        F.lead("xm").over(w).alias("xc"),
+        F.lead("ym").over(w).alias("yc"))
+    xi = "((xa * (tc - es) + xc * (es - ta)) div (tc - ta))"
+    yi = "((ya * (tc - es) + yc * (es - ta)) div (tc - ta))"
+    sed2 = F.expr(f"(xm - {xi}) * (xm - {xi}) + (ym - {yi}) * (ym - {yi})")
+    d = d.withColumn(
+        "sed2",
+        F.when(F.col("ta").isNull() | F.col("tc").isNull(),
+               F.lit(-1)).otherwise(sed2).cast("long"))
+    return (d.where((F.col("sed2") < 0) | (F.col("sed2") > tol * tol))
+            .select("user_id", "es", "xm", "ym", "sed2"))
+
+
+def simplify_trajectories_sql(events: str = "events",
+                              tol: int = SIMPLIFY_TOL,
+                              groups: int = TRAJ_GROUPS,
+                              anchor_sec: int = TRAJ_ANCHOR_SEC,
+                              jitter: int = TRAJ_JITTER,
+                              user_cap: int = TRAJ_USER_CAP) -> str:
+    """DuckDB twin of simplify_trajectories(timed_fixes(events))."""
+    ax = h32_sql(f"'sx' || (user_id % {groups})::VARCHAR || '|' "
+                 f"|| (es // {anchor_sec})::VARCHAR")
+    ay = h32_sql(f"'sy' || (user_id % {groups})::VARCHAR || '|' "
+                 f"|| (es // {anchor_sec})::VARCHAR")
+    jx = h32_sql("'jx' || event_id::VARCHAR")
+    jy = h32_sql("'jy' || event_id::VARCHAR")
+    xi = "((xa * (tc - es) + xc * (es - ta)) // (tc - ta))"
+    yi = "((ya * (tc - es) + yc * (es - ta)) // (tc - ta))"
+    return f"""
+    WITH te AS (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es
+      FROM {events} WHERE user_id < {user_cap}),
+    fx AS (
+      SELECT user_id, es,
+             min({ax} % {TRAJ_FIELD} + {jx} % {jitter})::BIGINT AS xm,
+             min({ay} % {TRAJ_FIELD} + {jy} % {jitter})::BIGINT AS ym
+      FROM te GROUP BY user_id, es),
+    nb AS (
+      SELECT user_id, es, xm, ym,
+             lag(es) OVER w AS ta, lag(xm) OVER w AS xa,
+             lag(ym) OVER w AS ya,
+             lead(es) OVER w AS tc, lead(xm) OVER w AS xc,
+             lead(ym) OVER w AS yc
+      FROM fx WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+    v AS (
+      SELECT user_id, es, xm, ym,
+             CASE WHEN ta IS NULL OR tc IS NULL THEN -1
+                  ELSE (xm - {xi}) * (xm - {xi})
+                       + (ym - {yi}) * (ym - {yi})
+             END::BIGINT AS sed2
+      FROM nb)
+    SELECT user_id, es, xm, ym, sed2
+    FROM v WHERE sed2 < 0 OR sed2 > {tol * tol}
+    """

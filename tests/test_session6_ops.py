@@ -311,3 +311,29 @@ def test_resample_trajectories_exact(spark):
     assert got[(1, 200)] == (200, 800)
     assert got[(1, 300)] == (400, 600)
     assert got[(2, 100)] == ((70 * 5 + 80 * 5) // 10, 75)
+
+
+def test_simplify_trajectories_sed(spark):
+    """Endpoints always kept; a fix on the time-interpolated line is
+    dropped; a deviating fix is kept with its exact sed2."""
+    from aef_mosaic_spark.operators.trajectory import simplify_trajectories
+    fixes = spark.createDataFrame(
+        [(1, 0, 100, 100), (1, 50, 150, 100), (1, 100, 200, 100),
+         (1, 150, 300, 400), (1, 200, 400, 100),
+         (2, 0, 7, 7)],
+        "user_id long, es long, xm long, ym long")
+    got = {(r.user_id, r.es): r.sed2
+           for r in simplify_trajectories(fixes, tol=40).collect()}
+    # (1, 50) is exactly on the line 0->100 (sed2 = 0) -> dropped
+    # (1, 150): interp between (100,(200,100)) and (200,(400,100)) is
+    #   (300, 100); deviation (0, 300) -> sed2 = 90000 > 1600 -> kept
+    # (1, 100): interp between (50,(150,100)) and (150,(300,400)) is
+    #   (225, 250); sed2 = 25^2 + 150^2 = 23125 -> kept
+    assert set(got) == {(1, 0), (1, 100), (1, 150), (1, 200), (2, 0)}
+    assert got[(1, 100)] == 23125
+    assert got[(1, 150)] == 90000
+    assert got[(1, 0)] == -1 and got[(2, 0)] == -1
+    # tighter tolerance keeps the near-line fix too
+    got0 = {(r.user_id, r.es)
+            for r in simplify_trajectories(fixes, tol=0).collect()}
+    assert (1, 50) not in got0          # sed2 == 0 is never > 0
