@@ -2266,6 +2266,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simplify_trajectories(timed_fixes(_pq(spark, sf, "events")))
     q["q154_trajectory_simplify"] = q154_trajectory_simplify
 
+    def q155_lpa_communities(spark, sf):
+        # synchronous label propagation (Raghavan 2007), fixed T with
+        # min-label tie-break: per round ONE labels-onto-edges join +
+        # ONE (v,label) count + ONE struct-max groupBy; communities
+        # are what CC (density-blind) and k-core (assignment-free)
+        # don't give (operators/graph.py)
+        from aef_mosaic_spark.operators.graph import (customer_edges,
+                                                      label_propagation)
+        return label_propagation(customer_edges(_pq(spark, sf, "orders"),
+                                                _pq(spark, sf, "customer")))
+    q["q155_lpa_communities"] = q155_lpa_communities
+
+    def q156_association_rules(spark, sf):
+        # market-basket pair rules (Agrawal 1993): within-basket
+        # self-join (candidates = sum(basket^2), never item x item),
+        # per-item counts broadcast back; support/confidence/lift in
+        # exact integer ppm (operators/basket.py)
+        from aef_mosaic_spark.operators.basket import association_rules
+        return association_rules(_pq(spark, sf, "lineitem"))
+    q["q156_association_rules"] = q156_association_rules
+
     return _driver_order(q)
 
 
@@ -3490,6 +3511,10 @@ def oracle_sql() -> dict[str, str]:
     o["q142_k_core"] = customer_k_core_sql("orders", "customer")
     o["q151_bfs_hop_distance"] = customer_hop_distance_sql(
         "orders", "customer")
+    from aef_mosaic_spark.operators.graph import customer_lpa_sql
+    o["q155_lpa_communities"] = customer_lpa_sql("orders", "customer")
+    from aef_mosaic_spark.operators.basket import association_rules_sql
+    o["q156_association_rules"] = association_rules_sql("lineitem")
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
     from aef_mosaic_spark.operators.trajectory import (

@@ -479,3 +479,82 @@ def customer_hop_distance_sql(orders: str = "orders",
       GROUP BY node)""")
     return ("WITH " + ",\n    ".join(ctes)
             + f"\n    SELECT node, dist FROM d{iters}")
+
+
+# ------------------------------------------------------------------ #
+# Label-propagation communities — fixed-round synchronous LPA        #
+# ------------------------------------------------------------------ #
+
+LPA_ITERS = 4
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """T-round synchronous label propagation (Raghavan 2007) over an
+    undirected canonical (a < b) edge table -> (node, label): start
+    with label(v) = v; each round every node adopts the most frequent
+    label among its NEIGHBORS, ties broken by the smallest label.
+    Communities are the label groups after T rounds — the missing
+    classic next to connected_components (components ignore density)
+    and k_core (cores ignore assignment).
+
+    Determinism law: synchronous updates + min-label tie-break make
+    every round a pure function of the previous labeling, so a fixed
+    T is engine-independent (synchronous LPA can oscillate on
+    bipartite structure — fixed T sidesteps convergence entirely,
+    the q119/q142/q151 precedent).
+
+    Scale shape: each round is ONE equi-join of the (node, label)
+    table onto the symmetrized edges + ONE groupBy(v, label) count +
+    ONE groupBy(v) struct-max (count, then smallest label) — no
+    windows, no node x node anything; localCheckpoint per round cuts
+    join lineage (operators/dedup.py precedent)."""
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(
+               edges.select(F.col("b").alias("u"), F.col("a").alias("v"))))
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node").cast("long")))
+    for _ in range(iters):
+        cnt = (sym.join(labels, sym.u == labels.node)
+               .groupBy(F.col("v").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (cnt.groupBy("node")
+                  .agg(F.max(F.struct(F.col("cnt"),
+                                      (-F.col("label")).alias("nl")))
+                       .alias("_m"))
+                  .select("node",
+                          (-F.col("_m.nl")).cast("long").alias("label"))
+                  .localCheckpoint(eager=False))
+    return labels
+
+
+def customer_lpa_sql(orders: str = "orders", customer: str = "customer",
+                     iters: int = LPA_ITERS) -> str:
+    """DuckDB twin of label_propagation(customer_edges(...)): fixed
+    rounds unroll into chained MATERIALIZED CTEs; the struct-max
+    argmin is spelled as max-count join + min(label)."""
+    h = h32_sql("'t' || o_orderkey::VARCHAR")
+    ctes = [f"""raw AS MATERIALIZED (
+      SELECT o_custkey AS u,
+             {h} % (SELECT count(*) FROM {customer}) AS v
+      FROM {orders}),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v),
+    sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e0
+      UNION ALL SELECT b, a FROM e0),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT u::BIGINT AS node, u::BIGINT AS label FROM sym)"""]
+    for i in range(iters):
+        ctes.append(f"""c{i + 1} AS MATERIALIZED (
+      SELECT s.v, l.label, count(*) AS cnt
+      FROM sym s JOIN l{i} l ON l.node = s.u
+      GROUP BY s.v, l.label),
+    m{i + 1} AS MATERIALIZED (
+      SELECT v, max(cnt) AS mc FROM c{i + 1} GROUP BY v),
+    l{i + 1} AS MATERIALIZED (
+      SELECT c.v::BIGINT AS node, min(c.label)::BIGINT AS label
+      FROM c{i + 1} c JOIN m{i + 1} m ON m.v = c.v AND c.cnt = m.mc
+      GROUP BY c.v)""")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT node, label FROM l{iters}")

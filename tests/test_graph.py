@@ -72,3 +72,19 @@ def test_hop_distance_path_graph(spark):
     got2 = {r.node: r.dist
             for r in hop_distance(edges2, seeds, iters=8).collect()}
     assert got2[5] == 2 and got2[8] == 5
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each
+    clique its minimum member label; the bridge does not merge them."""
+    from aef_mosaic_spark.operators.graph import label_propagation
+    cl1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    cl2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13)
+           if a < b]
+    edges = spark.createDataFrame(cl1 + cl2 + [(4, 10)],
+                                  "a long, b long")
+    got = {r.node: r.label
+           for r in label_propagation(edges, iters=4).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    assert len({got[1], got[11]}) == 2          # communities distinct

@@ -337,3 +337,22 @@ def test_simplify_trajectories_sed(spark):
     got0 = {(r.user_id, r.es)
             for r in simplify_trajectories(fixes, tol=0).collect()}
     assert (1, 50) not in got0          # sed2 == 0 is never > 0
+
+
+def test_association_rules_hand_counts(spark):
+    """4 baskets, hand-counted supports: {1,2,3},{1,2},{1,3},{2}."""
+    from aef_mosaic_spark.operators.basket import association_rules
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (12, 1),
+            (12, 3), (13, 2), (10, 1)]          # dup line collapses
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {(r.pa, r.pb): r for r in association_rules(li).collect()}
+    assert set(got) == {(1, 2), (1, 3)}          # (2,3) seen once only
+    r = got[(1, 2)]
+    # n=4, c1=3, c2=3, c12=2
+    assert (r.n_ab, r.n_a, r.n_b) == (2, 3, 3)
+    assert r.supp_ppm == 2 * 10**6 // 4
+    assert r.conf_ab_ppm == 2 * 10**6 // 3
+    assert r.lift_ppm == (2 * 4 * 10**6) // 9
+    r13 = got[(1, 3)]
+    assert (r13.n_ab, r13.n_a, r13.n_b) == (2, 3, 2)
+    assert r13.lift_ppm == (2 * 4 * 10**6) // 6
