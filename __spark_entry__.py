@@ -2287,6 +2287,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return association_rules(_pq(spark, sf, "lineitem"))
     q["q156_association_rules"] = q156_association_rules
 
+    def q157_quadtree_leaves(spark, sf):
+        # adaptive PR-quadtree (Finkel & Bentley 1974): split any
+        # cell with > cap points into 4 children, stop at max_depth —
+        # per level ONE count groupBy + ONE broadcast semi-join; the
+        # leaf table is the skew-balanced partitioning the uniform
+        # grid can't give (operators/quadtree.py)
+        from aef_mosaic_spark.operators.clustering import dbscan_points
+        from aef_mosaic_spark.operators.quadtree import quadtree_leaves
+        return quadtree_leaves(dbscan_points(_pq(spark, sf, "orders")))
+    q["q157_quadtree_leaves"] = q157_quadtree_leaves
+
     return _driver_order(q)
 
 
@@ -3515,6 +3526,10 @@ def oracle_sql() -> dict[str, str]:
     o["q155_lpa_communities"] = customer_lpa_sql("orders", "customer")
     from aef_mosaic_spark.operators.basket import association_rules_sql
     o["q156_association_rules"] = association_rules_sql("lineitem")
+    from aef_mosaic_spark.operators.clustering import dbscan_points_sql
+    from aef_mosaic_spark.operators.quadtree import quadtree_points_sql
+    o["q157_quadtree_leaves"] = quadtree_points_sql(
+        dbscan_points_sql("orders"))
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
     from aef_mosaic_spark.operators.trajectory import (

@@ -356,3 +356,28 @@ def test_association_rules_hand_counts(spark):
     r13 = got[(1, 3)]
     assert (r13.n_ab, r13.n_a, r13.n_b) == (2, 3, 2)
     assert r13.lift_ppm == (2 * 4 * 10**6) // 6
+
+
+def test_quadtree_leaves_invariants(spark):
+    """Planted hot cluster + sparse field: leaf counts conserve the
+    point total, non-depth-capped leaves respect the cap, hot region
+    splits deeper than the sparse field."""
+    from aef_mosaic_spark.operators.quadtree import (FIELD_BITS,
+                                                     quadtree_leaves)
+    # 500 points inside one 256-wide box + 50 spread across the field
+    hot = [(i, 1000 + (i * 37) % 256, 2000 + (i * 91) % 256)
+           for i in range(500)]
+    sparse = [(1000 + i, (i * 8191) % (1 << FIELD_BITS),
+               (i * 12289) % (1 << FIELD_BITS)) for i in range(50)]
+    pts = spark.createDataFrame(hot + sparse, "id long, xm long, ym long")
+    leaves = quadtree_leaves(pts, cap=64, max_depth=6).collect()
+    assert sum(r.n for r in leaves) == 550
+    for r in leaves:
+        if r.level < 6:
+            assert r.n <= 64, r
+        # cell coordinates live inside the level's grid
+        assert 0 <= r.cx < (1 << r.level) and 0 <= r.cy < (1 << r.level)
+    # the hot box must push past the first levels; sparse leaves stay
+    # shallow
+    assert max(r.level for r in leaves if r.n > 1) >= 4
+    assert min(r.level for r in leaves) <= 2
