@@ -2298,6 +2298,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quadtree_leaves(dbscan_points(_pq(spark, sf, "orders")))
     q["q157_quadtree_leaves"] = q157_quadtree_leaves
 
+    def q158_quadtree_assign(spark, sf):
+        # per-point quadtree leaf assignment — the partition key that
+        # makes q157 actionable (repartition by leaf and every task
+        # holds <= cap points except depth-capped hot cells); same
+        # descent, ids carried (operators/quadtree.py)
+        from aef_mosaic_spark.operators.clustering import dbscan_points
+        from aef_mosaic_spark.operators.quadtree import quadtree_assign
+        return quadtree_assign(dbscan_points(_pq(spark, sf, "orders")))
+    q["q158_quadtree_assign"] = q158_quadtree_assign
+
+    def q159_seasonal_profile(spark, sf):
+        # hour-of-day seasonal decomposition: ONE (type,hour) agg
+        # (type means derive FROM it — scan-audit law) + ONE
+        # broadcast-joined residual rescan; exact integer micro-unit
+        # means (operators/anomaly.py)
+        from aef_mosaic_spark.operators.anomaly import seasonal_profile
+        return seasonal_profile(_pq(spark, sf, "events"))
+    q["q159_seasonal_profile"] = q159_seasonal_profile
+
     return _driver_order(q)
 
 
@@ -3530,6 +3549,11 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.operators.quadtree import quadtree_points_sql
     o["q157_quadtree_leaves"] = quadtree_points_sql(
         dbscan_points_sql("orders"))
+    from aef_mosaic_spark.operators.quadtree import quadtree_assign_sql
+    o["q158_quadtree_assign"] = quadtree_assign_sql(
+        dbscan_points_sql("orders"))
+    from aef_mosaic_spark.operators.anomaly import seasonal_profile_sql
+    o["q159_seasonal_profile"] = seasonal_profile_sql("events")
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
     from aef_mosaic_spark.operators.trajectory import (

@@ -195,3 +195,98 @@ def rolling_anomalies_sql(table: str = "events",
       AND (win_n * vcents - s)::BIGINT * (win_n * vcents - s)::BIGINT
           > {k * k} * (win_n * ss - s * s)::BIGINT
     """
+
+
+# ------------------------------------------------------------------ #
+# Seasonal profile decomposition — hour-of-day index + residual gate  #
+# ------------------------------------------------------------------ #
+
+SEASONAL_MICRO = 10 ** 6
+SEASONAL_ANOM_U = 200 * SEASONAL_MICRO
+
+
+def seasonal_profile(events: DataFrame,
+                     anom_u: int = SEASONAL_ANOM_U) -> DataFrame:
+    """Hour-of-day seasonal decomposition per event_type ->
+    (event_type, hour, n, mean_u, seasonal_u, n_anom): the classical
+    additive split value = level + seasonal + residual at its
+    smallest (CCNet-era monitoring: "is this hour's traffic shape
+    normal for this stream").  mean_u is the hour-slot mean in exact
+    integer micro-units; seasonal_u = hour mean - type mean (the
+    seasonal index); n_anom counts events whose deseasonalized
+    residual |v_u - mean_u(slot)| exceeds anom_u.
+
+    Law (exact integer, both engines): v_u = floor(value*1e6 + 0.5),
+    means are truncating BIGINT division of nonnegative sums (no
+    negative-division hazard; seasonal_u may be negative but is never
+    divided again).
+
+    Scale shape: pass 1 is ONE map-side-combinable groupBy onto the
+    (type, hour)-sized profile (type means derive FROM that agg —
+    the scan-audit law, no second corpus agg); pass 2 re-scans events
+    joined BROADCAST to the <=|types|*24-row profile for the residual
+    gate. Two corpus scans total, zero wide shuffles of the big side
+    (the q109 two-pass global-statistic shape)."""
+    v_u = F.expr("CAST(floor(value * 1e6 + 0.5e0) AS BIGINT)")
+    base = events.select(
+        "event_type",
+        F.expr("(CAST(unix_timestamp(ts) AS BIGINT) div 3600) % 24")
+        .cast("int").alias("hour"),
+        v_u.alias("v_u"))
+    prof = (base.groupBy("event_type", "hour")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("v_u").cast("long").alias("s"))
+            .localCheckpoint(eager=False))        # 2 consumers below
+    tmean = (prof.groupBy("event_type")
+             .agg(F.expr("CAST(sum(s) div sum(n) AS BIGINT)")
+                  .alias("tmean_u")))
+    prof = (prof
+            .join(F.broadcast(tmean), "event_type")
+            .select("event_type", "hour", "n",
+                    F.expr("s div n").cast("long").alias("mean_u"),
+                    F.expr("s div n - tmean_u").cast("long")
+                    .alias("seasonal_u")))
+    anom = (base.join(F.broadcast(prof.select("event_type", "hour",
+                                              "mean_u")),
+                      ["event_type", "hour"])
+            .where(F.expr(f"abs(v_u - mean_u) > {anom_u}"))
+            .groupBy("event_type", "hour")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_anom")))
+    return (prof.join(anom, ["event_type", "hour"], "left")
+            .select("event_type", "hour", "n", "mean_u", "seasonal_u",
+                    F.coalesce("n_anom", F.lit(0)).cast("long")
+                    .alias("n_anom")))
+
+
+def seasonal_profile_sql(events: str = "events",
+                         anom_u: int = SEASONAL_ANOM_U) -> str:
+    """DuckDB twin of seasonal_profile (epoch() floors to match
+    Spark unix_timestamp)."""
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT event_type,
+             ((floor(epoch(ts))::BIGINT // 3600) % 24)::INT AS hour,
+             CAST(floor(value * 1e6 + 0.5e0) AS BIGINT) AS v_u
+      FROM {events}),
+    prof0 AS MATERIALIZED (
+      SELECT event_type, hour, count(*)::BIGINT AS n,
+             sum(v_u)::BIGINT AS s
+      FROM base GROUP BY event_type, hour),
+    tm AS (SELECT event_type,
+                  (sum(s)::BIGINT // sum(n)::BIGINT)::BIGINT AS tmean_u
+           FROM prof0 GROUP BY event_type),
+    prof AS MATERIALIZED (
+      SELECT p.event_type, p.hour, p.n,
+             (p.s // p.n)::BIGINT AS mean_u,
+             (p.s // p.n - t.tmean_u)::BIGINT AS seasonal_u
+      FROM prof0 p JOIN tm t USING (event_type)),
+    an AS (
+      SELECT b.event_type, b.hour, count(*)::BIGINT AS n_anom
+      FROM base b JOIN prof p USING (event_type, hour)
+      WHERE abs(b.v_u - p.mean_u) > {anom_u}
+      GROUP BY b.event_type, b.hour)
+    SELECT prof.event_type, prof.hour, prof.n, prof.mean_u,
+           prof.seasonal_u,
+           coalesce(an.n_anom, 0)::BIGINT AS n_anom
+    FROM prof LEFT JOIN an USING (event_type, hour)
+    """

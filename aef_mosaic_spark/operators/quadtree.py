@@ -95,3 +95,72 @@ def quadtree_points_sql(points_sql: str, cap: int = QT_CAP,
       WHERE c.n > {cap})""")
     return ("WITH " + ",\n    ".join(ctes) + "\n    "
             + "\n    UNION ALL ".join(sel))
+
+
+def quadtree_assign(pts: DataFrame, cap: int = QT_CAP,
+                    max_depth: int = QT_MAX_DEPTH,
+                    id_col: str = "id",
+                    x: str = "xm", y: str = "ym") -> DataFrame:
+    """Assign every point its quadtree LEAF cell -> (id, level, cx,
+    cy): the partition key that makes q157's decomposition actionable
+    (repartition by (level, cx, cy) and every task holds <= cap
+    points except depth-capped hot cells).  Same descent law as
+    quadtree_leaves; grouping the output by (level, cx, cy) with a
+    count reproduces the leaf table exactly (tested)."""
+    remaining = pts.select(F.col(id_col).alias("id"),
+                           F.col(x).alias("_x"), F.col(y).alias("_y"))
+    parts = []
+    for lvl in range(1, max_depth + 1):
+        shift = FIELD_BITS - lvl
+        keyed = remaining.select(
+            "id", "_x", "_y",
+            F.expr(f"_x div {1 << shift}").alias("cx"),
+            F.expr(f"_y div {1 << shift}").alias("cy"))
+        if lvl == max_depth:
+            parts.append(keyed.select(
+                "id", F.lit(lvl).cast("int").alias("level"), "cx", "cy"))
+            break
+        counts = keyed.groupBy("cx", "cy").agg(
+            F.count(F.lit(1)).alias("n"))
+        small = counts.where(F.col("n") <= cap).select("cx", "cy")
+        parts.append(
+            keyed.join(F.broadcast(small), ["cx", "cy"], "semi")
+            .select("id", F.lit(lvl).cast("int").alias("level"),
+                    "cx", "cy"))
+        big = counts.where(F.col("n") > cap).select("cx", "cy")
+        remaining = (keyed.join(F.broadcast(big), ["cx", "cy"], "semi")
+                     .select("id", "_x", "_y")
+                     .localCheckpoint(eager=False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def quadtree_assign_sql(points_sql: str, cap: int = QT_CAP,
+                        max_depth: int = QT_MAX_DEPTH,
+                        id_col: str = "id",
+                        x: str = "xm", y: str = "ym") -> str:
+    """DuckDB twin of quadtree_assign."""
+    ctes = [f"r0 AS MATERIALIZED (SELECT {id_col} AS id, {x} AS _x, "
+            f"{y} AS _y FROM ({points_sql}))"]
+    sel = []
+    for lvl in range(1, max_depth + 1):
+        w = 1 << (FIELD_BITS - lvl)
+        if lvl == max_depth:
+            sel.append(f"SELECT id, {lvl}::INT AS level, "
+                       f"_x // {w} AS cx, _y // {w} AS cy FROM r{lvl - 1}")
+            break
+        ctes.append(f"""c{lvl} AS MATERIALIZED (
+      SELECT _x // {w} AS cx, _y // {w} AS cy, count(*)::BIGINT AS n
+      FROM r{lvl - 1} GROUP BY 1, 2)""")
+        sel.append(f"""SELECT p.id, {lvl}::INT AS level, c.cx, c.cy
+      FROM r{lvl - 1} p
+      JOIN c{lvl} c ON c.cx = p._x // {w} AND c.cy = p._y // {w}
+      WHERE c.n <= {cap}""")
+        ctes.append(f"""r{lvl} AS MATERIALIZED (
+      SELECT p.id, p._x, p._y FROM r{lvl - 1} p
+      JOIN c{lvl} c ON c.cx = p._x // {w} AND c.cy = p._y // {w}
+      WHERE c.n > {cap})""")
+    return ("WITH " + ",\n    ".join(ctes) + "\n    "
+            + "\n    UNION ALL ".join(sel))

@@ -381,3 +381,55 @@ def test_quadtree_leaves_invariants(spark):
     # shallow
     assert max(r.level for r in leaves if r.n > 1) >= 4
     assert min(r.level for r in leaves) <= 2
+
+
+def test_quadtree_assign_consistent_with_leaves(spark):
+    """Grouping the assignment by leaf reproduces the leaf table
+    exactly; every point is assigned exactly once."""
+    from aef_mosaic_spark.operators.quadtree import (quadtree_assign,
+                                                     quadtree_leaves)
+    pts = spark.createDataFrame(
+        [(i, 1000 + (i * 37) % 256, 2000 + (i * 91) % 256)
+         for i in range(500)]
+        + [(1000 + i, (i * 8191) % (1 << 17), (i * 12289) % (1 << 17))
+           for i in range(50)],
+        "id long, xm long, ym long")
+    asg = quadtree_assign(pts, cap=64, max_depth=6).collect()
+    assert len(asg) == 550
+    assert len({r.id for r in asg}) == 550
+    from collections import Counter
+    got = Counter((r.level, r.cx, r.cy) for r in asg)
+    exp = {(r.level, r.cx, r.cy): r.n
+           for r in quadtree_leaves(pts, cap=64, max_depth=6).collect()}
+    assert dict(got) == exp
+
+
+def test_seasonal_profile_hand_values(spark):
+    """Two types, planted hourly shape: exact micro-unit means,
+    seasonal index sums to ~0 over slots, anomaly counted."""
+    import datetime as dt
+    from aef_mosaic_spark.operators.anomaly import seasonal_profile
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # type A: value = 10 at hour 0, 30 at hour 1 (3 days each)
+    for d in range(3):
+        rows.append((dt.datetime(2024, 1, 1 + d, 0, 15), "A", 10.0))
+        rows.append((dt.datetime(2024, 1, 1 + d, 1, 15), "A", 30.0))
+    # one outlier in A hour 0 (value 400 -> residual > 200 units)
+    rows.append((dt.datetime(2024, 1, 4, 0, 15), "A", 400.0))
+    # type B flat
+    rows.append((base, "B", 5.0))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, "
+                                     "value double")
+    got = {(r.event_type, r.hour): r
+           for r in seasonal_profile(ev).collect()}
+    a0, a1 = got[("A", 0)], got[("A", 1)]
+    assert a0.n == 4 and a1.n == 3
+    assert a0.mean_u == (3 * 10 + 400) * 10**6 // 4    # 107.5 units
+    assert a1.mean_u == 30 * 10**6
+    tmean = (3 * 10 + 400 + 3 * 30) * 10**6 // 7
+    assert a0.seasonal_u == a0.mean_u - tmean
+    assert a1.seasonal_u == a1.mean_u - tmean
+    # |400 - 107.5| = 292.5 > 200 -> 1 anomaly; |10 - 107.5| < 200
+    assert a0.n_anom == 1 and a1.n_anom == 0
+    assert got[("B", 0)].seasonal_u == 0
