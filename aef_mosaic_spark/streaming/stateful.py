@@ -271,3 +271,48 @@ def streaming_stay_points(df: DataFrame, cell: int = 400,
     return df.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def streaming_hll_registers(df: DataFrame, key_col: str, value_col: str,
+                            p: int = 8) -> DataFrame:
+    """Streaming HLL distinct-count twin (functions/sketches.py law):
+    keyed state = the full 2^p register vector; each microbatch folds
+    arriving values in with register max and emits (key, n_seen,
+    regs).  Because register max is associative, commutative and
+    idempotent, the final streaming state equals the BATCH
+    hll_registers over the union of all arrivals REGISTER FOR
+    REGISTER, independent of batching and arrival order — the
+    strongest stream==batch reconciliation law in the repo (the
+    mosaic/cluster twins only match under their documented order
+    policies).  Python h32 (md5 hex prefix) matches h32_col exactly;
+    value_col must already be string (stringify upstream the same way
+    the batch side does)."""
+    import hashlib
+
+    m = 1 << p
+    nbits = 32 - p
+    mask = (1 << nbits) - 1
+    out_schema = f"{key_col} string, n_seen long, regs array<int>"
+    state_schema = "n_seen long, regs array<int>"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            n_seen, regs = state.get[0], list(state.get[1])
+        else:
+            n_seen, regs = 0, [0] * m
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                h = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                j = h >> nbits
+                low = h & mask
+                rho = nbits + 1 - low.bit_length() if low else nbits + 1
+                if rho > regs[j]:
+                    regs[j] = rho
+                n_seen += 1
+        state.update((n_seen, regs))
+        yield pd.DataFrame([{key_col: str(key[0]), "n_seen": n_seen,
+                             "regs": regs}])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)

@@ -307,3 +307,51 @@ def test_streaming_clusters_with_persisted_band_index(spark, tmp_path):
     assert idx == fresh
     # one bands snapshot per microbatch (append-only increments)
     assert len(bands_tbl.history()) >= 3
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    """Register max is associative+commutative+idempotent, so the
+    drained streaming HLL state must equal the batch sketch REGISTER
+    FOR REGISTER — and therefore give the identical estimate — for
+    any batching of the same arrivals (duplicates included)."""
+    from aef_mosaic_spark.functions.sketches import (hll_estimate,
+                                                     hll_registers)
+    from aef_mosaic_spark.streaming.stateful import streaming_hll_registers
+
+    rows = [(f"k{(i * 7) % 3}", f"v{i % 400}") for i in range(1000)]
+    batch = spark.createDataFrame(rows, "k string, v string")
+    want = {(r.k, r.j): r.r
+            for r in hll_registers(batch, ["k"], "v", p=8).collect()}
+    want_est = {r.k: r.approx_distinct
+                for r in hll_estimate(hll_registers(batch, ["k"], "v", p=8),
+                                      ["k"], p=8).collect()}
+
+    in_dir = str(tmp_path / "in")
+    batch.repartition(5).write.parquet(in_dir)     # multiple microbatches
+    stream = (spark.readStream.schema("k string, v string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (streaming_hll_registers(stream, "k", "v", p=8)
+         .writeStream.format("memory").queryName("hll_live")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows_out = spark.sql("""
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY k ORDER BY n_seen DESC) AS rk
+          FROM hll_live) WHERE rk = 1""").collect()
+    got = {}
+    for r in rows_out:
+        for j, reg in enumerate(r.regs):
+            if reg:
+                got[(r.k, j)] = reg
+    assert got == want
+    # same registers -> same estimate through the shared estimator
+    import pandas as pd
+    reg_rows = [{"k": k, "j": j, "r": v} for (k, j), v in got.items()]
+    est = {r.k: r.approx_distinct
+           for r in hll_estimate(
+               spark.createDataFrame(pd.DataFrame(reg_rows)),
+               ["k"], p=8).collect()}
+    assert est == want_est
