@@ -2317,6 +2317,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return seasonal_profile(_pq(spark, sf, "events"))
     q["q159_seasonal_profile"] = q159_seasonal_profile
 
+    def q160_woe_iv(spark, sf):
+        # weight-of-evidence / information-value binning (the
+        # scorecard classic): ONE bucket groupBy, totals derived from
+        # the checkpointed aggregate, single quantized ln per bucket
+        # on an exact O(1) integer ratio (q113/q122 micro-nat law)
+        # (functions/features.py)
+        from aef_mosaic_spark.functions.features import woe_iv
+        return woe_iv(_pq(spark, sf, "events"))
+    q["q160_woe_iv"] = q160_woe_iv
+
     return _driver_order(q)
 
 
@@ -3554,6 +3564,8 @@ def oracle_sql() -> dict[str, str]:
         dbscan_points_sql("orders"))
     from aef_mosaic_spark.operators.anomaly import seasonal_profile_sql
     o["q159_seasonal_profile"] = seasonal_profile_sql("events")
+    from aef_mosaic_spark.functions.features import woe_iv_sql
+    o["q160_woe_iv"] = woe_iv_sql("events")
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
     from aef_mosaic_spark.operators.trajectory import (

@@ -433,3 +433,27 @@ def test_seasonal_profile_hand_values(spark):
     # |400 - 107.5| = 292.5 > 200 -> 1 anomaly; |10 - 107.5| < 200
     assert a0.n_anom == 1 and a1.n_anom == 0
     assert got[("B", 0)].seasonal_u == 0
+
+
+def test_woe_iv_hand_math(spark):
+    """Two buckets with opposite class balance: exact smoothed
+    micro-nat WOE and IV contribution signs."""
+    import math
+    from aef_mosaic_spark.functions.features import woe_iv
+    rows = ([("purchase", 10.0)] * 30 + [("view", 10.0)] * 10
+            + [("purchase", 60.0)] * 5 + [("view", 60.0)] * 55)
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r.bucket: r for r in woe_iv(ev, bucket_width=50).collect()}
+    b0, b1 = got[0], got[1]
+    # smoothed: b0 pos 31 neg 11; b1 pos 6 neg 56; P 37 N 67
+    assert (b0.n_pos, b0.n_neg, b1.n_pos, b1.n_neg) == (31, 11, 6, 56)
+    P, N = 37, 67
+    w0 = math.floor(math.log((31 * N) / (11 * P)) * 1e6 + 0.5)
+    w1 = math.floor(math.log((6 * N) / (56 * P)) * 1e6 + 0.5)
+    assert b0.woe_micro == w0 and b1.woe_micro == w1
+    assert b0.woe_micro > 0 > b1.woe_micro
+    # iv contributions positive in both buckets (share gap * woe same
+    # sign), via the exact integer law
+    c0 = ((31 * 10**6 // P - 11 * 10**6 // N) * w0) // 10**6
+    assert b0.iv_contrib_micro == c0 and c0 > 0
+    assert b1.iv_contrib_micro > 0
