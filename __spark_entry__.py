@@ -2327,6 +2327,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return woe_iv(_pq(spark, sf, "events"))
     q["q160_woe_iv"] = q160_woe_iv
 
+    def q161_zipf_diagnostic(spark, sf):
+        # corpus Zipf slope: exact bit-length "logs" (q118 bucket
+        # law) + q115 integer OLS in centi-units — one token groupBy
+        # onto the vocab, rank window over vocab only, one agg
+        # (functions/drift.py)
+        from aef_mosaic_spark.functions.drift import zipf_slope
+        return zipf_slope(_pq(spark, sf, "documents"))
+    q["q161_zipf_diagnostic"] = q161_zipf_diagnostic
+
     return _driver_order(q)
 
 
@@ -3566,6 +3575,8 @@ def oracle_sql() -> dict[str, str]:
     o["q159_seasonal_profile"] = seasonal_profile_sql("events")
     from aef_mosaic_spark.functions.features import woe_iv_sql
     o["q160_woe_iv"] = woe_iv_sql("events")
+    from aef_mosaic_spark.functions.drift import zipf_slope_sql
+    o["q161_zipf_diagnostic"] = zipf_slope_sql("documents")
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
     from aef_mosaic_spark.operators.trajectory import (

@@ -243,3 +243,83 @@ def source_js_drift_sql(table: str = "documents",
            (kl_src_micro + kl_rest_micro + 1) // 2 AS jsd_micro
     FROM kl
     """
+
+
+# ------------------------------------------------------------------ #
+# Zipf rank-frequency diagnostic — integer OLS over log2 buckets      #
+# ------------------------------------------------------------------ #
+
+def zipf_slope(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus Zipf diagnostic -> ONE row (n_vocab, n_tokens,
+    slope_centi, intercept_centi): the OLS slope of log2(freq) vs
+    log2(rank) over the vocabulary.  Natural text sits near slope
+    -1 (Zipf 1949); a corpus drifting toward template/boilerplate
+    flattens the head, machine-generated spam fattens the tail —
+    the one-number companion to the q122 JS drift and q99 Gopher
+    battery.
+
+    Exactness law: both "logs" are the EXACT bit length
+    (length(bin(x)) - 1, the q118 bucket law — no float log
+    anywhere); the OLS is the q115 integer law in centi-units,
+    slope = 100*(n*Sxy - Sx*Sy) div (n*Sxx - Sx^2); intercept uses
+    the already-quantized slope: (100*Sy - slope*Sx) div n.
+    All sums fit BIGINT with huge margin (buckets <= 63).
+
+    Scale shape: ONE token groupBy onto the vocab table; the rank
+    window runs over the VOCAB (corpus-small, the q119 node-table
+    argument — swap in sampling.sharded_keyed_rank if the vocabulary
+    ever rivals the corpus); the OLS is a single agg over vocab
+    rows."""
+    from pyspark.sql import Window
+
+    vocab = (docs.select(F.explode(F.split(F.lower(F.trim(
+                 F.col(text_col))), r"\s+")).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f")))
+    rk = vocab.select(
+        "f",
+        F.row_number().over(Window.orderBy(F.desc("f"), "w"))
+        .cast("long").alias("rank"))
+    pts = rk.select(
+        F.expr("CAST(length(bin(rank)) - 1 AS BIGINT)").alias("x"),
+        F.expr("CAST(length(bin(f)) - 1 AS BIGINT)").alias("y"),
+        "f")
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.expr("CAST((100 * (count(1) * sum(x * y) - sum(x) * sum(y)))"
+               " div (count(1) * sum(x * x) - sum(x) * sum(x))"
+               " AS BIGINT)").alias("slope_centi"),
+        F.expr("CAST((100 * sum(y) - ((100 * (count(1) * sum(x * y)"
+               " - sum(x) * sum(y))) div (count(1) * sum(x * x)"
+               " - sum(x) * sum(x))) * sum(x)) div count(1) AS BIGINT)")
+        .alias("intercept_centi"))
+
+
+def zipf_slope_sql(table: str = "documents",
+                   text_col: str = "text") -> str:
+    """DuckDB twin of zipf_slope."""
+    return f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS f FROM (
+        SELECT unnest(string_split_regex(lower(trim({text_col})),
+                                         '\\s+')) AS w
+        FROM {table}) WHERE w <> '' GROUP BY w),
+    rk AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w)::BIGINT AS rank
+      FROM vocab),
+    pts AS (
+      SELECT (length(bin(rank)) - 1)::BIGINT AS x,
+             (length(bin(f)) - 1)::BIGINT AS y, f
+      FROM rk)
+    SELECT count(*)::BIGINT AS n_vocab,
+           sum(f)::BIGINT AS n_tokens,
+           ((100 * (count(*) * sum(x * y) - sum(x) * sum(y)))
+            // (count(*) * sum(x * x) - sum(x) * sum(x)))::BIGINT
+             AS slope_centi,
+           ((100 * sum(y)
+             - ((100 * (count(*) * sum(x * y) - sum(x) * sum(y)))
+                // (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+            // count(*))::BIGINT AS intercept_centi
+    FROM pts
+    """

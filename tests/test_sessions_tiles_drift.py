@@ -412,3 +412,28 @@ def test_temporal_change_threshold_monotone(spark):
     chunks.unpersist()
     assert set(lo) == set(hi)
     assert all(lo[k] >= hi[k] for k in lo)
+
+
+def test_zipf_slope_exact_law(spark):
+    """Hand corpus: frequencies 8/4/2/1 over 4 words -> exact
+    bit-length points and OLS slope from the integer law."""
+    from aef_mosaic_spark.functions.drift import zipf_slope
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_slope(docs).collect()[0]
+    assert r.n_vocab == 4 and r.n_tokens == 15
+    # points (x=bitlen(rank)-1, y=bitlen(f)-1):
+    #   rank1/f8 -> (0,3); rank2/f4 -> (1,2); rank3/f2 -> (1,1);
+    #   rank4/f1 -> (2,0)
+    xs, ys = [0, 1, 1, 2], [3, 2, 1, 0]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num, den = 100 * (n * sxy - sx * sy), n * sxx - sx * sx
+    exp_slope = int(num / den) if num * den > 0 else -(abs(num) // den)
+    # Spark div truncates toward zero
+    exp_slope = num // den if num % den == 0 else (
+        -((-num) // den) if num < 0 else num // den)
+    assert r.slope_centi == exp_slope
+    assert r.slope_centi < 0                     # decreasing, Zipf-like
