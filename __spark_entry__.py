@@ -2336,6 +2336,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zipf_slope(_pq(spark, sf, "documents"))
     q["q161_zipf_diagnostic"] = q161_zipf_diagnostic
 
+    def q162_zonal_majority(spark, sf):
+        # zonal MAJORITY (mode) — the categorical sibling of q61:
+        # same decode-once window-list plan, partials are per-(box,
+        # value) bincounts (<=256 rows per window, never per-pixel),
+        # merge = groupBy(box,val) sum -> struct-max, ties to the
+        # smallest value (operators/raster_vector.py)
+        from aef_mosaic_spark.operators.raster_vector import zonal_majority
+        grid = _flagship_grid()
+        chunks = spark.read.parquet(
+            f"{_FIXTURE_DIR}/golden_chunks_mean.parquet")
+        boxes = _pq(spark, sf, "supplier").selectExpr(
+            "s_suppkey AS box_id",
+            "CAST(s_suppkey % 2 AS INT) AS time_idx",
+            "499000e0 + (s_suppkey * 97) % 9600 AS min_x",
+            "4095000e0 + (s_suppkey * 61) % 9600 AS min_y",
+            "499000e0 + (s_suppkey * 97) % 9600 + 300e0 AS max_x",
+            "4095000e0 + (s_suppkey * 61) % 9600 + 300e0 AS max_y")
+        return zonal_majority(chunks, boxes, grid, band=0)
+    q["q162_zonal_majority"] = q162_zonal_majority
+
     return _driver_order(q)
 
 
@@ -3034,7 +3054,7 @@ def oracle_sql() -> dict[str, str]:
      AND i.row_idx = c.row_idx AND i.col_idx = c.col_idx
     """
 
-    o["q61_zonal_stats"] = f"""
+    _zonal_v = f"""
     WITH boxes AS (SELECT s_suppkey AS box_id,
                    (s_suppkey % 2)::INT AS time_idx,
                    499000e0 + (s_suppkey * 97) % 9600 AS min_x,
@@ -3070,10 +3090,29 @@ def oracle_sql() -> dict[str, str]:
            round(sum(val)::DOUBLE / count(*), 6) AS mean_value
     FROM v GROUP BY 1, 2
     """
+    o["q61_zonal_stats"] = _zonal_v
 
     # q69 = the forced-shuffle branch of the same operator: oracle
     # identical by construction
     o["q69_zonal_stats_shuffle"] = o["q61_zonal_stats"]
+
+    # q162 = the categorical sibling: same pixel-decode CTE chain, the
+    # final agg is per-value counts -> max count, ties to smallest val
+    _v_body = _zonal_v[:_zonal_v.rindex("SELECT box_id")]
+    o["q162_zonal_majority"] = _v_body + """
+    , mj AS (SELECT box_id, time_idx, val, count(*)::BIGINT AS cnt
+             FROM v GROUP BY 1, 2, 3),
+    mx AS (SELECT box_id, time_idx, max(cnt) AS mc,
+                  sum(cnt)::BIGINT AS n_px
+           FROM mj GROUP BY 1, 2)
+    SELECT m.box_id, m.time_idx,
+           min(m.val)::BIGINT AS majority_value,
+           min(x.mc)::BIGINT AS major_cnt,
+           min(x.n_px)::BIGINT AS n_px
+    FROM mj m JOIN mx x ON x.box_id = m.box_id
+     AND x.time_idx = m.time_idx AND m.cnt = x.mc
+    GROUP BY 1, 2
+    """
 
     # q73: connected components over q23's verified pair graph (subset
     # doc_id % 7 < 2), recursive min-label closure in SQL

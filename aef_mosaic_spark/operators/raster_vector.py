@@ -269,3 +269,95 @@ def rasterize_boxes(boxes: DataFrame, grid: OutputGrid,
     return b.groupBy("row_idx", "col_idx").applyInPandas(
         _burn, schema=("row_idx int, col_idx int, chunk binary, "
                        "n_boxes int, burned_px int"))
+
+
+def zonal_majority(chunks: DataFrame, boxes: DataFrame, grid: OutputGrid,
+                   band: int = 0, chunk_col: str = "chunk_bytes",
+                   broadcast: bool | str = "auto",
+                   broadcast_threshold: int = 1_000_000) -> DataFrame:
+    """Zonal MAJORITY (mode) of `band` per box ->
+    (box_id, time_idx, majority_value, major_cnt, n_px): the
+    categorical sibling of zonal_stats — the standard GIS "majority
+    class per zone" used on classified rasters (land-cover per
+    parcel).  Ties break to the SMALLEST pixel value (documented).
+
+    Plan: identical decode-once window-list shape as zonal_stats
+    (same join-strategy auto-branch); the partial emits per-(box,
+    value) bincounts (<= 256 rows per box-window, never per-pixel
+    rows), the merge is groupBy(box, value) sum -> groupBy(box)
+    struct-max — all associative, map-side combinable."""
+    import numpy as np
+    import pandas as pd
+
+    gx0, _, _, gy1 = grid.bounds
+    res, chh, chw = grid.resolution, grid.chunk_h, grid.chunk_w
+    nb = grid.num_bands
+
+    b = (boxes
+         .withColumn("_c0", F.greatest(F.floor((F.col("min_x") - gx0)
+                                               / (chw * res)), F.lit(0))
+                     .cast("int"))
+         .withColumn("_c1", F.least(F.ceil((F.col("max_x") - gx0)
+                                           / (chw * res)) - 1,
+                                    F.lit(grid.chunk_cols - 1)).cast("int"))
+         .withColumn("_r0", F.greatest(F.floor((gy1 - F.col("max_y"))
+                                               / (chh * res)), F.lit(0))
+                     .cast("int"))
+         .withColumn("_r1", F.least(F.ceil((gy1 - F.col("min_y"))
+                                           / (chh * res)) - 1,
+                                    F.lit(grid.chunk_rows - 1)).cast("int"))
+         .where((F.col("_c0") <= F.col("_c1"))
+                & (F.col("_r0") <= F.col("_r1")))
+         .withColumn("row_idx", F.explode(F.sequence("_r0", "_r1")))
+         .withColumn("col_idx", F.explode(F.sequence("_c0", "_c1")))
+         .drop("_c0", "_c1", "_r0", "_r1"))
+    grouped = b.groupBy("time_idx", "row_idx", "col_idx").agg(
+        F.collect_list(F.struct("box_id", "min_x", "min_y",
+                                "max_x", "max_y")).alias("blist"))
+    if broadcast == "auto":
+        broadcast = grouped.count() <= broadcast_threshold
+    left = F.broadcast(grouped) if broadcast else grouped
+    joined = left.join(
+        chunks.select("time_idx", "row_idx", "col_idx",
+                      F.col(chunk_col).alias("cbytes")),
+        ["time_idx", "row_idx", "col_idx"])
+
+    def _partial(it):
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.cbytes, np.uint8).reshape(nb, chh, chw)
+                for bx in t.blist:
+                    px0 = max(int(np.floor((bx["min_x"] - gx0) / res))
+                              - t.col_idx * chw, 0)
+                    px1 = min(int(np.ceil((bx["max_x"] - gx0) / res))
+                              - t.col_idx * chw, chw)
+                    py0 = max(int(np.floor((gy1 - bx["max_y"]) / res))
+                              - t.row_idx * chh, 0)
+                    py1 = min(int(np.ceil((gy1 - bx["min_y"]) / res))
+                              - t.row_idx * chh, chh)
+                    if px0 >= px1 or py0 >= py1:
+                        continue
+                    win = arr[band, py0:py1, px0:px1]
+                    bc = np.bincount(win.ravel(), minlength=256)
+                    nz = np.nonzero(bc)[0]
+                    for v in nz:
+                        rows.append({"box_id": bx["box_id"],
+                                     "time_idx": int(t.time_idx),
+                                     "val": int(v),
+                                     "cnt": int(bc[v])})
+            yield pd.DataFrame(rows, columns=["box_id", "time_idx",
+                                              "val", "cnt"])
+
+    partials = joined.mapInPandas(
+        _partial, schema="box_id long, time_idx int, val int, cnt long")
+    per_val = (partials.groupBy("box_id", "time_idx", "val")
+               .agg(F.sum("cnt").cast("long").alias("cnt")))
+    return (per_val.groupBy("box_id", "time_idx")
+            .agg(F.max(F.struct(F.col("cnt"),
+                                (-F.col("val")).alias("nv"))).alias("_m"),
+                 F.sum("cnt").cast("long").alias("n_px"))
+            .select("box_id", "time_idx",
+                    (-F.col("_m.nv")).cast("long").alias("majority_value"),
+                    F.col("_m.cnt").cast("long").alias("major_cnt"),
+                    "n_px"))

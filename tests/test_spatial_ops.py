@@ -692,3 +692,51 @@ def test_rasterize_boxes_matches_numpy_all_modes(spark):
     import pytest
     with pytest.raises(ValueError, match="mode"):
         rasterize_boxes(bdf, grid, mode="mean")
+
+
+def test_zonal_majority_python_reference(spark):
+    """zonal_majority vs a per-pixel Python mode (smallest value on
+    ties) over boxes spanning chunk borders; branches agree."""
+    import numpy as np
+    from collections import Counter
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators.raster_vector import zonal_majority
+
+    grid = OutputGrid(bounds=(499000.0, 4095000.0, 509240.0, 4105240.0),
+                      crs="EPSG:32610", resolution=10.0, years=(2023, 2024),
+                      num_bands=3, chunk_h=256, chunk_w=256)
+    chunks_df = spark.read.parquet("fixtures/golden_chunks_mean.parquet")
+    boxes = spark.createDataFrame([
+        {"box_id": i, "time_idx": i % 2,
+         "min_x": 499000.0 + (i * 700) % 9000,
+         "min_y": 4095000.0 + (i * 450) % 9000,
+         "max_x": 499000.0 + (i * 700) % 9000 + 2800.0,
+         "max_y": 4095000.0 + (i * 450) % 9000 + 2800.0}
+        for i in range(12)])
+    got = {(r.box_id, r.time_idx): (r.majority_value, r.major_cnt, r.n_px)
+           for r in zonal_majority(chunks_df, boxes, grid, band=0).collect()}
+    sh = {(r.box_id, r.time_idx): (r.majority_value, r.major_cnt, r.n_px)
+          for r in zonal_majority(chunks_df, boxes, grid, band=0,
+                                  broadcast=False).collect()}
+    assert got == sh and got
+    # python reference: stitch pixel values per box from raw chunks
+    raw = {(r.time_idx, r.row_idx, r.col_idx):
+           np.frombuffer(r.chunk_bytes, np.uint8).reshape(3, 256, 256)
+           for r in chunks_df.collect()}
+    for b in boxes.collect():
+        cnt = Counter()
+        px0 = int(np.floor((b.min_x - 499000.0) / 10.0))
+        px1 = int(np.ceil((b.max_x - 499000.0) / 10.0))
+        py0 = int(np.floor((4105240.0 - b.max_y) / 10.0))
+        py1 = int(np.ceil((4105240.0 - b.min_y) / 10.0))
+        for gy in range(max(py0, 0), py1):
+            for gx in range(max(px0, 0), px1):
+                key = (b.time_idx, gy // 256, gx // 256)
+                if key in raw:
+                    cnt[int(raw[key][0, gy % 256, gx % 256])] += 1
+        if not cnt:
+            assert (b.box_id, b.time_idx) not in got
+            continue
+        mc = max(cnt.values())
+        maj = min(v for v, c in cnt.items() if c == mc)
+        assert got[(b.box_id, b.time_idx)] == (maj, mc, sum(cnt.values()))
