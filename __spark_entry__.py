@@ -2356,6 +2356,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zonal_majority(chunks, boxes, grid, band=0)
     q["q162_zonal_majority"] = q162_zonal_majority
 
+    def q163_table_diff(spark, sf):
+        # row-level snapshot diff (insert/delete/update): ONE full
+        # outer key join, null-safe compares, unchanged rows emit
+        # nothing; planted mutations — %97 deleted, %31 repriced,
+        # %53 cloned to a new key (operators/diff.py)
+        from aef_mosaic_spark.operators.diff import table_diff
+        old = _pq(spark, sf, "orders").selectExpr(
+            "o_orderkey",
+            "CAST(floor(o_totalprice * 100 + 0.5e0) AS BIGINT) AS price_c")
+        upd = old.where("o_orderkey % 97 != 0").selectExpr(
+            "o_orderkey",
+            "price_c + CASE WHEN o_orderkey % 31 = 0 THEN 500 ELSE 0 END"
+            " AS price_c")
+        ins = old.where("o_orderkey % 53 = 0").selectExpr(
+            "o_orderkey + 900000000 AS o_orderkey", "price_c")
+        return table_diff(old, upd.unionByName(ins), ["o_orderkey"],
+                          ["price_c"])
+    q["q163_table_diff"] = q163_table_diff
+
+    def q164_weighted_sssp(spark, sf):
+        # T-round Bellman-Ford: the q151 min-propagation with integer
+        # edge weights w = 1 + h32 % 9 — exact for every node whose
+        # shortest path has <= T edges (operators/graph.py)
+        from aef_mosaic_spark.operators.graph import (BFS_SEED_MOD,
+                                                      customer_edges,
+                                                      hop_distance)
+        from aef_mosaic_spark.functions.hashes import h32_col
+        e = customer_edges(_pq(spark, sf, "orders"),
+                           _pq(spark, sf, "customer"))
+        ew = e.withColumn(
+            "w", 1 + h32_col(F.concat(F.lit("w"),
+                                      F.col("a").cast("string"),
+                                      F.lit("_"),
+                                      F.col("b").cast("string"))) % 9)
+        nodes = (e.select(F.col("a").alias("node"))
+                 .unionByName(e.select(F.col("b").alias("node")))
+                 .distinct())
+        seeds = nodes.where(F.col("node") % BFS_SEED_MOD == 0)
+        return hop_distance(ew, seeds, weight_col="w")
+    q["q164_weighted_sssp"] = q164_weighted_sssp
+
     return _driver_order(q)
 
 
@@ -3616,6 +3657,18 @@ def oracle_sql() -> dict[str, str]:
     o["q160_woe_iv"] = woe_iv_sql("events")
     from aef_mosaic_spark.functions.drift import zipf_slope_sql
     o["q161_zipf_diagnostic"] = zipf_slope_sql("documents")
+    from aef_mosaic_spark.operators.diff import table_diff_sql
+    _diff_old = ("SELECT o_orderkey, CAST(floor(o_totalprice * 100"
+                 " + 0.5e0) AS BIGINT) AS price_c FROM orders")
+    _diff_new = (f"SELECT o_orderkey, price_c + CASE WHEN o_orderkey % 31"
+                 f" = 0 THEN 500 ELSE 0 END AS price_c FROM ({_diff_old})"
+                 f" WHERE o_orderkey % 97 != 0"
+                 f" UNION ALL SELECT o_orderkey + 900000000, price_c"
+                 f" FROM ({_diff_old}) WHERE o_orderkey % 53 = 0")
+    o["q163_table_diff"] = table_diff_sql(_diff_old, _diff_new,
+                                          ["o_orderkey"], ["price_c"])
+    from aef_mosaic_spark.operators.graph import customer_sssp_sql
+    o["q164_weighted_sssp"] = customer_sssp_sql("orders", "customer")
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
     from aef_mosaic_spark.operators.trajectory import (

@@ -410,7 +410,8 @@ BFS_SEED_MOD = 41
 
 
 def hop_distance(edges: DataFrame, seeds: DataFrame,
-                 iters: int = BFS_ITERS) -> DataFrame:
+                 iters: int = BFS_ITERS,
+                 weight_col: str | None = None) -> DataFrame:
     """T-round multi-source BFS over an undirected canonical (a < b)
     edge table -> (node, dist): the hop distance from every reached
     node to its nearest seed (unreached nodes emit no row).  The
@@ -430,16 +431,26 @@ def hop_distance(edges: DataFrame, seeds: DataFrame,
     groupBy(node) min — the textbook distributed BFS (Pregel's hello
     world).  localCheckpoint per round cuts join lineage exactly like
     connected_components (operators/dedup.py); at true scale replace
-    the fixed T with a convergence count() probe."""
-    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    the fixed T with a convergence count() probe.
+
+    weight_col: when given, edges carry a positive integer weight and
+    the recursion is dist(v) = min(dist(v), dist(u) + w(u,v)) — T
+    rounds of Bellman-Ford, exact for every node whose shortest path
+    has <= T edges (same fixed-T determinism law; the unweighted form
+    is the w == 1 special case)."""
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                        w.alias("w"))
            .unionByName(
-               edges.select(F.col("b").alias("u"), F.col("a").alias("v"))))
+               edges.select(F.col("b").alias("u"), F.col("a").alias("v"),
+                            w.alias("w"))))
     dist = seeds.select("node").distinct() \
         .withColumn("dist", F.lit(0).cast("long"))
     for _ in range(iters):
         hop = (dist.join(sym, dist.node == sym.u)
                .select(F.col("v").alias("node"),
-                       (F.col("dist") + 1).alias("dist")))
+                       (F.col("dist") + F.col("w")).alias("dist")))
         dist = (dist.unionByName(hop)
                 .groupBy("node")
                 .agg(F.min("dist").cast("long").alias("dist"))
@@ -558,3 +569,39 @@ def customer_lpa_sql(orders: str = "orders", customer: str = "customer",
       GROUP BY c.v)""")
     return ("WITH " + ",\n    ".join(ctes)
             + f"\n    SELECT node, label FROM l{iters}")
+
+
+def customer_sssp_sql(orders: str = "orders",
+                      customer: str = "customer",
+                      iters: int = BFS_ITERS,
+                      seed_mod: int = BFS_SEED_MOD) -> str:
+    """DuckDB twin of the WEIGHTED hop_distance (T-round
+    Bellman-Ford) over customer_edges with w = 1 + h32('w'|a|'_'|b)
+    % 9 — same unrolled-CTE shape as the unweighted twin."""
+    h = h32_sql("'t' || o_orderkey::VARCHAR")
+    hw = h32_sql("'w' || a::VARCHAR || '_' || b::VARCHAR")
+    ctes = [f"""raw AS MATERIALIZED (
+      SELECT o_custkey AS u,
+             {h} % (SELECT count(*) FROM {customer}) AS v
+      FROM {orders}),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM raw WHERE u <> v),
+    ew AS MATERIALIZED (
+      SELECT a, b, (1 + {hw} % 9)::BIGINT AS w FROM e0),
+    sym AS MATERIALIZED (
+      SELECT a AS u, b AS v, w FROM ew
+      UNION ALL SELECT b, a, w FROM ew),
+    d0 AS MATERIALIZED (
+      SELECT node, 0::BIGINT AS dist FROM (
+        SELECT DISTINCT u AS node FROM sym) WHERE node % {seed_mod} = 0)"""]
+    for i in range(iters):
+        ctes.append(f"""d{i + 1} AS MATERIALIZED (
+      SELECT node, min(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT s.v AS node, d.dist + s.w AS dist
+        FROM d{i} d JOIN sym s ON s.u = d.node)
+      GROUP BY node)""")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT node, dist FROM d{iters}")

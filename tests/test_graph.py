@@ -88,3 +88,21 @@ def test_label_propagation_two_cliques(spark):
     assert {got[n] for n in (1, 2, 3)} == {1}
     assert {got[n] for n in (11, 12, 13)} == {10}
     assert len({got[1], got[11]}) == 2          # communities distinct
+
+
+def test_weighted_sssp_bellman_ford(spark):
+    """Weighted min-propagation: the heavy direct edge loses to the
+    lighter two-hop path once T allows it."""
+    from aef_mosaic_spark.operators.graph import hop_distance
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 2), (3, 2, 3), (2, 4, 1)],
+        "a long, b long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    d1 = {r.node: r.dist
+          for r in hop_distance(edges, seeds, iters=1,
+                                weight_col="w").collect()}
+    assert d1[2] == 10 and d1[3] == 2          # direct edges only
+    d3 = {r.node: r.dist
+          for r in hop_distance(edges, seeds, iters=3,
+                                weight_col="w").collect()}
+    assert d3 == {1: 0, 3: 2, 2: 5, 4: 6}      # 1-3-2 beats 1-2

@@ -457,3 +457,20 @@ def test_woe_iv_hand_math(spark):
     c0 = ((31 * 10**6 // P - 11 * 10**6 // N) * w0) // 10**6
     assert b0.iv_contrib_micro == c0 and c0 > 0
     assert b1.iv_contrib_micro > 0
+
+
+def test_table_diff_classifies(spark):
+    """Hand snapshots: classification and the empty-diff identity."""
+    from aef_mosaic_spark.operators.diff import table_diff
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, None, "d")],
+        "k long, v long, s string")
+    new = spark.createDataFrame(
+        [(1, 10, "a"), (2, 25, "b"), (4, None, "d"), (5, 50, "e")],
+        "k long, v long, s string")
+    got = {r.k: r.change
+           for r in table_diff(old, new, ["k"], ["v", "s"]).collect()}
+    # 1 unchanged (absent), 2 updated, 3 deleted, 4 unchanged despite
+    # NULL v (null-safe compare), 5 inserted
+    assert got == {2: "update", 3: "delete", 5: "insert"}
+    assert table_diff(old, old, ["k"], ["v", "s"]).count() == 0
