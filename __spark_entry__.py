@@ -2397,6 +2397,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hop_distance(ew, seeds, weight_col="w")
     q["q164_weighted_sssp"] = q164_weighted_sssp
 
+    def q165_geohash_keys(spark, sf):
+        # base-32 geohash cell keys (Niemeyer): microdegree integer
+        # quantization -> pure integer shift/interleave -> unrolled
+        # substr char lookup; zero-exchange, rides the scan — the
+        # third key family beside H3-style cells and z/x/y+morton
+        # (functions/tiles.py)
+        from aef_mosaic_spark.functions.tiles import with_geohash
+        return with_geohash(_points(spark, sf)) \
+            .select(F.col("point_id").alias("id"), "gx", "gy", "gh",
+                    "geohash")
+    q["q165_geohash_keys"] = q165_geohash_keys
+
     return _driver_order(q)
 
 
@@ -3669,6 +3681,9 @@ def oracle_sql() -> dict[str, str]:
                                           ["o_orderkey"], ["price_c"])
     from aef_mosaic_spark.operators.graph import customer_sssp_sql
     o["q164_weighted_sssp"] = customer_sssp_sql("orders", "customer")
+    from aef_mosaic_spark.functions.tiles import geohash_sql
+    o["q165_geohash_keys"] = geohash_sql(
+        f"({POINT_SQL})", "point_id", "lon", "lat")
     from aef_mosaic_spark.operators.skyline import part_skyline_sql
     o["q152_pareto_skyline"] = part_skyline_sql("part")
     from aef_mosaic_spark.operators.trajectory import (

@@ -195,3 +195,92 @@ def tile_keys_sql(table: str, id_col: str, lon_sql: str, lat_sql: str,
     SELECT {id_col}, tile_x, tile_y, ({e['morton']})::BIGINT AS morton
     FROM t
     """
+
+
+# ------------------------------------------------------------------ #
+# Geohash — base-32 interleaved cell keys (Niemeyer 2008)             #
+# ------------------------------------------------------------------ #
+
+GEOHASH_PRECISION = 6
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _ghexprs(lon_sql: str, lat_sql: str, precision: int,
+             dialect: str) -> dict[str, str]:
+    """gx / gy / gh (integer) / geohash (string) SQL for one dialect.
+    Same exactness recipe as the tile keys: micro-degree integer
+    quantization FIRST, then pure integer shift/divide — no float
+    survives past the quantizer.  gx gets ceil(5p/2) bits, gy the
+    rest (lon first, the geohash law); gh is the MSB-first
+    interleave; the string is p unrolled base-32 substr lookups."""
+    total = 5 * precision
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    if dialect == "spark":
+        def idiv(a, b):
+            return f"(({a}) div {b})"
+        def shl(a, k):
+            return f"shiftleft({a}, {k})"
+        def shr(a, k):
+            return f"shiftright({a}, {k})"
+        ilon = f"CAST(floor(({lon_sql}) * 1000000 + 0.5d) AS BIGINT)"
+        ilat = f"CAST(floor(({lat_sql}) * 1000000 + 0.5d) AS BIGINT)"
+    elif dialect == "duckdb":
+        def idiv(a, b):
+            return f"(({a}) // {b})"
+        def shl(a, k):
+            return f"(({a}) << {k})"
+        def shr(a, k):
+            return f"(({a}) >> {k})"
+        ilon = f"(floor(({lon_sql}) * 1000000 + 0.5e0))::BIGINT"
+        ilat = f"(floor(({lat_sql}) * 1000000 + 0.5e0))::BIGINT"
+    else:
+        raise ValueError(dialect)
+
+    gx = (f"least({idiv(f'({ilon} + 180000000) * {1 << nlon}', 360000000)}"
+          f", {(1 << nlon) - 1})")
+    gy = (f"least({idiv(f'({ilat} + 90000000) * {1 << nlat}', 180000000)}"
+          f", {(1 << nlat) - 1})")
+    terms = []
+    for t in range(total):
+        if t % 2 == 0:
+            j = nlon - 1 - t // 2
+            bit = f"({shr('gx', j)}) & 1"
+        else:
+            j = nlat - 1 - (t - 1) // 2
+            bit = f"({shr('gy', j)}) & 1"
+        terms.append(shl(bit, total - 1 - t))
+    gh = " + ".join(terms)
+    chars = [f"substr('{GEOHASH_B32}', "
+             f"CAST(({shr('gh', 5 * (precision - 1 - k))}) & 31 AS INT)"
+             f" + 1, 1)" for k in range(precision)]
+    geohash = ("concat(" + ", ".join(chars) + ")") if dialect == "spark" \
+        else (" || ".join(chars))
+    return {"gx": gx, "gy": gy, "gh": gh, "geohash": geohash}
+
+
+def with_geohash(df, lon_col: str = "lon", lat_col: str = "lat",
+                 precision: int = GEOHASH_PRECISION):
+    """Adds gx, gy, then gh (long) and geohash (string) — three
+    projections so each generated expression references MATERIALIZED
+    inputs (repo law: no CSE assumptions inside generated exprs).
+    Zero exchange, zero UDF — rides the scan like the tile keys."""
+    e = _ghexprs(lon_col, lat_col, precision, "spark")
+    out = df.withColumn("gx", F.expr(e["gx"]).cast("long")) \
+            .withColumn("gy", F.expr(e["gy"]).cast("long"))
+    out = out.withColumn("gh", F.expr(e["gh"]).cast("long"))
+    return out.withColumn("geohash", F.expr(e["geohash"]))
+
+
+def geohash_sql(table: str, id_col: str, lon_sql: str, lat_sql: str,
+                precision: int = GEOHASH_PRECISION) -> str:
+    """DuckDB twin of with_geohash (projection chain via CTEs)."""
+    e = _ghexprs("lon", "lat", precision, "duckdb")
+    return f"""
+    WITH src AS (SELECT {id_col} AS id, {lon_sql} AS lon,
+                        {lat_sql} AS lat FROM {table}),
+    g1 AS (SELECT id, ({e['gx']})::BIGINT AS gx,
+                  ({e['gy']})::BIGINT AS gy FROM src),
+    g2 AS (SELECT id, gx, gy, ({e['gh']})::BIGINT AS gh FROM g1)
+    SELECT id, gx, gy, gh, {e['geohash']} AS geohash FROM g2
+    """

@@ -437,3 +437,40 @@ def test_zipf_slope_exact_law(spark):
         -((-num) // den) if num < 0 else num // den)
     assert r.slope_centi == exp_slope
     assert r.slope_centi < 0                     # decreasing, Zipf-like
+
+
+def test_geohash_matches_reference(spark):
+    """with_geohash vs the textbook bisection algorithm on classic
+    published examples + hash-spread points (away from cell
+    boundaries, where the microdegree quantizer is exact)."""
+    from aef_mosaic_spark.functions.tiles import (GEOHASH_B32,
+                                                  with_geohash)
+
+    def ref_geohash(lat, lon, precision):
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        bits, out, even = 0, [], True
+        ch = 0
+        for _ in range(precision * 5):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                ch = ch * 2 + (1 if lon >= mid else 0)
+                lon_lo, lon_hi = (mid, lon_hi) if lon >= mid else (lon_lo, mid)
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                ch = ch * 2 + (1 if lat >= mid else 0)
+                lat_lo, lat_hi = (mid, lat_hi) if lat >= mid else (lat_lo, mid)
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(GEOHASH_B32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    pts = [(1, -5.603, 42.605),               # classic ezs42 example
+           (2, 10.40744, 57.64911),           # u4pruy...
+           (3, 0.1, 0.1), (4, -179.9, -84.3), (5, 139.7004, 35.6581)]
+    df = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    got = {r.point_id: r.geohash for r in with_geohash(df).collect()}
+    for pid, lon, lat in pts:
+        assert got[pid] == ref_geohash(lat, lon, 6), (pid, got[pid])
+    assert got[1].startswith("ezs42")
