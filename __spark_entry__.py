@@ -2409,6 +2409,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "geohash")
     q["q165_geohash_keys"] = q165_geohash_keys
 
+    def q166_contour_segments(spark, sf):
+        # marching-squares iso-contour (raster->vector, the q105
+        # rasterize inverse): r=1 halo strips give every 2x2 cell its
+        # right/bottom neighbors; exact integer 1/256-subpixel edge
+        # interpolation, fixed saddle rule. Pinned fixture; golden ==
+        # same kernel on the stitched raster (operators/focal.py)
+        from aef_mosaic_spark.operators.focal import contour_segments
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return contour_segments(chunks, grid, level=128, band=0)
+    q["q166_contour_segments"] = q166_contour_segments
+
     return _driver_order(q)
 
 
@@ -3436,7 +3449,8 @@ def oracle_sql() -> dict[str, str]:
                    "q109_histogram_stretch", "q112_terrain",
                    "q115_temporal_trend", "q116_aspect",
                    "q146_d8_flow", "q148_flow_accumulation",
-                   "q149_focal_median", "q150_distance_transform"):
+                   "q149_focal_median", "q150_distance_transform",
+                   "q166_contour_segments"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

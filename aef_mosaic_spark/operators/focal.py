@@ -678,3 +678,170 @@ def expand_neighbor_keys(keys: DataFrame, grid: OutputGrid,
                    & (F.col("col_idx") >= 0)
                    & (F.col("col_idx") < grid.chunk_cols))
             .distinct())
+
+
+# ------------------------------------------------------------------ #
+# Contour extraction — marching squares with exact sub-pixel interp   #
+# ------------------------------------------------------------------ #
+
+CONTOUR_LEVEL = 128
+CONTOUR_SUBPIX = 256     # endpoint coords in 1/256-pixel integer units
+
+# case -> list of (edge_from, edge_to) segments; edges 0=top 1=right
+# 2=bottom 3=left of the 2x2 cell; corners tl=1 tr=2 br=4 bl=8.
+# Saddles (5, 10) use the FIXED standard resolution (no center
+# sampling) — deterministic, documented.
+_MS_CASES = {
+    1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+    5: [(3, 0), (1, 2)], 6: [(0, 2)], 7: [(3, 2)], 8: [(2, 3)],
+    9: [(2, 0)], 10: [(0, 1), (2, 3)], 11: [(2, 1)], 12: [(1, 3)],
+    13: [(1, 0)], 14: [(0, 3)],
+}
+
+_SEG_SCHEMA = ("time_idx int, x1q long, y1q long, x2q long, y2q long")
+
+
+def _ms_segments_np(pad: np.ndarray, level: int, gx0: int, gy0: int,
+                    n_y: int, n_x: int) -> list:
+    """Marching-squares segments for cells whose top-left corner is
+    pad[1 + y, 1 + x], y in [0, n_y), x in [0, n_x); endpoint coords
+    are GLOBAL integer sub-pixel units (pixel * 256 + t) with the
+    exact-integer edge interpolation t = ((level - a) * 256) div
+    (b - a).  Returns [(x1q, y1q, x2q, y2q), ...]."""
+    S = CONTOUR_SUBPIX
+    v = pad.astype(np.int64)
+    tl = v[1:1 + n_y, 1:1 + n_x]
+    tr = v[1:1 + n_y, 2:2 + n_x]
+    bl = v[2:2 + n_y, 1:1 + n_x]
+    br = v[2:2 + n_y, 2:2 + n_x]
+    case = ((tl >= level) * 1 + (tr >= level) * 2
+            + (br >= level) * 4 + (bl >= level) * 8)
+
+    def interp(a, b):
+        d = b - a
+        d = np.where(d == 0, 1, d)       # never hit when mask differs
+        t = (level - a) * S // d
+        return t
+
+    segs = []
+    ys, xs = np.nonzero((case > 0) & (case < 15))
+    if len(ys) == 0:
+        return segs
+    c = case[ys, xs]
+    a_tl, a_tr = tl[ys, xs], tr[ys, xs]
+    a_bl, a_br = bl[ys, xs], br[ys, xs]
+    gx = (gx0 + xs) * S
+    gy = (gy0 + ys) * S
+
+    def edge_pt(e):
+        # -> (xq, yq) arrays for edge e of every selected cell
+        if e == 0:        # top: between tl, tr
+            return gx + interp(a_tl, a_tr), gy
+        if e == 1:        # right: between tr, br
+            return gx + S, gy + interp(a_tr, a_br)
+        if e == 2:        # bottom: between bl, br
+            return gx + interp(a_bl, a_br), gy + S
+        return gx, gy + interp(a_tl, a_bl)   # left: tl, bl
+
+    for case_val, edge_pairs in _MS_CASES.items():
+        sel = c == case_val
+        if not sel.any():
+            continue
+        for e_from, e_to in edge_pairs:
+            x1, y1 = edge_pt(e_from)
+            x2, y2 = edge_pt(e_to)
+            segs.extend(zip(x1[sel].tolist(), y1[sel].tolist(),
+                            x2[sel].tolist(), y2[sel].tolist()))
+    return segs
+
+
+def contour_segments(chunks: DataFrame, grid: OutputGrid,
+                     level: int = CONTOUR_LEVEL, band: int = 0,
+                     chunk_col: str = "chunk") -> DataFrame:
+    """Marching-squares iso-contour of `band` at `level` ->
+    (time_idx, x1q, y1q, x2q, y2q): one row per cell segment, endpoint
+    coordinates in global 1/256-pixel integer units — raster to
+    vector, the q105 rasterize inverse.  All-integer (exact edge
+    interpolation in 1/256 sub-pixel steps), so distributed ==
+    stitched-golden bit-for-bit; fixed saddle rule, zero padding
+    beyond the raster closes contours along the edge (golden twin
+    pads the same way).
+
+    Scale shape: the q106 halo exchange at r=1 ships only edge strips
+    so every 2x2 cell sees its right/bottom neighbors; per chunk the
+    kernel is vectorized numpy over the case table; output is the
+    segment set, grouped nowhere (downstream polygonization is a
+    CC-style stitch, the q136 machinery)."""
+    import pandas as pd
+
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+    if not (0 <= band < nb):
+        raise ValueError(f"band must be in [0, {nb})")
+
+    src = chunks.select("time_idx", "row_idx", "col_idx",
+                        F.col(chunk_col).alias("chunk"))
+
+    part_schema = ("time_idx int, row_idx int, col_idx int, "
+                   "sy int, sx int, part binary")
+
+    def _emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                ti, ri, ci = int(t.time_idx), int(t.row_idx), int(t.col_idx)
+                arr = np.frombuffer(t.chunk, np.uint8).reshape(
+                    nb, chh, chw)[band]
+                rows.append((ti, ri, ci, 0, 0, arr.tobytes()))
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy == 0 and dx == 0:
+                            continue
+                        nr, nc = ri + dy, ci + dx
+                        if not (0 <= nr < grid.chunk_rows
+                                and 0 <= nc < grid.chunk_cols):
+                            continue
+                        ys = (slice(chh - 1, chh) if dy == 1 else
+                              slice(0, 1) if dy == -1 else slice(0, chh))
+                        xs = (slice(chw - 1, chw) if dx == 1 else
+                              slice(0, 1) if dx == -1 else slice(0, chw))
+                        strip = np.ascontiguousarray(arr[ys, xs])
+                        rows.append((ti, nr, nc, -dy, -dx, strip.tobytes()))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "sy", "sx", "part"])
+
+    parts = src.mapInPandas(_emit, schema=part_schema)
+
+    def _cells(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not ((pdf["sy"] == 0) & (pdf["sx"] == 0)).any():
+            return pd.DataFrame(columns=["time_idx", "x1q", "y1q",
+                                         "x2q", "y2q"])
+        pad = np.zeros((chh + 2, chw + 2), np.uint8)
+        for t in pdf.itertuples(index=False):
+            sy, sx = int(t.sy), int(t.sx)
+            ph = 1 if sy != 0 else chh
+            pw = 1 if sx != 0 else chw
+            arr = np.frombuffer(t.part, np.uint8).reshape(ph, pw)
+            py = 0 if sy == -1 else 1 if sy == 0 else 1 + chh
+            px = 0 if sx == -1 else 1 if sx == 0 else 1 + chw
+            pad[py:py + ph, px:px + pw] = arr
+        ri = int(pdf["row_idx"].iloc[0])
+        ci = int(pdf["col_idx"].iloc[0])
+        segs = _ms_segments_np(pad, level, ci * chw, ri * chh, chh, chw)
+        ti = int(pdf["time_idx"].iloc[0])
+        return pd.DataFrame(
+            [(ti, *s) for s in segs],
+            columns=["time_idx", "x1q", "y1q", "x2q", "y2q"])
+
+    return parts.groupBy("time_idx", "row_idx", "col_idx").applyInPandas(
+        _cells, schema=_SEG_SCHEMA)
+
+
+def contour_oracle_np(canvas2d: np.ndarray,
+                      level: int = CONTOUR_LEVEL) -> set:
+    """Golden twin on the full stitched single-band raster: zero-pad
+    one pixel on every side (cells beyond the edge see 0, matching
+    the distributed border law) and run the SAME kernel."""
+    H, W = canvas2d.shape
+    pad = np.zeros((H + 2, W + 2), np.uint8)
+    pad[1:1 + H, 1:1 + W] = canvas2d
+    return set(_ms_segments_np(pad, level, 0, 0, H, W))

@@ -29,7 +29,8 @@ PINNED = ["q30_mosaic_chunks", "q31_mosaic_last_on_top",
           "q115_temporal_trend", "q116_aspect", "q123_temporal_change",
           "q127_image_stats", "q136_region_labels",
           "q141_cluster_hulls", "q146_d8_flow", "q148_flow_accumulation",
-          "q149_focal_median", "q150_distance_transform"]
+          "q149_focal_median", "q150_distance_transform",
+          "q166_contour_segments"]
 FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 

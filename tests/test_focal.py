@@ -436,3 +436,39 @@ def test_distance_transform_analytic():
     # no feature anywhere -> all saturated
     blank = np.zeros((1, 8, 8), np.uint8)
     assert (disttrans_oracle_np(blank, iters=3) == 255).all()
+
+
+def test_contour_segments_match_stitched_golden(spark, grid):
+    """Distributed marching squares == the same kernel on the
+    stitched raster — set equality of global sub-pixel segments."""
+    from aef_mosaic_spark.operators.focal import (contour_oracle_np,
+                                                  contour_segments)
+    rows, canvas = _make_chunks(sparse=False)
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    want = contour_oracle_np(canvas[0], level=128)
+    got = {(r.x1q, r.y1q, r.x2q, r.y2q)
+           for r in contour_segments(sdf, grid, level=128,
+                                     band=0).collect()}
+    assert got == want and got
+
+
+def test_contour_square_analytic():
+    """A filled value-200 square on 0 background at level 128: the
+    contour is a single closed ring (every endpoint appears exactly
+    twice) crossing each boundary edge at the exact interpolated
+    sub-pixel t = (128 * 256) // 200."""
+    from collections import Counter
+    from aef_mosaic_spark.operators.focal import contour_oracle_np
+    img = np.zeros((12, 12), np.uint8)
+    img[4:8, 4:8] = 200
+    segs = contour_oracle_np(img, level=128)
+    assert segs
+    pts = Counter()
+    for x1, y1, x2, y2 in segs:
+        pts[(x1, y1)] += 1
+        pts[(x2, y2)] += 1
+    assert all(c == 2 for c in pts.values())        # one closed loop
+    t = (128 * 256) // 200
+    # left boundary crossing between x=3 (0) and x=4 (200):
+    # t measured from the 0 corner -> global xq = 3*256 + t
+    assert any(x in (3 * 256 + t,) for (x, y) in pts)
