@@ -35,7 +35,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change",
-          "regions", "flowacc", "disttrans")
+          "regions", "flowacc", "disttrans", "contour")
 
 
 def main(argv=None):
@@ -187,6 +187,13 @@ def main(argv=None):
         out_df = assemble_regions(frags_t.read(spark),
                                   min_pixels=args.min_pixels)
         partition_by = None
+    elif args.stage == "contour":
+        # vector OUTPUT stage (like regions): the segment table
+        from aef_mosaic_spark.operators.focal import contour_segments
+        out_df = contour_segments(chunks, grid, level=args.threshold,
+                                  band=args.band, chunk_col="chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(level=args.threshold, band=args.band)
     elif args.stage == "stretch":
         from aef_mosaic_spark.operators.focal import histogram_stretch
         out_df = histogram_stretch(chunks, grid, p_low=args.p_low,
