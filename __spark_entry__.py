@@ -2422,6 +2422,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return contour_segments(chunks, grid, level=128, band=0)
     q["q166_contour_segments"] = q166_contour_segments
 
+    def q167_morans_i(spark, sf):
+        # global Moran's I spatial autocorrelation at 3 nested lattice
+        # scales (queen 8-neighbor weights over occupied cells; coarse
+        # lattices derive from the checkpointed finest — one corpus
+        # scan). All-integer num/den/S0, one quantized double ratio
+        # (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import morans_i
+        return morans_i(_points(spark, sf))
+    q["q167_morans_i"] = q167_morans_i
+
+    def q168_getis_ord(spark, sf):
+        # local Getis-Ord Gi* hotspot z-score per occupied cell
+        # (self-inclusive 9-neighborhood); numerator/denominator both
+        # scaled by n^2 so every intermediate is BIGINT, one
+        # correctly-rounded sqrt at the end (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import (
+            getis_ord_hotspots)
+        return getis_ord_hotspots(_points(spark, sf))
+    q["q168_getis_ord"] = q168_getis_ord
+
     return _driver_order(q)
 
 
@@ -3693,6 +3713,10 @@ def oracle_sql() -> dict[str, str]:
                  f" FROM ({_diff_old}) WHERE o_orderkey % 53 = 0")
     o["q163_table_diff"] = table_diff_sql(_diff_old, _diff_new,
                                           ["o_orderkey"], ["price_c"])
+    from aef_mosaic_spark.operators.spatial_stats import (getis_ord_sql,
+                                                          morans_i_sql)
+    o["q167_morans_i"] = morans_i_sql(POINT_SQL)
+    o["q168_getis_ord"] = getis_ord_sql(POINT_SQL)
     from aef_mosaic_spark.operators.graph import customer_sssp_sql
     o["q164_weighted_sssp"] = customer_sssp_sql("orders", "customer")
     from aef_mosaic_spark.functions.tiles import geohash_sql

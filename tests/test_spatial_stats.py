@@ -1,0 +1,121 @@
+"""Moran's I / Getis-Ord Gi* vs NumPy goldens on planted lattices."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aef_mosaic_spark.operators.spatial_stats import (bin_cells,
+                                                      getis_ord_hotspots,
+                                                      morans_i)
+
+
+def _points_df(spark, cells, per_cell, cell_deg=4):
+    """One point cluster per (cx, cy) lattice cell, `per_cell[i]`
+    points each, all landing inside the cell."""
+    rows = []
+    pid = 0
+    for (cx, cy), k in zip(cells, per_cell):
+        for j in range(k):
+            rows.append((pid, cx * cell_deg + 0.5 + (j % 3) * 0.7,
+                         cy * cell_deg + 0.5 + (j % 2) * 0.9))
+            pid += 1
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["point_id", "lon", "lat"]))
+
+
+def _golden_moran(cells, x):
+    n = len(cells)
+    s = sum(x)
+    idx = {c: v for c, v in zip(cells, x)}
+    num = s0 = 0
+    for (cx, cy), xi in idx.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                xj = idx.get((cx + dx, cy + dy))
+                if xj is None:
+                    continue
+                s0 += 1
+                num += (n * xi - s) * (n * xj - s)
+    den = sum((n * xi - s) ** 2 for xi in x)
+    return n * num / (s0 * den)
+
+
+def test_moran_checkerboard_negative(spark):
+    # alternating high/low lattice -> strong NEGATIVE autocorrelation
+    cells = [(cx, cy) for cx in range(4) for cy in range(4)]
+    x = [9 if (cx + cy) % 2 == 0 else 1 for cx, cy in cells]
+    got = {r["cell_deg"]: r for r in
+           morans_i(_points_df(spark, cells, x), cell_degs=(4,)).collect()}
+    exp = _golden_moran(cells, x)
+    assert got[4]["moran_i"] == pytest.approx(exp, abs=2e-6)
+    # queen weights keep 4/8 same-colour diagonal neighbors, so the
+    # checkerboard reads -1/7, not the rook -1
+    assert got[4]["moran_i"] < -0.1
+
+
+def test_moran_gradient_positive(spark):
+    # smooth left-to-right gradient -> positive autocorrelation
+    cells = [(cx, cy) for cx in range(6) for cy in range(4)]
+    x = [1 + 3 * cx for cx, cy in cells]
+    got = morans_i(_points_df(spark, cells, x), cell_degs=(4,)).collect()
+    exp = _golden_moran(cells, x)
+    assert got[0]["moran_i"] == pytest.approx(exp, abs=2e-6)
+    assert got[0]["moran_i"] > 0.3
+
+
+def test_moran_nested_scales_match_direct_binning(spark):
+    # the halved coarse lattice must equal binning points directly at
+    # the coarse size
+    cells = [(cx, cy) for cx in range(8) for cy in range(8)]
+    x = [1 + ((cx * 7 + cy * 13) % 5) for cx, cy in cells]
+    pts = _points_df(spark, cells, x, cell_deg=4)
+    multi = {r["cell_deg"]: r
+             for r in morans_i(pts, cell_degs=(4, 8)).collect()}
+    direct = morans_i(pts, cell_degs=(8,)).collect()[0]
+    for k in ("n_cells", "s0", "num", "den", "moran_i"):
+        assert multi[8][k] == direct[k], k
+
+
+def test_moran_constant_lattice_null(spark):
+    cells = [(cx, cy) for cx in range(3) for cy in range(3)]
+    got = morans_i(_points_df(spark, cells, [5] * 9),
+                   cell_degs=(4,)).collect()
+    assert got[0]["moran_i"] is None and got[0]["den"] == 0
+
+
+def test_gi_star_flags_the_hotspot(spark):
+    # flat field of 2s with one 3x3 block of 30s -> the block center
+    # carries the max z-score and it is strongly positive
+    cells = [(cx, cy) for cx in range(8) for cy in range(8)]
+    x = [30 if (3 <= cx <= 5 and 3 <= cy <= 5) else 2
+         for cx, cy in cells]
+    out = getis_ord_hotspots(_points_df(spark, cells, x, cell_deg=8),
+                             cell_deg=8).collect()
+    assert len(out) == 64
+    top = max(out, key=lambda r: r["gi_z"])
+    assert (top["cx"], top["cy"]) == (4, 4)
+    assert top["gi_z"] > 5.0
+    # golden z at the center: textbook formula
+    n, xs = 64, np.array(x, dtype=float)
+    sj = 9 * 30.0
+    wi = 9
+    xbar, sdev = xs.mean(), xs.std(ddof=0)
+    exp = (sj - xbar * wi) / (sdev * np.sqrt((n * wi - wi * wi) / (n - 1)))
+    assert top["gi_z"] == pytest.approx(exp, rel=1e-9, abs=2e-6)
+
+
+def test_bin_cells_negative_coordinates_floor(spark):
+    # floor (not truncate-toward-zero) binning for negative lon/lat
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [0, 1], "lon": [-0.5, 0.5],
+                      "lat": [-170.0 + 1e-6, 0.5]}))
+    got = {(r["cx"], r["cy"]): r["x"]
+           for r in bin_cells(pts, 4).collect()}
+    assert (-1, -43) in got and (0, 0) in got
+
+
+def test_moran_requires_doubling_scales(spark):
+    with pytest.raises(ValueError):
+        morans_i(_points_df(spark, [(0, 0)], [1]), cell_degs=(4, 12))
