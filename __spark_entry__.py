@@ -2442,6 +2442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return getis_ord_hotspots(_points(spark, sf))
     q["q168_getis_ord"] = q168_getis_ord
 
+    def q169_acf(spark, sf):
+        # per-user lag-1/2/3 autocorrelation: integer floor-mean
+        # centering (deviation-scale r_t, overflow-safe at any series
+        # length), one user_id exchange, per-lag stack rides the same
+        # sort (operators/anomaly.py)
+        from aef_mosaic_spark.operators.anomaly import acf
+        return acf(_pq(spark, sf, "events"))
+    q["q169_acf"] = q169_acf
+
     return _driver_order(q)
 
 
@@ -3713,6 +3722,8 @@ def oracle_sql() -> dict[str, str]:
                  f" FROM ({_diff_old}) WHERE o_orderkey % 53 = 0")
     o["q163_table_diff"] = table_diff_sql(_diff_old, _diff_new,
                                           ["o_orderkey"], ["price_c"])
+    from aef_mosaic_spark.operators.anomaly import acf_sql
+    o["q169_acf"] = acf_sql("events")
     from aef_mosaic_spark.operators.spatial_stats import (getis_ord_sql,
                                                           morans_i_sql)
     o["q167_morans_i"] = morans_i_sql(POINT_SQL)

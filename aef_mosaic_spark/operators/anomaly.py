@@ -290,3 +290,101 @@ def seasonal_profile_sql(events: str = "events",
            coalesce(an.n_anom, 0)::BIGINT AS n_anom
     FROM prof LEFT JOIN an USING (event_type, hour)
     """
+
+
+# ------------------------------------------------------------------ #
+# Lag-k autocorrelation (ACF) per key series                          #
+# ------------------------------------------------------------------ #
+
+ACF_LAGS = (1, 2, 3)
+
+
+def acf(events: DataFrame, lags=ACF_LAGS, user_col: str = "user_id",
+        ts_col: str = "ts", id_col: str = "event_id",
+        value_col: str = "value") -> DataFrame:
+    """Per-series autocorrelation at small lags -> (user_id, lag, n,
+    num, den, acf_q): the "is this stream self-similar / periodic"
+    diagnostic that complements q144's CUSUM (level shifts) and q159's
+    seasonal profile (calendar shape).
+
+    Integer floor-mean centering law (exact in both engines):
+      vc  = floor(value*100 + 0.5)              cents
+      m   = S_k div n_k                          (truncating BIGINT)
+      r_t = vc_t - m
+      num_k = sum_t r_t * r_{t+k}   den = sum_t r_t^2   (BIGINTs)
+      acf_q = floor(1e6 * num_k / den + 0.5) / 1e6
+    Centering on the floor mean (not n*x - S) keeps r_t at deviation
+    scale, so den ~ n * spread^2 stays far from 2^63 at ANY series
+    length — the n-scaled dev of q132/q144 squares to n^3 * spread^2
+    and overflows around n ~ 2000 at cent scale.
+
+    Rows with n <= lag+1 or den = 0 (constant series) are excluded:
+    the statistic is undefined there.
+
+    Scale shape: ONE hash exchange on user_col; the whole-partition
+    n/S frames, the lead() lags, and the stacked per-lag products all
+    ride the same sort; the final groupBy is map-side combinable onto
+    |users| * |lags| rows. No joins, no Python.
+    """
+    wk = Window.partitionBy(user_col)
+    wo = Window.partitionBy(user_col).orderBy("es", id_col)
+    e = (events
+         .withColumn("es", F.unix_timestamp(F.col(ts_col)))
+         .withColumn("vc", F.floor(F.col(value_col) * 100 + F.lit(0.5))
+                     .cast("long")))
+    e = (e.withColumn("n", F.count(F.lit(1)).over(wk))
+         .withColumn("_s", F.sum("vc").over(wk))
+         .withColumn("r", F.expr("vc - _s div n")))
+    for k in lags:
+        e = e.withColumn(f"_l{k}", F.lead("r", k).over(wo))
+    stacked = e.select(
+        user_col, "n", "r",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).cast("long").alias("lag"),
+                     (F.col("r") * F.col(f"_l{k}")).alias("prod"))
+            for k in lags])).alias("t"))
+    return (stacked
+            .groupBy(user_col, F.col("t.lag").alias("lag"))
+            .agg(F.first("n").cast("long").alias("n"),
+                 F.sum("t.prod").cast("long").alias("num"),
+                 F.sum(F.expr("r * r")).cast("long").alias("den"))
+            .where((F.col("n") > F.col("lag") + 1) & (F.col("den") > 0))
+            .select(user_col, "lag", "n", "num", "den",
+                    F.expr("floor(1e6 * CAST(num AS DOUBLE)"
+                           " / CAST(den AS DOUBLE) + 0.5e0) / 1e6")
+                    .alias("acf_q")))
+
+
+def acf_sql(table: str = "events", lags=ACF_LAGS) -> str:
+    """DuckDB twin — identical floor-mean integer law; the per-lag
+    stack becomes a UNION ALL over the lead columns."""
+    leads = ",\n                  ".join(
+        f"lead(r, {k}) OVER w AS l{k}" for k in lags)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT user_id, {k}::BIGINT AS lag, n, r, r * l{k} AS prod"
+        f" FROM rr" for k in lags)
+    return f"""
+    WITH e AS (SELECT user_id, event_id,
+                      floor(epoch(ts))::BIGINT AS es,
+                      floor(value * 100 + 0.5e0)::BIGINT AS vc
+               FROM {table}),
+    kk AS (SELECT *,
+                  count(*) OVER (PARTITION BY user_id) AS n,
+                  sum(vc) OVER (PARTITION BY user_id) AS s
+           FROM e),
+    r0 AS (SELECT user_id, event_id, es, n,
+                  (vc - s // n)::BIGINT AS r
+           FROM kk),
+    rr AS (SELECT user_id, event_id, es, n, r,
+                  {leads}
+           FROM r0
+           WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    st AS ({arms})
+    SELECT user_id, lag, any_value(n)::BIGINT AS n,
+           sum(prod)::BIGINT AS num, sum(r * r)::BIGINT AS den,
+           floor(1e6 * CAST(sum(prod) AS DOUBLE)
+                 / CAST(sum(r * r) AS DOUBLE) + 0.5e0) / 1e6 AS acf_q
+    FROM st
+    GROUP BY user_id, lag
+    HAVING any_value(n) > lag + 1 AND sum(r * r) > 0
+    """
