@@ -2451,6 +2451,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return acf(_pq(spark, sf, "events"))
     q["q169_acf"] = q169_acf
 
+    def q170_containment(spark, sf):
+        # directional shingle containment (Broder): catches the
+        # excerpt-inside-page duplication Jaccard misses; corpus
+        # augmented with 40-token excerpts of every 3rd doc, which
+        # must come back at containment 1.0. The df cap is both the
+        # boilerplate cleanup and the join-fanout bound
+        # (operators/dedup.py)
+        from aef_mosaic_spark.operators.dedup import containment_pairs
+        docs = _pq(spark, sf, "documents").select("doc_id", "text")
+        ex = docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.expr("concat_ws(' ', slice(split(lower(trim(text)),"
+                   " '\\\\s+'), 1, 40))").alias("text"))
+        return containment_pairs(docs.unionByName(ex), "doc_id", "text")
+    q["q170_containment"] = q170_containment
+
     return _driver_order(q)
 
 
@@ -3724,6 +3740,15 @@ def oracle_sql() -> dict[str, str]:
                                           ["o_orderkey"], ["price_c"])
     from aef_mosaic_spark.operators.anomaly import acf_sql
     o["q169_acf"] = acf_sql("events")
+    from aef_mosaic_spark.operators.dedup import containment_pairs_sql
+    o["q170_containment"] = containment_pairs_sql("""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(list_slice(
+               string_split_regex(lower(trim(text)), '\\s+'), 1, 40),
+               ' ') AS text
+      FROM documents WHERE doc_id % 3 = 0""")
     from aef_mosaic_spark.operators.spatial_stats import (getis_ord_sql,
                                                           morans_i_sql)
     o["q167_morans_i"] = morans_i_sql(POINT_SQL)

@@ -17,7 +17,7 @@ __spark_entry__.py). Shuffle shape at 10^12 docs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aef_mosaic_spark.functions.hashes import h32_col, minhash_coeffs, minhash_col
@@ -784,4 +784,108 @@ def semdedup_sql(tau: float = 0.95, n_lists: int = 16, dim: int = 64,
     SELECT ia.{id_col}, ia.list, ia.cent_sim,
            (dom.{id_col} IS NOT NULL) AS pruned
     FROM ia LEFT JOIN dom USING ({id_col})
+    """
+
+
+# ------------------------------------------------------------------ #
+# Directional shingle containment (asymmetric near-dup)               #
+# ------------------------------------------------------------------ #
+
+CONTAIN_N = 3
+CONTAIN_MAX_DF = 50
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = CONTAIN_N, threshold: float = 0.8,
+                      max_df: int = CONTAIN_MAX_DF) -> DataFrame:
+    """Directional containment C(A->B) = |G_A n G_B| / |G_A| over word
+    n-gram shingles -> (id_src, id_dst, na, inter, containment).
+
+    Jaccard misses the excerpt/quote/boilerplate-wrap case: a 40-token
+    excerpt inside a 4000-token page scores J ~ 0.01 but C = 1.0
+    (Broder 1997's *containment*, the measure behind quote/excerpt
+    dedup in web-crawl curation).  Both directions are emitted; the
+    src whose shingles are swallowed is the removal candidate.
+
+    Law: shingles are distinct word n-grams (q24's gram construction);
+    the measure is defined over shingles whose corpus document
+    frequency is <= max_df — ubiquitous boilerplate shingles carry no
+    duplication signal AND are exactly the join keys that blow up an
+    inverted-index self-join, so the cap is simultaneously the
+    semantic cleanup and the structural bound: each surviving shingle
+    contributes <= max_df^2 candidate pairs, making the blocking join
+    O(vocab * max_df^2) worst-case instead of O(hottest-key^2).
+    Docs with zero rare shingles have no defined containment and emit
+    nothing.  containment is quantized half-up at 1e6.
+
+    Scale shape: one exchange on gram for the document-frequency
+    window, one groupBy per doc for |G_A|, one capped equi-join for
+    intersections; the filtered gram table is localCheckpointed (3
+    consumers — the scan-audit law).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks,
+                                                      (i + j + 1).cast("int"))
+                                         for j in range(n)]),
+        )
+    )
+    gdf = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    w = Window.partitionBy("gram")
+    rare = (gdf.withColumn("dfreq", F.count(F.lit(1)).over(w))
+            .where(F.col("dfreq") <= max_df)
+            .select(id_col, "gram")
+            .localCheckpoint(eager=False))
+    na = rare.groupBy(id_col).agg(F.count(F.lit(1)).cast("long")
+                                  .alias("na"))
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (a.join(b, "gram")
+             .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+             .groupBy(F.col(f"a.{id_col}").alias("id_src"),
+                      F.col(f"b.{id_col}").alias("id_dst"))
+             .agg(F.count(F.lit(1)).cast("long").alias("inter")))
+    return (inter
+            .join(na.withColumnRenamed(id_col, "id_src"), "id_src")
+            .withColumn("containment",
+                        F.expr("floor(1e6 * CAST(inter AS DOUBLE)"
+                               " / CAST(na AS DOUBLE) + 0.5e0) / 1e6"))
+            .where(F.col("containment") >= threshold)
+            .select("id_src", "id_dst", "na", "inter", "containment"))
+
+
+def containment_pairs_sql(source_sql: str, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = CONTAIN_N,
+                          threshold: float = 0.8,
+                          max_df: int = CONTAIN_MAX_DF) -> str:
+    """DuckDB twin — q24's 1-indexed gram law (out-of-range list
+    elements are NULL and concat_ws skips them, matching Spark's
+    element_at past the end)."""
+    parts = ", ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+    WITH t AS (SELECT {id_col},
+               string_split_regex(lower(trim({text_col})), '\\s+') AS w
+               FROM ({source_sql})),
+    grams AS MATERIALIZED (SELECT DISTINCT {id_col}, gram FROM (
+      SELECT {id_col}, unnest(list_transform(
+        generate_series(1, greatest(len(w) - {n - 1}, 1)),
+        i -> concat_ws(' ', {parts}))) AS gram FROM t)),
+    rare AS MATERIALIZED (
+      SELECT {id_col}, gram FROM (
+        SELECT *, count(*) OVER (PARTITION BY gram) AS dfreq FROM grams)
+      WHERE dfreq <= {max_df}),
+    sizes AS (SELECT {id_col}, count(*)::BIGINT AS na
+              FROM rare GROUP BY 1),
+    inter AS (SELECT a.{id_col} AS id_src, b.{id_col} AS id_dst,
+                     count(*)::BIGINT AS inter
+              FROM rare a JOIN rare b ON a.gram = b.gram
+               AND a.{id_col} != b.{id_col}
+              GROUP BY 1, 2)
+    SELECT i.id_src, i.id_dst, s.na, i.inter,
+           floor(1e6 * CAST(i.inter AS DOUBLE)
+                 / CAST(s.na AS DOUBLE) + 0.5e0) / 1e6 AS containment
+    FROM inter i JOIN sizes s ON i.id_src = s.{id_col}
+    WHERE floor(1e6 * CAST(i.inter AS DOUBLE)
+                / CAST(s.na AS DOUBLE) + 0.5e0) / 1e6 >= {threshold}
     """

@@ -59,3 +59,44 @@ def test_acf_random_matches_golden(spark):
             num, den, a = _golden_acf(list(vals), k)
             assert got[(u, k)]["num"] == num
             assert got[(u, k)]["acf_q"] == pytest.approx(a, abs=1e-9)
+
+
+# ------------------------------------------------------------------ #
+# containment_pairs                                                   #
+# ------------------------------------------------------------------ #
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+
+def test_containment_excerpt_is_directional(spark):
+    from aef_mosaic_spark.operators.dedup import containment_pairs
+    words = [f"tok{i}x" for i in range(200)]
+    parent = " ".join(words)
+    excerpt = " ".join(words[:30])
+    other = " ".join(f"z{i}q" for i in range(150))
+    out = {(r["id_src"], r["id_dst"]): r for r in
+           containment_pairs(_docs_df(spark, [(1, parent), (2, excerpt),
+                                              (3, other)]),
+                             "doc_id", "text",
+                             threshold=0.5).collect()}
+    # excerpt fully contained in parent; parent NOT in excerpt
+    assert out[(2, 1)]["containment"] == 1.0
+    assert (1, 2) not in out and (1, 3) not in out and (3, 1) not in out
+    # jaccard for the same pair would be 28/198 ~ 0.14
+    assert out[(2, 1)]["inter"] == 28
+
+
+def test_containment_df_cap_drops_boilerplate(spark):
+    from aef_mosaic_spark.operators.dedup import containment_pairs
+    # the shared 3-gram "the same header" appears in every doc; with
+    # max_df below the corpus size it cannot create pairs
+    docs = [(i, f"the same header u{i}a u{i}b u{i}c u{i}d") for i in range(9)]
+    out = containment_pairs(_docs_df(spark, docs), "doc_id", "text",
+                            threshold=0.1, max_df=5).collect()
+    assert out == []
+    # raising the cap above the corpus size lets it back in
+    out2 = containment_pairs(_docs_df(spark, docs), "doc_id", "text",
+                             threshold=0.1, max_df=50).collect()
+    assert len(out2) == 9 * 8
