@@ -2467,6 +2467,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return containment_pairs(docs.unionByName(ex), "doc_id", "text")
     q["q170_containment"] = q170_containment
 
+    def q171_morphology(spark, sf):
+        # grayscale morphological open/close (despeckle / pinhole
+        # fill): two composed halo-exchange focal passes (min->max /
+        # max->min), never full-chunk replication; bit-identical to
+        # the stitched-raster golden composition
+        # (tests/test_session7_ops.py). Pinned-fixture oracle.
+        from aef_mosaic_spark.operators.focal import morphology
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        parts = [morphology(chunks, grid, op=m, radius=1)
+                 .select(F.lit(m).alias("op"), "time_idx", "row_idx",
+                         "col_idx", F.md5(F.col("chunk")).alias("chunk_md5"),
+                         "n_parts")
+                 for m in ("open", "close")]
+        return parts[0].unionByName(parts[1])
+    q["q171_morphology"] = q171_morphology
+
+    def q172_histogram_match(spark, sf):
+        # cross-acquisition radiometric normalization: match year-0's
+        # per-band tone curve to year-1's via the exact-integer
+        # CDF-inverse LUT (cross-multiplied, no float, no ties); two
+        # bounded nb*256 histogram passes, LUT rides the scan.
+        # Pinned-fixture oracle.
+        from aef_mosaic_spark.operators.focal import histogram_match
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        src = chunks.where(F.col("time_idx") == 0)
+        ref = chunks.where(F.col("time_idx") == 1)
+        return histogram_match(src, ref, grid) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("chunk_md5"))
+    q["q172_histogram_match"] = q172_histogram_match
+
     return _driver_order(q)
 
 
@@ -3495,7 +3530,8 @@ def oracle_sql() -> dict[str, str]:
                    "q115_temporal_trend", "q116_aspect",
                    "q146_d8_flow", "q148_flow_accumulation",
                    "q149_focal_median", "q150_distance_transform",
-                   "q166_contour_segments"):
+                   "q166_contour_segments", "q171_morphology",
+                   "q172_histogram_match"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -845,3 +845,123 @@ def contour_oracle_np(canvas2d: np.ndarray,
     pad = np.zeros((H + 2, W + 2), np.uint8)
     pad[1:1 + H, 1:1 + W] = canvas2d
     return set(_ms_segments_np(pad, level, 0, 0, H, W))
+
+
+# ------------------------------------------------------------------ #
+# Grayscale morphology — open/close as composed focal min/max         #
+# ------------------------------------------------------------------ #
+
+MORPH_OPS = ("open", "close")
+
+
+def morphology(chunks: DataFrame, grid: OutputGrid, op: str,
+               radius: int = 1, chunk_col: str = "chunk",
+               strategy: str = "halo") -> DataFrame:
+    """Grayscale morphological opening (erode->dilate: despeckle,
+    removes bright specks smaller than the structuring element) or
+    closing (dilate->erode: fills dark pinholes) with a square
+    (2r+1)^2 element -> (time_idx, row_idx, col_idx, chunk, n_parts).
+
+    Pure composition of two focal_chunks passes (min then max, or max
+    then min) — each pass is the halo-exchange plan, so the whole op
+    ships 2 rounds of r-wide edge strips, never full-chunk
+    replication.  Sparse-mosaic law: absent chunks stay absent between
+    passes and pad as zeros, i.e. the golden twin must zero the holes
+    after each pass (morphology_oracle_np(mask=)).
+    """
+    if op not in MORPH_OPS:
+        raise ValueError(f"op must be one of {MORPH_OPS}, got {op!r}")
+    first, second = ("min", "max") if op == "open" else ("max", "min")
+    mid = focal_chunks(chunks, grid, op=first, radius=radius,
+                       chunk_col=chunk_col, strategy=strategy)
+    return focal_chunks(mid, grid, op=second, radius=radius,
+                        strategy=strategy)
+
+
+def morphology_oracle_np(canvas: np.ndarray, op: str, radius: int,
+                         mask: np.ndarray | None = None) -> np.ndarray:
+    """NumPy golden: focal min/max composition on the stitched raster;
+    `mask` (H, W bool, True = chunk present) re-zeroes absent regions
+    between and after passes, matching the distributed convention that
+    a hole emits no row and pads as zeros."""
+    first, second = ("min", "max") if op == "open" else ("max", "min")
+    mid = focal_oracle_np(canvas, first, radius)
+    if mask is not None:
+        mid = mid * mask[None, :, :]
+    out = focal_oracle_np(mid, second, radius)
+    if mask is not None:
+        out = out * mask[None, :, :]
+    return out
+
+
+# ------------------------------------------------------------------ #
+# Histogram matching — map one time-slice's tone curve onto another   #
+# ------------------------------------------------------------------ #
+
+def match_luts(src_rows, ref_rows, num_bands: int) -> np.ndarray:
+    """Exact-integer histogram-matching LUTs (nb, 256) from two
+    global_histogram() row sets: lut[v] = min{ u : cdf_ref[u] *
+    total_src >= cdf_src[v] * total_ref } — the classical monotone
+    CDF-inverse map with the division cross-multiplied away, so the
+    LUT is a pure integer function of the two histograms (no float,
+    no ties)."""
+    hs = np.zeros((num_bands, 256), np.int64)
+    hr = np.zeros((num_bands, 256), np.int64)
+    for r in src_rows:
+        hs[r["band"], r["bin"]] = r["cnt"]
+    for r in ref_rows:
+        hr[r["band"], r["bin"]] = r["cnt"]
+    luts = np.zeros((num_bands, 256), np.uint8)
+    for b in range(num_bands):
+        cs, cr = hs[b].cumsum(), hr[b].cumsum()
+        ts, tr = int(cs[-1]), int(cr[-1])
+        if ts == 0 or tr == 0:
+            luts[b] = np.arange(256, dtype=np.uint8)  # identity
+            continue
+        # first u with cr[u] * ts >= cs[v] * tr, vectorized via
+        # searchsorted on the monotone cr*ts sequence
+        luts[b] = np.searchsorted(cr * ts, cs * tr,
+                                  side="left").clip(0, 255).astype(np.uint8)
+    return luts
+
+
+def histogram_match(chunks_src: DataFrame, chunks_ref: DataFrame,
+                    grid: OutputGrid,
+                    chunk_col: str = "chunk") -> DataFrame:
+    """Match the source mosaic's per-band tone curve to the reference
+    mosaic's (radiometric normalization across acquisitions — the
+    cross-time harmonization pass before change detection / temporal
+    compositing) -> the source chunk table with remapped pixels.
+
+    Scale shape (the q109 two-pass global-statistic pattern, twice):
+    each side runs ONE partial-bincount pass collapsing to a bounded
+    nb*256-row collect; the (nb, 256)-byte LUT rides the mapInPandas
+    closure back over the source scan — zero joins, zero extra
+    shuffles, and the source is scanned exactly twice (histogram +
+    apply)."""
+    import pandas as pd
+
+    nb = grid.num_bands
+    chh, chw = grid.chunk_h, grid.chunk_w
+    src_rows = global_histogram(chunks_src, grid,
+                                chunk_col=chunk_col).collect()
+    ref_rows = global_histogram(chunks_ref, grid,
+                                chunk_col=chunk_col).collect()
+    luts = match_luts(src_rows, ref_rows, nb)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in chunks_src.schema.fields)
+
+    def _apply(it):
+        for pdf in it:
+            outs = []
+            for buf in pdf[chunk_col]:
+                arr = np.frombuffer(buf, np.uint8).reshape(nb, chh, chw)
+                outs.append(np.stack([luts[b][arr[b]]
+                                      for b in range(nb)]).tobytes())
+            pdf = pdf.copy()
+            pdf[chunk_col] = outs
+            yield pdf
+
+    return chunks_src.mapInPandas(_apply, schema=out_schema)

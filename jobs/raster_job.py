@@ -35,7 +35,8 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change",
-          "regions", "flowacc", "disttrans", "contour")
+          "regions", "flowacc", "disttrans", "contour", "morpho",
+          "histmatch")
 
 
 def main(argv=None):
@@ -83,13 +84,13 @@ def main(argv=None):
     from aef_mosaic_spark.grid import OutputGrid
     from aef_mosaic_spark.sources.icelite import Icelite
 
-    if args.stage in ("focal", "temporal") and not args.op:
+    if args.stage in ("focal", "temporal", "morpho") and not args.op:
         ap.error(f"--stage {args.stage} requires --op")
     if args.stage == "overview" and args.levels < 1:
         ap.error("--levels must be >= 1")
-    if args.stage == "change" and (args.time_a is None
-                                   or args.time_b is None):
-        ap.error("--stage change requires --time-a and --time-b")
+    if args.stage in ("change", "histmatch") and (args.time_a is None
+                                                  or args.time_b is None):
+        ap.error(f"--stage {args.stage} requires --time-a and --time-b")
     if args.incremental and args.stage not in ("focal", "regions"):
         ap.error("--incremental supports --stage focal or regions")
     if args.incremental and args.stage == "regions":
@@ -123,6 +124,24 @@ def main(argv=None):
         partition_by = ["time_idx"]
         stage_cfg.update(op=args.op, radius=args.radius,
                          strategy=args.strategy)
+    elif args.stage == "morpho":
+        from aef_mosaic_spark.operators.focal import morphology
+        out_df = morphology(chunks, grid, op=args.op,
+                            radius=args.radius, chunk_col="chunk",
+                            strategy=args.strategy)
+        partition_by = ["time_idx"]
+        stage_cfg.update(op=args.op, radius=args.radius,
+                         strategy=args.strategy)
+    elif args.stage == "histmatch":
+        from pyspark.sql import functions as F
+
+        from aef_mosaic_spark.operators.focal import histogram_match
+        out_df = histogram_match(
+            chunks.where(F.col("time_idx") == args.time_a),
+            chunks.where(F.col("time_idx") == args.time_b), grid,
+            chunk_col="chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(time_a=args.time_a, time_b=args.time_b)
     elif args.stage == "disttrans":
         from aef_mosaic_spark.operators.focal import distance_transform
         out_df = distance_transform(chunks, grid, iters=args.iters,

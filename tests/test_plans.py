@@ -293,6 +293,33 @@ def test_raster_job_derived_products_match_direct(spark, tmp_path):
     cfg4 = json.loads(Icelite(out4).properties()["stage_config"])
     assert (cfg4["time_a"], cfg4["time_b"], cfg4["threshold"]) == (0, 1, 4)
 
+    # morphological open via the CLI == direct composition
+    from aef_mosaic_spark.operators.focal import morphology
+    out5 = str(tmp_path / "morph")
+    raster_main(["--table", src, "--output", out5,
+                 "--stage", "morpho", "--op", "open"])
+    got5 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(out5).read(spark).collect()}
+    exp5 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in morphology(chunks, GRID, op="open",
+                                chunk_col="chunk").collect()}
+    assert got5 == exp5 and len(got5) > 0
+
+    # histogram matching via the CLI == direct operator
+    from aef_mosaic_spark.operators.focal import histogram_match
+    out6 = str(tmp_path / "hmatch")
+    raster_main(["--table", src, "--output", out6,
+                 "--stage", "histmatch", "--time-a", "0",
+                 "--time-b", "1"])
+    got6 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(out6).read(spark).collect()}
+    exp6 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in histogram_match(
+                chunks.where(F.col("time_idx") == 0),
+                chunks.where(F.col("time_idx") == 1), GRID,
+                chunk_col="chunk").collect()}
+    assert got6 == exp6 and len(got6) > 0
+
     # refusals
     with _pt.raises(FileExistsError):
         raster_main(["--table", src, "--output", out1,

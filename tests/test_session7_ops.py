@@ -100,3 +100,130 @@ def test_containment_df_cap_drops_boilerplate(spark):
     out2 = containment_pairs(_docs_df(spark, docs), "doc_id", "text",
                              threshold=0.1, max_df=50).collect()
     assert len(out2) == 9 * 8
+
+
+# ------------------------------------------------------------------ #
+# morphology + histogram matching                                     #
+# ------------------------------------------------------------------ #
+
+from aef_mosaic_spark.grid import OutputGrid
+from aef_mosaic_spark.operators.focal import (histogram_match, match_luts,
+                                              morphology,
+                                              morphology_oracle_np)
+
+CHH = CHW = 32
+NB = 2
+NR = NC = 3
+
+
+@pytest.fixture(scope="module")
+def mgrid():
+    return OutputGrid(
+        bounds=(0.0, 0.0, CHW * NC * 10.0, CHH * NR * 10.0),
+        crs="EPSG:32610", resolution=10.0, years=(2023,),
+        num_bands=NB, chunk_h=CHH, chunk_w=CHW,
+    )
+
+
+def _mchunks(skip=()):
+    rows, canvas = [], np.zeros((NB, CHH * NR, CHW * NC), np.uint8)
+    for ri in range(NR):
+        for ci in range(NC):
+            if (ri, ci) in skip:
+                continue
+            yy, xx = np.mgrid[0:CHH, 0:CHW]
+            arr = np.stack([
+                ((yy * 5 + xx * 11 + ri * 37 + ci * 19 + b * 73) % 241
+                 ).astype(np.uint8) for b in range(NB)])
+            # plant a bright speck and a dark pinhole per chunk
+            arr[:, 4, 4] = 255
+            arr[:, 20, 20] = 0
+            canvas[:, ri * CHH:(ri + 1) * CHH,
+                   ci * CHW:(ci + 1) * CHW] = arr
+            rows.append({"time_idx": 0, "row_idx": ri, "col_idx": ci,
+                         "chunk": arr.tobytes()})
+    return rows, canvas
+
+
+def _mcollect(df):
+    return {(r.time_idx, r.row_idx, r.col_idx):
+            np.frombuffer(r.chunk, np.uint8).reshape(NB, CHH, CHW)
+            for r in df.collect()}
+
+
+@pytest.mark.parametrize("op", ["open", "close"])
+def test_morphology_matches_stitched_golden(spark, mgrid, op):
+    rows, canvas = _mchunks()
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    golden = morphology_oracle_np(canvas, op, 1)
+    got = _mcollect(morphology(sdf, mgrid, op=op, radius=1))
+    assert len(got) == NR * NC
+    for (t, ri, ci), arr in got.items():
+        exp = golden[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        np.testing.assert_array_equal(arr, exp)
+
+
+def test_morphology_sparse_mask_law(spark, mgrid):
+    skip = ((1, 1),)
+    rows, canvas = _mchunks(skip=skip)
+    mask = np.ones((CHH * NR, CHW * NC), bool)
+    for ri, ci in skip:
+        mask[ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW] = False
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    golden = morphology_oracle_np(canvas, "close", 1, mask=mask)
+    got = _mcollect(morphology(sdf, mgrid, op="close", radius=1))
+    assert len(got) == NR * NC - 1
+    for (t, ri, ci), arr in got.items():
+        exp = golden[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        np.testing.assert_array_equal(arr, exp)
+
+
+def test_morphology_semantics_speck_and_pinhole(spark, mgrid):
+    rows, _ = _mchunks()
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    opened = _mcollect(morphology(sdf, mgrid, op="open"))[(0, 1, 1)]
+    closed = _mcollect(morphology(sdf, mgrid, op="close"))[(0, 1, 1)]
+    src = np.frombuffer(rows[4]["chunk"], np.uint8).reshape(NB, CHH, CHW)
+    # opening kills the isolated bright speck; closing fills the
+    # isolated dark pinhole
+    assert src[0, 4, 4] == 255 and opened[0, 4, 4] < 255
+    assert src[0, 20, 20] == 0 and closed[0, 20, 20] > 0
+    with pytest.raises(ValueError):
+        morphology(sdf, mgrid, op="erode")
+
+
+def test_histogram_match_self_is_identity(spark, mgrid):
+    rows, _ = _mchunks()
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    got = _mcollect(histogram_match(sdf, sdf, mgrid))
+    src = _mcollect(spark.createDataFrame(pd.DataFrame(rows)).select(
+        "time_idx", "row_idx", "col_idx", "chunk",))
+    for k in src:
+        np.testing.assert_array_equal(got[k], src[k])
+
+
+def test_histogram_match_golden_and_monotone(spark, mgrid):
+    rows, canvas = _mchunks()
+    # reference: a brightened copy (tone curve shifted up)
+    ref_rows = []
+    for r in rows:
+        arr = np.frombuffer(r["chunk"], np.uint8).reshape(NB, CHH, CHW)
+        ref_rows.append({**r, "chunk": np.clip(arr.astype(np.int32)
+                                               + 40, 0, 255)
+                         .astype(np.uint8).tobytes()})
+    src = spark.createDataFrame(pd.DataFrame(rows))
+    ref = spark.createDataFrame(pd.DataFrame(ref_rows))
+    from aef_mosaic_spark.operators.focal import global_histogram
+    luts = match_luts(global_histogram(src, mgrid).collect(),
+                      global_histogram(ref, mgrid).collect(), NB)
+    assert all(np.all(np.diff(luts[b].astype(int)) >= 0)
+               for b in range(NB))
+    got = _mcollect(histogram_match(src, ref, mgrid))
+    for (t, ri, ci), arr in got.items():
+        a = canvas[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        exp = np.stack([luts[b][a[b]] for b in range(NB)])
+        np.testing.assert_array_equal(arr, exp)
+    # matched means move toward the reference's (+40) brightness
+    src_mean = canvas.mean()
+    got_mean = np.mean([a.mean() for a in got.values()])
+    assert got_mean > src_mean + 25
