@@ -2502,6 +2502,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.md5(F.col("chunk")).alias("chunk_md5"))
     q["q172_histogram_match"] = q172_histogram_match
 
+    def q173_emerging_hotspots(spark, sf):
+        # space-time hotspot trend: per-week Gi* z-series per cell +
+        # integer Mann-Kendall sign statistic (ESRI emerging-hotspot
+        # shape); corpus collapses to |weeks|x|cells| in one groupBy,
+        # MK self-join runs on the tiny z table
+        # (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import (
+            emerging_hotspots)
+        ev = _pq(spark, sf, "events").selectExpr(
+            "CAST(unix_timestamp(ts) AS BIGINT) div 604800 AS tb",
+            "(event_id * 7) % 3590 / 10e0 - 179.5e0 AS lon",
+            "(event_id * 13) % 1690 / 10e0 - 84.5e0 AS lat")
+        return emerging_hotspots(ev)
+    q["q173_emerging_hotspots"] = q173_emerging_hotspots
+
+    def q174_ripley_k(spark, sf):
+        # multi-distance clustering profile (uncorrected Ripley K
+        # numerator): exact BIGINT squared-microdegree distances, one
+        # eps-cell blocked join at max radius with per-radius
+        # conditional aggs; shuffle_hash hint per the measured q130
+        # explode-blind-broadcast lesson (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import ripley_k
+        return ripley_k(_points(spark, sf))
+    q["q174_ripley_k"] = q174_ripley_k
+
     return _driver_order(q)
 
 
@@ -3789,6 +3814,14 @@ def oracle_sql() -> dict[str, str]:
                                                           morans_i_sql)
     o["q167_morans_i"] = morans_i_sql(POINT_SQL)
     o["q168_getis_ord"] = getis_ord_sql(POINT_SQL)
+    from aef_mosaic_spark.operators.spatial_stats import (
+        emerging_hotspots_sql, ripley_k_sql)
+    o["q173_emerging_hotspots"] = emerging_hotspots_sql("""
+      SELECT floor(epoch(ts))::BIGINT // 604800 AS tb,
+             (event_id * 7) % 3590 / 10e0 - 179.5e0 AS lon,
+             (event_id * 13) % 1690 / 10e0 - 84.5e0 AS lat
+      FROM events""")
+    o["q174_ripley_k"] = ripley_k_sql(f"({POINT_SQL})")
     from aef_mosaic_spark.operators.graph import customer_sssp_sql
     o["q164_weighted_sssp"] = customer_sssp_sql("orders", "customer")
     from aef_mosaic_spark.functions.tiles import geohash_sql

@@ -179,28 +179,59 @@ def morans_i_sql(source_sql: str, cell_degs=MORAN_CELL_DEGS,
 
 
 def getis_ord_hotspots(points: DataFrame, cell_deg: int = GI_CELL_DEG,
-                       lon_col: str = "lon",
-                       lat_col: str = "lat") -> DataFrame:
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       group_col: str | None = None) -> DataFrame:
     """-> per occupied cell: (cx, cy, x, wi, gi_z) — the local Gi*
     z-score (self-inclusive 9-neighborhood).  Cells whose
     neighborhood is the whole lattice (C = 0) are excluded (the
-    statistic is undefined there)."""
-    cells = bin_cells(points, cell_deg, lon_col, lat_col) \
-        .localCheckpoint(eager=True)
-    tot = cells.agg(F.count(F.lit(1)).cast("long").alias("n"),
-                    F.sum("x").cast("long").alias("s"),
-                    F.sum(F.expr("x * x")).cast("long").alias("sxx"))
-    hood = (_neighbor_join(cells, _OFFS9)
-            .groupBy(F.col("icx").alias("cx"), F.col("icy").alias("cy"))
+    statistic is undefined there).  With group_col (e.g. a time
+    bucket), every lattice, total, and neighborhood is computed
+    independently per group — the per-slice Gi* that emerging-hotspot
+    analysis stacks over time."""
+    gcols = [group_col] if group_col else []
+    c = cell_deg * 1_000_000
+    cxe = F.expr(f"CAST(floor(CAST(floor({lon_col} * 1e6 + 0.5e0) AS"
+                 f" BIGINT) / {c}e0) AS BIGINT)")
+    cye = F.expr(f"CAST(floor(CAST(floor({lat_col} * 1e6 + 0.5e0) AS"
+                 f" BIGINT) / {c}e0) AS BIGINT)")
+    cells = (points.select(*gcols, cxe.alias("cx"), cye.alias("cy"))
+             .groupBy(*gcols, "cx", "cy")
+             .agg(F.count(F.lit(1)).cast("long").alias("x"))
+             .localCheckpoint(eager=True))
+    if group_col:
+        tot = cells.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.expr("x * x")).cast("long").alias("sxx"))
+    else:
+        tot = cells.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                        F.sum("x").cast("long").alias("s"),
+                        F.sum(F.expr("x * x")).cast("long").alias("sxx"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _OFFS9])).alias("o")
+    lhs = (cells.select(*gcols, F.col("cx").alias("icx"),
+                        F.col("cy").alias("icy"),
+                        F.col("x").alias("xi"), off)
+           .select(*gcols, "icx", "icy", "xi",
+                   (F.col("icx") + F.col("o.dx")).alias("cx"),
+                   (F.col("icy") + F.col("o.dy")).alias("cy")))
+    joined = lhs.join(cells.withColumnRenamed("x", "xj"),
+                      gcols + ["cx", "cy"])
+    hood = (joined
+            .groupBy(*gcols, F.col("icx").alias("cx"),
+                     F.col("icy").alias("cy"))
             .agg(F.first("xi").alias("x"),
                  F.count(F.lit(1)).cast("long").alias("wi"),
                  F.sum("xj").cast("long").alias("swx")))
-    return (hood.crossJoin(F.broadcast(tot))
+    joined_tot = (hood.join(F.broadcast(tot), gcols) if group_col
+                  else hood.crossJoin(F.broadcast(tot)))
+    return (joined_tot
             .withColumn("_a", F.expr("n * swx - s * wi"))
             .withColumn("_b", F.expr("n * sxx - s * s"))
             .withColumn("_c", F.expr("n * wi - wi * wi"))
             .where(F.expr("_c > 0 AND _b > 0"))
-            .select("cx", "cy", "x", "wi",
+            .select(*gcols, "cx", "cy", "x", "wi",
                     F.expr(_Q6.format(
                         expr="CAST(_a AS DOUBLE)"
                              " * sqrt(CAST(n - 1 AS DOUBLE))"
@@ -235,4 +266,212 @@ def getis_ord_sql(source_sql: str, cell_deg: int = GI_CELL_DEG,
                  / sqrt(CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
                  * 1e6 + 0.5e0) / 1e6 AS gi_z
     FROM z WHERE c > 0 AND b > 0
+    """
+
+
+# ------------------------------------------------------------------ #
+# Emerging hotspots: per-time-bucket Gi* + Mann-Kendall trend          #
+# ------------------------------------------------------------------ #
+
+MK_MIN_BUCKETS = 3
+
+
+def emerging_hotspots(points: DataFrame, cell_deg: int = GI_CELL_DEG,
+                      min_buckets: int = MK_MIN_BUCKETS,
+                      group_col: str = "tb", lon_col: str = "lon",
+                      lat_col: str = "lat") -> DataFrame:
+    """Space-time hotspot trend (the ESRI "emerging hot spot" shape):
+    Gi* per time bucket, then the Mann-Kendall trend statistic over
+    each cell's z-series -> (cx, cy, n_t, s_mk, trend in
+    emerging|fading|stable).
+
+    Law: per-bucket Gi* is the exact q168 integer law computed
+    independently per bucket; z is then frozen to the BIGINT
+    micro-units zu = floor(gi_z * 1e6 + 0.5) so the MK sign
+    comparisons are integer-exact.  S_MK = sum over bucket pairs
+    i < j of sign(zu_j - zu_i); cells present (with a defined Gi*) in
+    fewer than min_buckets buckets are excluded.
+
+    Scale shape: the corpus collapses to |buckets| x |cells| rows in
+    getis_ord's single groupBy; the MK self-join runs on that small z
+    table (checkpointed — 3 consumers), with <= |buckets|^2 rows per
+    cell."""
+    z = (getis_ord_hotspots(points, cell_deg, lon_col=lon_col,
+                            lat_col=lat_col, group_col=group_col)
+         .select(F.col(group_col).alias("tb"), "cx", "cy",
+                 F.expr("CAST(floor(gi_z * 1e6 + 0.5e0) AS BIGINT)")
+                 .alias("zu"))
+         .localCheckpoint(eager=True))
+    a, b = z.alias("a"), z.alias("b")
+    mk = (a.join(b, ["cx", "cy"])
+          .where(F.col("a.tb") < F.col("b.tb"))
+          .groupBy("cx", "cy")
+          .agg(F.sum(F.expr("CASE WHEN b.zu > a.zu THEN 1"
+                            " WHEN b.zu < a.zu THEN -1 ELSE 0 END"))
+               .cast("long").alias("s_mk")))
+    nt = z.groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("n_t"))
+    return (nt.where(F.col("n_t") >= min_buckets)
+            .join(mk, ["cx", "cy"])
+            .select("cx", "cy", "n_t", "s_mk",
+                    F.expr("CASE WHEN s_mk > 0 THEN 'emerging'"
+                           " WHEN s_mk < 0 THEN 'fading'"
+                           " ELSE 'stable' END").alias("trend")))
+
+
+def emerging_hotspots_sql(source_sql: str, cell_deg: int = GI_CELL_DEG,
+                          min_buckets: int = MK_MIN_BUCKETS,
+                          lon_col: str = "lon", lat_col: str = "lat",
+                          tb_col: str = "tb") -> str:
+    """DuckDB twin — source_sql must yield (tb, lon, lat)."""
+    c = cell_deg * 1_000_000
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFS9)
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT {tb_col} AS tb,
+             CAST(floor(CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT)
+                        / {c}e0) AS BIGINT) AS cx,
+             CAST(floor(CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT)
+                        / {c}e0) AS BIGINT) AS cy,
+             count(*)::BIGINT AS x
+      FROM ({source_sql}) GROUP BY 1, 2, 3),
+    tot AS (SELECT tb, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+                   sum(x * x)::BIGINT AS sxx FROM cells GROUP BY tb),
+    hood AS (
+      SELECT a.tb, a.cx, a.cy, any_value(a.x) AS x,
+             count(*)::BIGINT AS wi, sum(b.x)::BIGINT AS swx
+      FROM cells a
+      JOIN (VALUES {offs}) o(dx, dy) ON true
+      JOIN cells b ON b.tb = a.tb AND b.cx = a.cx + o.dx
+                  AND b.cy = a.cy + o.dy
+      GROUP BY 1, 2, 3),
+    z AS MATERIALIZED (
+      SELECT h.tb, h.cx, h.cy,
+             floor(CAST(t.n * h.swx - t.s * h.wi AS DOUBLE)
+                   * sqrt(CAST(t.n - 1 AS DOUBLE))
+                   / sqrt(CAST(t.n * t.sxx - t.s * t.s AS DOUBLE)
+                          * CAST(t.n * h.wi - h.wi * h.wi AS DOUBLE))
+                   * 1e6 + 0.5e0)::BIGINT AS zu
+      FROM hood h JOIN tot t USING (tb)
+      WHERE t.n * h.wi - h.wi * h.wi > 0
+        AND t.n * t.sxx - t.s * t.s > 0),
+    mk AS (SELECT a.cx, a.cy,
+                  sum(CASE WHEN b.zu > a.zu THEN 1
+                           WHEN b.zu < a.zu THEN -1 ELSE 0 END)::BIGINT
+                  AS s_mk
+           FROM z a JOIN z b ON b.cx = a.cx AND b.cy = a.cy
+                            AND a.tb < b.tb
+           GROUP BY 1, 2),
+    nt AS (SELECT cx, cy, count(*)::BIGINT AS n_t FROM z GROUP BY 1, 2)
+    SELECT nt.cx, nt.cy, nt.n_t, mk.s_mk,
+           CASE WHEN mk.s_mk > 0 THEN 'emerging'
+                WHEN mk.s_mk < 0 THEN 'fading'
+                ELSE 'stable' END AS trend
+    FROM nt JOIN mk ON mk.cx = nt.cx AND mk.cy = nt.cy
+    WHERE nt.n_t >= {min_buckets}
+    """
+
+
+# ------------------------------------------------------------------ #
+# Ripley's K profile (naive, no edge correction)                      #
+# ------------------------------------------------------------------ #
+
+RIPLEY_RADII_MDEG = (500_000, 1_000_000, 2_000_000)
+
+
+def ripley_k(points: DataFrame, radii_mdeg=RIPLEY_RADII_MDEG,
+             id_col: str = "point_id", lon_col: str = "lon",
+             lat_col: str = "lat") -> DataFrame:
+    """Multi-distance clustering profile -> one row per radius:
+    (r_mdeg, n_points, n_pairs, mean_neighbors_q): the (uncorrected)
+    Ripley K numerator — ordered point pairs within Euclidean
+    microdegree distance r — and the mean neighbor count pairs/n.
+    Reading: mean_neighbors growing faster than r^2 = clustering at
+    that scale; slower = dispersion.
+
+    Law: distances are exact BIGINT squared microdegrees (dx^2 + dy^2
+    <= r^2, |dx| <= 3.6e8 so the sum stays < 2^63); self-pairs
+    excluded by id; every ordered pair is produced exactly once (the
+    offset that maps a's block to b's block is unique).
+
+    Scale shape: the q130 DBSCAN eps-cell blocking — block size = max
+    radius, 9-offset explode on the LEFT side then an equi-join on
+    the block key, so candidate fan-out is bounded by local density,
+    never all-pairs; per-radius counts are conditional aggregates
+    over the ONE join (shuffle_hash hint: Catalyst's size estimate is
+    explode-blind and would broadcast the 9x side — the measured
+    q130 lesson)."""
+    rmax = max(radii_mdeg)
+    pts = (points.select(
+        F.col(id_col).alias("pid"),
+        F.expr(f"CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT)")
+        .alias("ix"),
+        F.expr(f"CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT)")
+        .alias("iy"))
+        .withColumn("bx", F.expr(f"CAST(floor(ix / {rmax}e0) AS BIGINT)"))
+        .withColumn("by", F.expr(f"CAST(floor(iy / {rmax}e0) AS BIGINT)"))
+        .localCheckpoint(eager=True))
+    tot = pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _OFFS9])).alias("o")
+    lhs = (pts.select(F.col("pid").alias("pa"), F.col("ix").alias("ax"),
+                      F.col("iy").alias("ay"), "bx", "by", off)
+           .select("pa", "ax", "ay",
+                   (F.col("bx") + F.col("o.dx")).alias("bx"),
+                   (F.col("by") + F.col("o.dy")).alias("by")))
+    joined = (lhs.hint("shuffle_hash")
+              .join(pts.select(F.col("pid").alias("pb"), "ix", "iy",
+                               "bx", "by"), ["bx", "by"])
+              .where(F.col("pa") != F.col("pb"))
+              .withColumn("d2", F.expr("(ax - ix) * (ax - ix)"
+                                       " + (ay - iy) * (ay - iy)")))
+    counts = joined.agg(*[
+        F.sum(F.expr(f"CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END"))
+        .cast("long").alias(f"p{r}") for r in radii_mdeg])
+    stack = ", ".join(f"{r}L, p{r}" for r in radii_mdeg)
+    return (counts.crossJoin(F.broadcast(tot))
+            .selectExpr("n_points",
+                        f"stack({len(radii_mdeg)}, {stack})"
+                        " AS (r_mdeg, n_pairs)")
+            .select("r_mdeg", "n_points", "n_pairs",
+                    F.expr(_Q6.format(
+                        expr="CAST(n_pairs AS DOUBLE)"
+                             " / CAST(n_points AS DOUBLE)"))
+                    .alias("mean_neighbors_q")))
+
+
+def ripley_k_sql(source_sql: str, radii_mdeg=RIPLEY_RADII_MDEG,
+                 id_col: str = "point_id", lon_col: str = "lon",
+                 lat_col: str = "lat") -> str:
+    rmax = max(radii_mdeg)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFS9)
+    arms = ", ".join(
+        f"sum(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END)::BIGINT"
+        f" AS p{r}" for r in radii_mdeg)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS r_mdeg, t.n_points, c.p{r} AS n_pairs,"
+        f" floor(CAST(c.p{r} AS DOUBLE) / CAST(t.n_points AS DOUBLE)"
+        f" * 1e6 + 0.5e0) / 1e6 AS mean_neighbors_q FROM c, t"
+        for r in radii_mdeg)
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT {id_col} AS pid,
+             CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT) AS ix,
+             CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT) AS iy
+      FROM ({source_sql})),
+    blk AS MATERIALIZED (
+      SELECT pid, ix, iy,
+             CAST(floor(ix / {rmax}e0) AS BIGINT) AS bx,
+             CAST(floor(iy / {rmax}e0) AS BIGINT) AS by
+      FROM pts),
+    j AS (SELECT (a.ix - b.ix) * (a.ix - b.ix)
+                 + (a.iy - b.iy) * (a.iy - b.iy) AS d2
+          FROM blk a
+          JOIN (VALUES {offs}) o(dx, dy) ON true
+          JOIN blk b ON b.bx = a.bx + o.dx AND b.by = a.by + o.dy
+           AND a.pid != b.pid),
+    c AS (SELECT {arms} FROM j),
+    t AS (SELECT count(*)::BIGINT AS n_points FROM blk)
+    {sel}
     """

@@ -119,3 +119,62 @@ def test_bin_cells_negative_coordinates_floor(spark):
 def test_moran_requires_doubling_scales(spark):
     with pytest.raises(ValueError):
         morans_i(_points_df(spark, [(0, 0)], [1]), cell_degs=(4, 12))
+
+
+# ------------------------------------------------------------------ #
+# emerging hotspots + Ripley K                                        #
+# ------------------------------------------------------------------ #
+
+def test_emerging_hotspots_trend_direction(spark):
+    from aef_mosaic_spark.operators.spatial_stats import emerging_hotspots
+    cells = [(cx, cy) for cx in range(5) for cy in range(5)]
+    rows, pid = [], 0
+    for tb in range(4):
+        for (cx, cy) in cells:
+            if (cx, cy) == (2, 2):
+                k = [5, 10, 20, 30][tb]      # rising hotspot
+            elif (cx, cy) == (0, 0):
+                k = [30, 20, 10, 5][tb]      # fading hotspot
+            else:
+                k = 5
+            for j in range(k):
+                rows.append((pid, tb, cx * 4 + 0.5 + (j % 3) * 0.8,
+                             cy * 4 + 0.5 + (j % 2) * 0.9))
+                pid += 1
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["point_id", "tb", "lon", "lat"]))
+    got = {(r["cx"], r["cy"]): r
+           for r in emerging_hotspots(pts, cell_deg=4).collect()}
+    assert got[(2, 2)]["trend"] == "emerging"
+    assert got[(2, 2)]["s_mk"] == 6          # strictly rising z: C(4,2)
+    assert got[(0, 0)]["trend"] == "fading"
+    assert got[(0, 0)]["s_mk"] == -6
+    assert all(r["n_t"] == 4 for r in got.values())
+
+
+def test_ripley_k_matches_bruteforce_and_detects_clustering(spark):
+    from aef_mosaic_spark.operators.spatial_stats import ripley_k
+    rng = np.random.RandomState(3)
+    # clustered: 20 tight blobs; dispersed: uniform over the same box
+    blobs = rng.uniform(-40, 40, (20, 2))
+    clustered = np.concatenate([
+        b + rng.uniform(-0.2, 0.2, (15, 2)) for b in blobs])
+    uniform = rng.uniform(-40, 40, (300, 2))
+
+    def run(arr):
+        pdf = pd.DataFrame({"point_id": np.arange(len(arr)),
+                            "lon": arr[:, 0], "lat": arr[:, 1]})
+        out = {r["r_mdeg"]: r for r in
+               ripley_k(spark.createDataFrame(pdf)).collect()}
+        # brute-force golden at every radius, same integer law
+        ix = np.floor(arr * 1e6 + 0.5).astype(np.int64)
+        d2 = ((ix[:, None, :] - ix[None, :, :]).astype(np.int64) ** 2
+              ).sum(-1)
+        np.fill_diagonal(d2, np.iinfo(np.int64).max)
+        for r_mdeg, row in out.items():
+            exp = int((d2 <= r_mdeg * r_mdeg).sum())
+            assert row["n_pairs"] == exp, r_mdeg
+        return out
+
+    c, u = run(clustered), run(uniform)
+    assert c[500000]["mean_neighbors_q"] > 5 * u[500000]["mean_neighbors_q"]
