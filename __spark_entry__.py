@@ -2527,6 +2527,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ripley_k(_points(spark, sf))
     q["q174_ripley_k"] = q174_ripley_k
 
+    def q175_otsu_mask(spark, sf):
+        # corpus-global Otsu binarization: bounded nb*256 histogram
+        # pass -> exact arbitrary-precision integer argmax on the
+        # driver (the cross-multiplied between-class-variance compare
+        # overflows int64 at corpus scale) -> threshold vector rides
+        # the scan; output feeds --stage regions CCL.
+        # Pinned-fixture oracle.
+        from aef_mosaic_spark.operators.focal import otsu_mask
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        masks, ths = otsu_mask(chunks, grid)
+        return masks.select(
+            "time_idx", "row_idx", "col_idx",
+            F.md5(F.col("chunk")).alias("mask_md5"),
+            F.lit(",".join(str(t) for t in ths)).alias("thresholds"))
+    q["q175_otsu_mask"] = q175_otsu_mask
+
     return _driver_order(q)
 
 
@@ -3556,7 +3574,7 @@ def oracle_sql() -> dict[str, str]:
                    "q146_d8_flow", "q148_flow_accumulation",
                    "q149_focal_median", "q150_distance_transform",
                    "q166_contour_segments", "q171_morphology",
-                   "q172_histogram_match"):
+                   "q172_histogram_match", "q175_otsu_mask"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

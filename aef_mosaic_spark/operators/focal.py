@@ -965,3 +965,76 @@ def histogram_match(chunks_src: DataFrame, chunks_ref: DataFrame,
             yield pdf
 
     return chunks_src.mapInPandas(_apply, schema=out_schema)
+
+
+# ------------------------------------------------------------------ #
+# Otsu global threshold + mask — feeds the regions (CCL) pipeline     #
+# ------------------------------------------------------------------ #
+
+def otsu_thresholds(hist_rows, num_bands: int) -> list[int]:
+    """Exact Otsu (1979) threshold per band from global_histogram()
+    rows: argmax_t of the between-class variance sigma_b^2(t) =
+    w0*w1*(mu0-mu1)^2, compared as the cross-multiplied integer
+    fraction A_t^2 * (w0'*w1') vs A_t'^2 * (w0*w1) with A_t = s0*N -
+    S*w0 — arbitrary-precision Python ints (A_t^2 reaches ~(255*N^2)^2,
+    far past 2^63 at corpus scale), driver-side on the bounded 256-row
+    histogram, so the result is exact and engine-independent.  Ties
+    take the SMALLEST t.  Foreground = pixels > t."""
+    h = np.zeros((num_bands, 256), np.int64)
+    for r in hist_rows:
+        h[r["band"], r["bin"]] = r["cnt"]
+    out = []
+    for b in range(num_bands):
+        hb = [int(v) for v in h[b]]
+        N, S = sum(hb), sum(v * c for v, c in enumerate(hb))
+        best_t, best_num, best_den = 0, -1, 1
+        w0 = s0 = 0
+        for t in range(255):
+            w0 += hb[t]
+            s0 += t * hb[t]
+            w1 = N - w0
+            if w0 == 0 or w1 == 0:
+                continue
+            a = s0 * N - S * w0
+            num, den = a * a, w0 * w1
+            if num * best_den > best_num * den:
+                best_t, best_num, best_den = t, num, den
+        out.append(best_t)
+    return out
+
+
+def otsu_mask(chunks: DataFrame, grid: OutputGrid,
+              chunk_col: str = "chunk") -> tuple[DataFrame, list[int]]:
+    """Corpus-global Otsu binarization -> (mask chunk table, per-band
+    thresholds).  Masks are uint8 0/255 per band; the output table is
+    the input keyed the same way, ready for --stage regions (connected
+    component labeling of the foreground).
+
+    Scale shape: the q109/q172 two-pass global-statistic pattern —
+    one bounded nb*256 histogram pass, exact integer argmax on the
+    driver, then the 2*nb-byte threshold vector rides the mapInPandas
+    closure back over the scan."""
+    import pandas as pd
+
+    nb = grid.num_bands
+    chh, chw = grid.chunk_h, grid.chunk_w
+    rows = global_histogram(chunks, grid, chunk_col=chunk_col).collect()
+    ths = otsu_thresholds(rows, nb)
+    th_arr = np.array(ths, np.uint8).reshape(nb, 1, 1)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in chunks.schema.fields)
+
+    def _apply(it):
+        for pdf in it:
+            outs = []
+            for buf in pdf[chunk_col]:
+                arr = np.frombuffer(buf, np.uint8).reshape(nb, chh, chw)
+                outs.append(((arr > th_arr).astype(np.uint8) * 255)
+                            .tobytes())
+            pdf = pdf.copy()
+            pdf[chunk_col] = outs
+            yield pdf
+
+    return chunks.mapInPandas(_apply, schema=out_schema), ths

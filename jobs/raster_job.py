@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change",
           "regions", "flowacc", "disttrans", "contour", "morpho",
-          "histmatch")
+          "histmatch", "otsu")
 
 
 def main(argv=None):
@@ -142,6 +142,11 @@ def main(argv=None):
             chunk_col="chunk")
         partition_by = ["time_idx"]
         stage_cfg.update(time_a=args.time_a, time_b=args.time_b)
+    elif args.stage == "otsu":
+        from aef_mosaic_spark.operators.focal import otsu_mask
+        out_df, ths = otsu_mask(chunks, grid, chunk_col="chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(thresholds=ths)
     elif args.stage == "disttrans":
         from aef_mosaic_spark.operators.focal import distance_transform
         out_df = distance_transform(chunks, grid, iters=args.iters,

@@ -320,6 +320,19 @@ def test_raster_job_derived_products_match_direct(spark, tmp_path):
                 chunk_col="chunk").collect()}
     assert got6 == exp6 and len(got6) > 0
 
+    # otsu mask via the CLI == direct operator; thresholds in lineage
+    from aef_mosaic_spark.operators.focal import otsu_mask
+    out7 = str(tmp_path / "otsu")
+    raster_main(["--table", src, "--output", out7, "--stage", "otsu"])
+    got7 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(out7).read(spark).collect()}
+    exp_df, exp_ths = otsu_mask(chunks, GRID, chunk_col="chunk")
+    exp7 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in exp_df.collect()}
+    assert got7 == exp7 and len(got7) > 0
+    cfg7 = json.loads(Icelite(out7).properties()["stage_config"])
+    assert cfg7["thresholds"] == exp_ths
+
     # refusals
     with _pt.raises(FileExistsError):
         raster_main(["--table", src, "--output", out1,

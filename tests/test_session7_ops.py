@@ -227,3 +227,64 @@ def test_histogram_match_golden_and_monotone(spark, mgrid):
     src_mean = canvas.mean()
     got_mean = np.mean([a.mean() for a in got.values()])
     assert got_mean > src_mean + 25
+
+
+# ------------------------------------------------------------------ #
+# Otsu threshold + mask                                                #
+# ------------------------------------------------------------------ #
+
+def test_otsu_threshold_matches_textbook_float(spark):
+    from aef_mosaic_spark.operators.focal import otsu_thresholds
+    rng = np.random.RandomState(5)
+    # clearly bimodal histogram: peaks near 60 and 190
+    vals = np.concatenate([
+        np.clip(rng.normal(60, 12, 40000), 0, 255),
+        np.clip(rng.normal(190, 15, 25000), 0, 255)]).astype(np.uint8)
+    h = np.bincount(vals, minlength=256)
+    rows = [{"band": 0, "bin": i, "cnt": int(c)}
+            for i, c in enumerate(h) if c]
+    got = otsu_thresholds(rows, 1)[0]
+    # textbook float implementation
+    p = h / h.sum()
+    best_t, best_v = 0, -1.0
+    for t in range(255):
+        w0, w1 = p[:t + 1].sum(), p[t + 1:].sum()
+        if w0 == 0 or w1 == 0:
+            continue
+        mu0 = (np.arange(t + 1) * p[:t + 1]).sum() / w0
+        mu1 = (np.arange(t + 1, 256) * p[t + 1:]).sum() / w1
+        v = w0 * w1 * (mu0 - mu1) ** 2
+        if v > best_v:
+            best_t, best_v = t, v
+    # the empty gap between the two modes is a variance PLATEAU: every
+    # t in it ties exactly, so the float reference lands anywhere in
+    # the plateau by rounding noise; the integer law takes the
+    # smallest.  Assert got achieves the max and is the first to.
+    def var_at(t):
+        w0, w1 = p[:t + 1].sum(), p[t + 1:].sum()
+        mu0 = (np.arange(t + 1) * p[:t + 1]).sum() / w0
+        mu1 = (np.arange(t + 1, 256) * p[t + 1:]).sum() / w1
+        return w0 * w1 * (mu0 - mu1) ** 2
+    assert var_at(got) == pytest.approx(best_v, rel=1e-9)
+    assert got <= best_t
+    assert var_at(got - 1) < best_v * (1 - 1e-9)
+    assert 90 < got < 170
+
+
+def test_otsu_mask_two_level_image(spark, mgrid):
+    from aef_mosaic_spark.operators.focal import otsu_mask
+    rows = []
+    for ri in range(NR):
+        for ci in range(NC):
+            arr = np.full((NB, CHH, CHW), 40, np.uint8)
+            arr[:, :CHH // 2, :] = 200       # top half bright
+            rows.append({"time_idx": 0, "row_idx": ri, "col_idx": ci,
+                         "chunk": arr.tobytes()})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    masks, ths = otsu_mask(sdf, mgrid)
+    # two spikes tie across every t in [40, 199]; smallest-t law
+    assert ths == [40] * NB
+    got = _mcollect(masks)
+    for arr in got.values():
+        assert set(np.unique(arr[:, :CHH // 2, :])) == {255}
+        assert set(np.unique(arr[:, CHH // 2:, :])) == {0}
