@@ -2545,6 +2545,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(",".join(str(t) for t in ths)).alias("thresholds"))
     q["q175_otsu_mask"] = q175_otsu_mask
 
+    def q176_sieve(spark, sf):
+        # GDAL-style sieve over the Otsu mask (the full binarize ->
+        # despeckle pipeline): fragment pass + CC sizes -> per-chunk
+        # erase sets broadcast back to ONE fresh scan; regions split
+        # across chunks are sized globally before the verdict
+        # (operators/regions.py). Pinned-fixture oracle.
+        from aef_mosaic_spark.operators.focal import otsu_mask
+        from aef_mosaic_spark.operators.regions import sieve_chunks
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        masks, _ = otsu_mask(chunks, grid)
+        return sieve_chunks(masks, grid, threshold=128, band=0,
+                            min_pixels=24) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("mask_md5"), "n_erased")
+    q["q176_sieve"] = q176_sieve
+
     return _driver_order(q)
 
 
@@ -3574,7 +3592,8 @@ def oracle_sql() -> dict[str, str]:
                    "q146_d8_flow", "q148_flow_accumulation",
                    "q149_focal_median", "q150_distance_transform",
                    "q166_contour_segments", "q171_morphology",
-                   "q172_histogram_match", "q175_otsu_mask"):
+                   "q172_histogram_match", "q175_otsu_mask",
+                   "q176_sieve"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

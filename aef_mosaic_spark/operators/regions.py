@@ -270,3 +270,114 @@ def label_regions(chunks: DataFrame, grid: OutputGrid,
     parts = region_fragments(chunks, grid, threshold, band,
                              chunk_col).localCheckpoint()
     return assemble_regions(parts, min_pixels=min_pixels)
+
+
+def sieve_chunks(chunks: DataFrame, grid: OutputGrid,
+                 threshold: int = 128, band: int = 0,
+                 min_pixels: int = 16,
+                 chunk_col: str = "chunk") -> DataFrame:
+    """GDAL-style sieve filter: remove connected foreground regions
+    smaller than min_pixels from the (band >= threshold) mask ->
+    (time_idx, row_idx, col_idx, chunk, n_erased) with chunk a 1-band
+    uint8 0/255 mask.  The mask-cleanup pass between binarization
+    (--stage otsu) and region extraction (--stage regions): specks
+    below the size floor never become regions downstream.
+
+    Plan shape: pass 1 = region_fragments (the q136 decode+label
+    pass, localCheckpointed — its lineage is CUT so the erase-set
+    join below does NOT recompute the scan); CC + size rollup run on
+    the fragment-sized table; the erase sets collapse to <= one row
+    per AFFECTED chunk (local label ids recovered from the gid
+    encoding) and broadcast-join back to a fresh single scan of the
+    chunks, where the SAME deterministic label_mask reproduces the
+    local labels and zeroes the doomed ones.  Two chunk decodes
+    total, fragment-sized everything else — the exact incremental-
+    regions cost model (BENCH 10o).
+    """
+    import pandas as pd
+
+    chh, chw, nb = grid.chunk_h, grid.chunk_w, grid.num_bands
+    parts = region_fragments(chunks, grid, threshold, band,
+                             chunk_col).localCheckpoint()
+    stats = parts.where(F.col("kind") == 0).select("gid", "n_pix")
+    edges_rows = parts.where(F.col("kind") == 1) \
+        .select(F.col("time_idx").alias("ti"), "side", "j", "gid",
+                F.col("row_idx").alias("ri"), F.col("col_idx").alias("ci"))
+
+    def _adj(lo_side, hi_side, dr, dc):
+        lo = edges_rows.where(F.col("side") == lo_side).select(
+            "ti",
+            (F.col("ri") + dr).alias("ri"), (F.col("ci") + dc).alias("ci"),
+            "j", F.col("gid").alias("id_a"))
+        hi = edges_rows.where(F.col("side") == hi_side).select(
+            "ti", "ri", "ci", "j", F.col("gid").alias("id_b"))
+        return lo.join(hi, on=["ti", "ri", "ci", "j"]) \
+            .select("id_a", "id_b")
+
+    eq_edges = _adj(BOTTOM, TOP, 1, 0).unionByName(_adj(RIGHT, LEFT, 0, 1))
+    cc = connected_components(eq_edges, stats.select(F.col("gid")
+                                                     .alias("id")))
+    sized = (stats.join(cc, stats.gid == cc.id)
+             .groupBy("cluster_id")
+             .agg(F.sum("n_pix").cast("long").alias("tot"),
+                  F.collect_list("gid").alias("gids")))
+    n_rows_g, n_cols = grid.chunk_rows, grid.chunk_cols
+    erase = (sized.where(F.col("tot") < min_pixels)
+             .select(F.explode("gids").alias("gid"))
+             .select(
+                 F.expr(f"CAST(shiftright(gid, {LOCAL_BITS})"
+                        f" div {n_rows_g * n_cols} AS INT)")
+                 .alias("time_idx"),
+                 F.expr(f"CAST((shiftright(gid, {LOCAL_BITS})"
+                        f" div {n_cols}) % {n_rows_g} AS INT)")
+                 .alias("row_idx"),
+                 F.expr(f"CAST(shiftright(gid, {LOCAL_BITS}) % {n_cols} AS INT)")
+                 .alias("col_idx"),
+                 F.expr(f"CAST(gid & {(1 << LOCAL_BITS) - 1} AS INT)")
+                 .alias("lab"))
+             .groupBy("time_idx", "row_idx", "col_idx")
+             .agg(F.collect_set("lab").alias("erase_labs")))
+
+    tcol = (F.col("time_idx") if "time_idx" in chunks.columns
+            else F.lit(0)).cast("int").alias("time_idx")
+    src = (chunks.select(tcol, "row_idx", "col_idx", chunk_col)
+           .join(F.broadcast(erase),
+                 ["time_idx", "row_idx", "col_idx"], "left"))
+
+    def _apply(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs, erased = [], []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(getattr(t, chunk_col), np.uint8) \
+                    .reshape(nb, chh, chw)
+                mask = arr[band] >= threshold
+                labs = t.erase_labs
+                if labs is None or (isinstance(labs, float)):
+                    outs.append((mask.astype(np.uint8) * 255).tobytes())
+                    erased.append(0)
+                    continue
+                labels = label_mask(mask)
+                kill = np.isin(labels, np.asarray(list(labs), np.int64))
+                erased.append(int(kill.sum()))
+                mask = mask & ~kill
+                outs.append((mask.astype(np.uint8) * 255).tobytes())
+            yield pd.DataFrame({
+                "time_idx": pdf["time_idx"], "row_idx": pdf["row_idx"],
+                "col_idx": pdf["col_idx"], "chunk": outs,
+                "n_erased": erased})
+
+    return src.mapInPandas(
+        _apply, schema="time_idx int, row_idx int, col_idx int, "
+                       "chunk binary, n_erased int")
+
+
+def sieve_golden_np(mask: np.ndarray, min_pixels: int) -> np.ndarray:
+    """NumPy golden on the stitched boolean mask: drop components
+    smaller than min_pixels."""
+    labels = label_mask(mask)
+    if labels.max() == 0:
+        return mask.copy()
+    counts = np.bincount(labels.ravel())
+    small = np.flatnonzero(counts < min_pixels)
+    small = small[small > 0]
+    return mask & ~np.isin(labels, small)

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change",
           "regions", "flowacc", "disttrans", "contour", "morpho",
-          "histmatch", "otsu")
+          "histmatch", "otsu", "sieve")
 
 
 def main(argv=None):
@@ -147,6 +147,15 @@ def main(argv=None):
         out_df, ths = otsu_mask(chunks, grid, chunk_col="chunk")
         partition_by = ["time_idx"]
         stage_cfg.update(thresholds=ths)
+    elif args.stage == "sieve":
+        from aef_mosaic_spark.operators.regions import sieve_chunks
+        out_df = sieve_chunks(chunks, grid, threshold=args.threshold,
+                              band=args.band,
+                              min_pixels=args.min_pixels,
+                              chunk_col="chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(threshold=args.threshold, band=args.band,
+                         min_pixels=args.min_pixels)
     elif args.stage == "disttrans":
         from aef_mosaic_spark.operators.focal import distance_transform
         out_df = distance_transform(chunks, grid, iters=args.iters,

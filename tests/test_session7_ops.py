@@ -288,3 +288,48 @@ def test_otsu_mask_two_level_image(spark, mgrid):
     for arr in got.values():
         assert set(np.unique(arr[:, :CHH // 2, :])) == {255}
         assert set(np.unique(arr[:, CHH // 2:, :])) == {0}
+
+
+# ------------------------------------------------------------------ #
+# sieve filter                                                          #
+# ------------------------------------------------------------------ #
+
+def test_sieve_matches_stitched_golden_and_crosses_chunks(spark, mgrid):
+    from aef_mosaic_spark.operators.regions import (sieve_chunks,
+                                                    sieve_golden_np)
+    H, W = CHH * NR, CHW * NC
+    mask = np.zeros((H, W), bool)
+    # large blob (survives)
+    mask[10:30, 10:40] = True
+    # small specks in several chunks (erased)
+    for r, c in ((5, 70), (40, 5), (70, 70), (90, 20)):
+        mask[r:r + 2, c:c + 2] = True
+    # thin region CROSSING a chunk border: per-chunk fragments are
+    # each < min_pixels but the stitched total is >= — it must SURVIVE
+    mask[CHH - 3:CHH + 3, 50:54] = True    # 24 px spanning rows 29..34
+    # small region crossing a border whose TOTAL is still small ->
+    # erased even though it spans two chunks
+    mask[CHH - 1:CHH + 1, 90:92] = True    # 4 px across the border
+    rows = []
+    for ri in range(NR):
+        for ci in range(NC):
+            sub = mask[ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+            arr = np.zeros((NB, CHH, CHW), np.uint8)
+            arr[0] = sub.astype(np.uint8) * 255
+            rows.append({"time_idx": 0, "row_idx": ri, "col_idx": ci,
+                         "chunk": arr.tobytes()})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    out = sieve_chunks(sdf, mgrid, threshold=128, band=0, min_pixels=16)
+    got = {(r.time_idx, r.row_idx, r.col_idx):
+           (np.frombuffer(r.chunk, np.uint8).reshape(CHH, CHW),
+            r.n_erased) for r in out.collect()}
+    golden = sieve_golden_np(mask, 16).astype(np.uint8) * 255
+    total_erased = 0
+    for (t, ri, ci), (arr, ne) in got.items():
+        exp = golden[ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        np.testing.assert_array_equal(arr, exp)
+        total_erased += ne
+    assert total_erased == int(mask.sum() - (golden > 0).sum())
+    # the cross-border 24px region survived; the 4px one did not
+    assert golden[CHH, 50] > 0 and golden[CHH, 90] == 0
+    assert golden[5, 70] == 0 and golden[15, 20] > 0
