@@ -333,6 +333,21 @@ def test_raster_job_derived_products_match_direct(spark, tmp_path):
     cfg7 = json.loads(Icelite(out7).properties()["stage_config"])
     assert cfg7["thresholds"] == exp_ths
 
+    # sieve via the CLI over the otsu mask table == direct operator
+    from aef_mosaic_spark.operators.regions import sieve_chunks
+    out8 = str(tmp_path / "sieve")
+    raster_main(["--table", out7, "--output", out8, "--stage", "sieve",
+                 "--threshold", "128", "--min-pixels", "8"])
+    got8 = {(r.time_idx, r.row_idx, r.col_idx):
+            (bytes(r.chunk), r.n_erased)
+            for r in Icelite(out8).read(spark).collect()}
+    exp8 = {(r.time_idx, r.row_idx, r.col_idx):
+            (bytes(r.chunk), r.n_erased)
+            for r in sieve_chunks(Icelite(out7).read(spark), GRID,
+                                  threshold=128,
+                                  min_pixels=8).collect()}
+    assert got8 == exp8 and len(got8) > 0
+
     # refusals
     with _pt.raises(FileExistsError):
         raster_main(["--table", src, "--output", out1,
