@@ -2563,6 +2563,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.md5(F.col("chunk")).alias("mask_md5"), "n_erased")
     q["q176_sieve"] = q176_sieve
 
+    def q177_spatial_knn(spark, sf):
+        # range-bounded spatial kNN join ("3 nearest depots within 4
+        # degrees"): ring-1 blocking at cell=radius provably covers
+        # the Chebyshev ball, so ONE equi-join, no expanding rings;
+        # per-point windows bounded by local density
+        # (operators/spatial_join.py)
+        from aef_mosaic_spark.operators.spatial_join import (
+            spatial_knn_join)
+        sites = _pq(spark, sf, "supplier").selectExpr(
+            "s_suppkey AS site_id",
+            "(s_suppkey * 23) % 3590 / 10e0 - 179.5e0 AS lon",
+            "(s_suppkey * 29) % 1690 / 10e0 - 84.5e0 AS lat")
+        return spatial_knn_join(_points(spark, sf), sites)
+    q["q177_spatial_knn"] = q177_spatial_knn
+
+    def q178_areal_interpolation(spark, sf):
+        # area-weighted reallocation of box values onto the 1-degree
+        # lattice (census->raster): exact decidegree overlap areas,
+        # truncating micro-unit shares, sequence() fan-out bounded by
+        # the footprint, ONE lattice groupBy
+        # (operators/interpolate.py)
+        from aef_mosaic_spark.operators.interpolate import (
+            areal_interpolation)
+        b = _boxes(spark, sf).withColumn(
+            "v", F.expr("box_id % 100 + 1"))
+        return areal_interpolation(b, "v")
+    q["q178_areal_interpolation"] = q178_areal_interpolation
+
+    def q179_benford_audit(spark, sf):
+        # Benford first-digit audit per order priority: fixed
+        # micro-integer expected probabilities (no engine evaluates a
+        # log), missing digits surface as n_d=0 rows, one groupBy
+        # onto |groups|*9 (functions/features.py)
+        from aef_mosaic_spark.functions.features import benford_audit
+        return benford_audit(_pq(spark, sf, "orders"),
+                             "o_totalprice", "o_orderpriority")
+    q["q179_benford_audit"] = q179_benford_audit
+
     return _driver_order(q)
 
 
@@ -3859,6 +3897,22 @@ def oracle_sql() -> dict[str, str]:
              (event_id * 13) % 1690 / 10e0 - 84.5e0 AS lat
       FROM events""")
     o["q174_ripley_k"] = ripley_k_sql(f"({POINT_SQL})")
+    from aef_mosaic_spark.operators.spatial_join import (
+        spatial_knn_join_sql)
+    o["q177_spatial_knn"] = spatial_knn_join_sql(
+        POINT_SQL,
+        """SELECT s_suppkey AS site_id,
+                  (s_suppkey * 23) % 3590 / 10e0 - 179.5e0 AS lon,
+                  (s_suppkey * 29) % 1690 / 10e0 - 84.5e0 AS lat
+           FROM supplier""")
+    from aef_mosaic_spark.operators.interpolate import (
+        areal_interpolation_sql)
+    o["q178_areal_interpolation"] = areal_interpolation_sql(
+        f"SELECT *, box_id % 100 + 1 AS v FROM ({BOX_SQL})", "v")
+    from aef_mosaic_spark.functions.features import benford_audit_sql
+    o["q179_benford_audit"] = benford_audit_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_totalprice", "o_orderpriority")
     from aef_mosaic_spark.operators.graph import customer_sssp_sql
     o["q164_weighted_sssp"] = customer_sssp_sql("orders", "customer")
     from aef_mosaic_spark.functions.tiles import geohash_sql

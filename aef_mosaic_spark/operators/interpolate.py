@@ -192,3 +192,92 @@ def kde_orders_sql(points_sql: str, step: int = KDE_STEP,
     WHERE {4 * radius * radius} - (ddx * ddx + ddy * ddy) > 0
     GROUP BY cx, cy
     """
+
+
+# ------------------------------------------------------------------ #
+# Areal interpolation — box values redistributed to grid cells        #
+# ------------------------------------------------------------------ #
+
+def areal_interpolation(boxes: DataFrame, value_col: str,
+                        box_id: str = "box_id") -> DataFrame:
+    """Area-weighted reallocation of box-level values onto the
+    1-degree cell grid -> (cx, cy, n_boxes, val_u): the classical
+    areal-interpolation / dasymetric-lite step (census polygons ->
+    analysis raster).  Each box's integer value spreads over the
+    cells it intersects proportionally to exact overlap area.
+
+    All-integer law: box edges snap to decidegrees (floor(deg*10 +
+    0.5)); cell edges are multiples of 10 decidegrees; overlap widths
+    are min/max differences of BIGINTs, so every area is exact; the
+    per-cell share is val * 1e6 * area div total_area (truncating
+    BIGINT micro-units — conservation holds to < 1 micro-unit *
+    cells-per-box).  Degenerate boxes (zero decidegree extent) are
+    excluded.
+
+    Scale shape: covered-cell fan-out is a sequence() explode bounded
+    by the box footprint (no join at all until the final cell
+    groupBy, which is map-side combinable onto the lattice)."""
+    b = (boxes.selectExpr(
+        f"{box_id} AS bid",
+        f"CAST({value_col} AS BIGINT) AS v",
+        "CAST(floor(min_lon * 10 + 0.5e0) AS BIGINT) AS bx0",
+        "CAST(floor(min_lat * 10 + 0.5e0) AS BIGINT) AS by0",
+        "CAST(floor(max_lon * 10 + 0.5e0) AS BIGINT) AS bx1",
+        "CAST(floor(max_lat * 10 + 0.5e0) AS BIGINT) AS by1")
+        .where("bx1 > bx0 AND by1 > by0")
+        .withColumn("atot", F.expr("(bx1 - bx0) * (by1 - by0)")))
+    cells = (b
+             .withColumn("cx", F.expr(
+                 "explode(sequence(CAST(floor(bx0 / 10e0) AS BIGINT),"
+                 " CAST(floor((bx1 - 1) / 10e0) AS BIGINT)))"))
+             .withColumn("cy", F.expr(
+                 "explode(sequence(CAST(floor(by0 / 10e0) AS BIGINT),"
+                 " CAST(floor((by1 - 1) / 10e0) AS BIGINT)))"))
+             .withColumn("w", F.expr(
+                 "least(bx1, (cx + 1) * 10) - greatest(bx0, cx * 10)"))
+             .withColumn("h", F.expr(
+                 "least(by1, (cy + 1) * 10) - greatest(by0, cy * 10)")))
+    return (cells
+            .withColumn("val_u",
+                        F.expr("(v * 1000000 * w * h) div atot"))
+            .groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_boxes"),
+                 F.sum("val_u").cast("long").alias("val_u")))
+
+
+def areal_interpolation_sql(boxes_sql: str, value_col: str,
+                            box_id: str = "box_id") -> str:
+    """DuckDB twin — generate_series is not lateral-joinable with a
+    column argument, and two unnests in ONE select ZIP instead of
+    crossing, so cx and cy each get their own CTE."""
+    return f"""
+    WITH b AS (
+      SELECT {box_id} AS bid, CAST({value_col} AS BIGINT) AS v,
+             CAST(floor(min_lon * 10 + 0.5e0) AS BIGINT) AS bx0,
+             CAST(floor(min_lat * 10 + 0.5e0) AS BIGINT) AS by0,
+             CAST(floor(max_lon * 10 + 0.5e0) AS BIGINT) AS bx1,
+             CAST(floor(max_lat * 10 + 0.5e0) AS BIGINT) AS by1
+      FROM ({boxes_sql})
+      WHERE CAST(floor(max_lon * 10 + 0.5e0) AS BIGINT)
+            > CAST(floor(min_lon * 10 + 0.5e0) AS BIGINT)
+        AND CAST(floor(max_lat * 10 + 0.5e0) AS BIGINT)
+            > CAST(floor(min_lat * 10 + 0.5e0) AS BIGINT)),
+    bx AS (SELECT *, (bx1 - bx0) * (by1 - by0) AS atot,
+                  unnest(generate_series(
+                    CAST(floor(bx0 / 10e0) AS BIGINT),
+                    CAST(floor((bx1 - 1) / 10e0) AS BIGINT))) AS cx
+           FROM b),
+    bxy AS (SELECT *,
+                   unnest(generate_series(
+                     CAST(floor(by0 / 10e0) AS BIGINT),
+                     CAST(floor((by1 - 1) / 10e0) AS BIGINT))) AS cy
+            FROM bx),
+    sh AS (SELECT cx, cy,
+                  (least(bx1, (cx + 1) * 10) - greatest(bx0, cx * 10))
+                  * (least(by1, (cy + 1) * 10) - greatest(by0, cy * 10))
+                  AS area, v, atot
+           FROM bxy)
+    SELECT cx, cy, count(*)::BIGINT AS n_boxes,
+           sum((v * 1000000 * area) // atot)::BIGINT AS val_u
+    FROM sh GROUP BY cx, cy
+    """

@@ -333,3 +333,96 @@ def test_sieve_matches_stitched_golden_and_crosses_chunks(spark, mgrid):
     # the cross-border 24px region survived; the 4px one did not
     assert golden[CHH, 50] > 0 and golden[CHH, 90] == 0
     assert golden[5, 70] == 0 and golden[15, 20] > 0
+
+
+# ------------------------------------------------------------------ #
+# spatial kNN join / areal interpolation / Benford                    #
+# ------------------------------------------------------------------ #
+
+def test_spatial_knn_matches_bruteforce(spark):
+    from aef_mosaic_spark.operators.spatial_join import spatial_knn_join
+    rng = np.random.RandomState(11)
+    pts = rng.uniform(-30, 30, (200, 2))
+    sts = rng.uniform(-30, 30, (60, 2))
+    pdf = pd.DataFrame({"point_id": np.arange(200),
+                        "lon": pts[:, 0], "lat": pts[:, 1]})
+    sdf = pd.DataFrame({"site_id": np.arange(60),
+                        "lon": sts[:, 0], "lat": sts[:, 1]})
+    got = {}
+    for r in spatial_knn_join(spark.createDataFrame(pdf),
+                              spark.createDataFrame(sdf),
+                              k=3, radius_deg=4).collect():
+        got.setdefault(r["point_id"], []).append(
+            (r["rank"], r["site_id"], r["d2"]))
+    ip = np.floor(pts * 1e6 + 0.5).astype(np.int64)
+    isx = np.floor(sts * 1e6 + 0.5).astype(np.int64)
+    ru = 4_000_000
+    n_checked = 0
+    for i in range(200):
+        dx = ip[i, 0] - isx[:, 0]
+        dy = ip[i, 1] - isx[:, 1]
+        inr = np.maximum(np.abs(dx), np.abs(dy)) <= ru
+        cand = sorted((int(dx[j] * dx[j] + dy[j] * dy[j]), j)
+                      for j in np.flatnonzero(inr))[:3]
+        exp = [(r + 1, j, d2) for r, (d2, j) in enumerate(cand)]
+        assert sorted(got.get(i, [])) == exp, i
+        n_checked += len(exp)
+    assert n_checked > 100   # the scenario actually exercises matches
+
+
+def test_areal_interpolation_conservation_and_overlap(spark):
+    from aef_mosaic_spark.operators.interpolate import areal_interpolation
+    # one box exactly covering 2x1 cells -> 50/50 split; one box
+    # 25%/75% split across a cell edge
+    b = pd.DataFrame([
+        (1, 0.0, 0.0, 2.0, 1.0, 10),
+        (2, 4.5, 0.0, 6.5, 1.0, 8),
+    ], columns=["box_id", "min_lon", "min_lat", "max_lon", "max_lat",
+                "v"])
+    got = {(r["cx"], r["cy"]): r for r in
+           areal_interpolation(spark.createDataFrame(b), "v").collect()}
+    assert got[(0, 0)]["val_u"] == 5_000_000
+    assert got[(1, 0)]["val_u"] == 5_000_000
+    # box 2: [45, 65] decideg -> cell 4 gets 5/20, cell 5 10/20, cell 6 5/20
+    assert got[(4, 0)]["val_u"] == 2_000_000
+    assert got[(5, 0)]["val_u"] == 4_000_000
+    assert got[(6, 0)]["val_u"] == 2_000_000
+    total = sum(r["val_u"] for r in got.values())
+    assert total == 18_000_000   # conservation (exact here)
+
+
+def test_benford_conforming_vs_uniform(spark):
+    from aef_mosaic_spark.functions.features import (BENFORD_P_U,
+                                                     benford_audit)
+    rng = np.random.RandomState(2)
+    # log-uniform magnitudes follow Benford; linear-uniform do not
+    conf = np.power(10.0, rng.uniform(0, 4, 20000))
+    unif = rng.uniform(1, 9.999, 20000) * 1000
+    df = pd.DataFrame({
+        "grp": ["conf"] * 20000 + ["unif"] * 20000,
+        "value": np.concatenate([conf, unif])})
+    got = {(r["grp"], r["digit"]): r for r in
+           benford_audit(spark.createDataFrame(df), "value",
+                         "grp").collect()}
+    assert len(got) == 18
+    chi_conf = sum(got[("conf", d)]["dev_q"] for d in range(1, 10))
+    chi_unif = sum(got[("unif", d)]["dev_q"] for d in range(1, 10))
+    assert chi_unif > 50 * max(chi_conf, 1e-9)
+    # exact law spot check
+    r = got[("unif", 1)]
+    a = r["n_d"] * 1_000_000 - r["n"] * BENFORD_P_U[0]
+    exp = np.floor(a * a / (1e6 * r["n"] * BENFORD_P_U[0]) * 1e6
+                   + 0.5) / 1e6
+    assert r["dev_q"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_benford_missing_digit_surfaces(spark):
+    from aef_mosaic_spark.functions.features import benford_audit
+    df = pd.DataFrame({"grp": ["g"] * 50,
+                       "value": [200.0 + i for i in range(50)]})
+    got = {r["digit"]: r for r in
+           benford_audit(spark.createDataFrame(df), "value",
+                         "grp").collect()}
+    assert got[2]["n_d"] == 50
+    assert all(got[d]["n_d"] == 0 for d in range(1, 10) if d != 2)
+    assert got[1]["dev_q"] > 0
