@@ -2601,6 +2601,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              "o_totalprice", "o_orderpriority")
     q["q179_benford_audit"] = q179_benford_audit
 
+    def q180_colocation(spark, sf):
+        # spatial colocation mining (participation ratios per ordered
+        # type pair): eps-cell blocked join + DISTINCT a-instances +
+        # |types|^2 groupBy; "which event types occur near each
+        # other" (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import (
+            colocation_patterns)
+        ev = _pq(spark, sf, "events").selectExpr(
+            "event_id AS pid", "event_type AS etype",
+            "(event_id * 7) % 3590 / 10e0 - 179.5e0 AS lon",
+            "(event_id * 13) % 1690 / 10e0 - 84.5e0 AS lat")
+        return colocation_patterns(ev)
+    q["q180_colocation"] = q180_colocation
+
+    def q181_co_travelers(spark, sf):
+        # co-traveler detection: user pairs sharing >= 3 distinct
+        # (cell, hour) keys; crowd keys (occupancy cap) excluded
+        # BEFORE pairing — the df-cap argument in space-time. Fixes
+        # synthesize 5-user convoys (user_id div 5) so the signal is
+        # planted and scale-free (operators/sessions.py)
+        from aef_mosaic_spark.operators.sessions import co_travelers
+        ev = _pq(spark, sf, "events").selectExpr(
+            "user_id",
+            "CAST(unix_timestamp(ts) AS BIGINT) div 3600 AS tb",
+            "((user_id div 5) * 31 + (CAST(unix_timestamp(ts) AS"
+            " BIGINT) div 3600) * 7) % 100 AS cx",
+            "((user_id div 5) * 17 + (CAST(unix_timestamp(ts) AS"
+            " BIGINT) div 3600) * 13) % 50 AS cy")
+        return co_travelers(ev)
+    q["q181_co_travelers"] = q181_co_travelers
+
     return _driver_order(q)
 
 
@@ -3905,6 +3936,22 @@ def oracle_sql() -> dict[str, str]:
                   (s_suppkey * 23) % 3590 / 10e0 - 179.5e0 AS lon,
                   (s_suppkey * 29) % 1690 / 10e0 - 84.5e0 AS lat
            FROM supplier""")
+    from aef_mosaic_spark.operators.spatial_stats import (
+        colocation_patterns_sql)
+    o["q180_colocation"] = colocation_patterns_sql("""
+      SELECT event_id AS pid, event_type AS etype,
+             (event_id * 7) % 3590 / 10e0 - 179.5e0 AS lon,
+             (event_id * 13) % 1690 / 10e0 - 84.5e0 AS lat
+      FROM events""")
+    from aef_mosaic_spark.operators.sessions import co_travelers_sql
+    o["q181_co_travelers"] = co_travelers_sql("""
+      SELECT user_id,
+             floor(epoch(ts))::BIGINT // 3600 AS tb,
+             ((user_id // 5) * 31
+              + (floor(epoch(ts))::BIGINT // 3600) * 7) % 100 AS cx,
+             ((user_id // 5) * 17
+              + (floor(epoch(ts))::BIGINT // 3600) * 13) % 50 AS cy
+      FROM events""")
     from aef_mosaic_spark.operators.interpolate import (
         areal_interpolation_sql)
     o["q178_areal_interpolation"] = areal_interpolation_sql(

@@ -329,3 +329,73 @@ def stay_transitions_sql(table: str = "events", **stay_kwargs) -> str:
     FROM t WHERE tx IS NOT NULL
     GROUP BY cell_x, cell_y, tx, ty
     """
+
+
+# ------------------------------------------------------------------ #
+# Co-traveler detection (shared space-time keys)                      #
+# ------------------------------------------------------------------ #
+
+COTRAVEL_MIN_SHARED = 3
+COTRAVEL_MAX_OCCUPANCY = 50
+
+
+def co_travelers(fixes: DataFrame, user_col: str = "user_id",
+                 cell_cols=("cx", "cy"), tb_col: str = "tb",
+                 min_shared: int = COTRAVEL_MIN_SHARED,
+                 max_occupancy: int = COTRAVEL_MAX_OCCUPANCY
+                 ) -> DataFrame:
+    """User pairs observed together in >= min_shared distinct
+    (cell, time-bucket) keys -> (user_a, user_b, n_shared): convoy /
+    co-movement detection over sparse location fixes.
+
+    Law: presence is DISTINCT per (user, cell, tb) — dwell length in
+    one key counts once; keys whose occupancy exceeds max_occupancy
+    (distinct users) are excluded BEFORE pairing: a stadium cell-hour
+    carries no co-movement signal and is exactly the quadratic hot
+    join key (the q170 df-cap argument in space-time).  Pairs ordered
+    user_a < user_b.
+
+    Scale shape: one distinct on (user, cell, tb); occupancy counted
+    by ONE window over the same exchange; the self-join fan-out is
+    then bounded by max_occupancy^2 per key; final groupBy is
+    map-side combinable onto the pair table."""
+    from pyspark.sql import Window
+
+    cc = list(cell_cols)
+    pres = (fixes.select(F.col(user_col).alias("u"), *cc,
+                         F.col(tb_col).alias("tb"))
+            .distinct())
+    w = Window.partitionBy(*cc, "tb")
+    pres = (pres.withColumn("occ", F.count(F.lit(1)).over(w))
+            .where(F.col("occ") <= max_occupancy)
+            .drop("occ"))
+    a = pres.select(F.col("u").alias("user_a"), *cc, "tb")
+    b = pres.select(F.col("u").alias("user_b"), *cc, "tb")
+    return (a.join(b, cc + ["tb"])
+            .where(F.col("user_a") < F.col("user_b"))
+            .groupBy("user_a", "user_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+def co_travelers_sql(source_sql: str, user_col: str = "user_id",
+                     cell_cols=("cx", "cy"), tb_col: str = "tb",
+                     min_shared: int = COTRAVEL_MIN_SHARED,
+                     max_occupancy: int = COTRAVEL_MAX_OCCUPANCY
+                     ) -> str:
+    cc = ", ".join(cell_cols)
+    on = " AND ".join(f"b.{c} = a.{c}" for c in cell_cols)
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {user_col} AS u, {cc}, {tb_col} AS tb
+      FROM ({source_sql})),
+    pres AS MATERIALIZED (
+      SELECT u, {cc}, tb FROM (
+        SELECT *, count(*) OVER (PARTITION BY {cc}, tb) AS occ
+        FROM pres0)
+      WHERE occ <= {max_occupancy})
+    SELECT a.u AS user_a, b.u AS user_b, count(*)::BIGINT AS n_shared
+    FROM pres a JOIN pres b ON {on} AND b.tb = a.tb AND a.u < b.u
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """

@@ -475,3 +475,111 @@ def ripley_k_sql(source_sql: str, radii_mdeg=RIPLEY_RADII_MDEG,
     t AS (SELECT count(*)::BIGINT AS n_points FROM blk)
     {sel}
     """
+
+
+# ------------------------------------------------------------------ #
+# Colocation pattern mining (participation ratios)                    #
+# ------------------------------------------------------------------ #
+
+COLOC_RADIUS_MDEG = 2_000_000
+
+
+def colocation_patterns(points: DataFrame,
+                        type_col: str = "etype",
+                        id_col: str = "pid",
+                        radius_mdeg: int = COLOC_RADIUS_MDEG,
+                        lon_col: str = "lon",
+                        lat_col: str = "lat") -> DataFrame:
+    """Spatial colocation mining (Shekhar & Huang 2001) -> one row
+    per ORDERED type pair: (type_a, type_b, n_a, n_near, pr_q) where
+    pr = |{a in A with >= 1 B instance within r}| / |A| — the
+    participation ratio; min over the two directions is the
+    participation index.  "Which feature types systematically occur
+    near each other" — the categorical sibling of Ripley's K.
+
+    Law: Euclidean BIGINT squared-microdegree distance (d2 <= r^2),
+    self-pairs excluded by id, participation counts are DISTINCT
+    a-instances (an a with many nearby b counts once).
+
+    Scale shape: the q174 eps-cell blocked join (cell = r, 9-offset
+    explode on the left, shuffle_hash pinned), then distinct on
+    (type_a, type_b, a-id) and a groupBy onto the |types|^2 table;
+    totals derive from ONE type-count aggregate broadcast back."""
+    pts = (points.select(
+        F.col(id_col).alias("pid"), F.col(type_col).alias("t"),
+        F.expr(f"CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT)")
+        .alias("ix"),
+        F.expr(f"CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT)")
+        .alias("iy"))
+        .withColumn("bx", F.expr(f"CAST(floor(ix / {radius_mdeg}e0)"
+                                 f" AS BIGINT)"))
+        .withColumn("by", F.expr(f"CAST(floor(iy / {radius_mdeg}e0)"
+                                 f" AS BIGINT)"))
+        .localCheckpoint(eager=True))
+    totals = pts.groupBy(F.col("t").alias("type_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    lhs = (pts.select(F.col("pid").alias("pa"), F.col("t").alias("ta"),
+                      F.col("ix").alias("ax"), F.col("iy").alias("ay"),
+                      "bx", "by", off)
+           .select("pa", "ta", "ax", "ay",
+                   (F.col("bx") + F.col("o.dx")).alias("bx"),
+                   (F.col("by") + F.col("o.dy")).alias("by")))
+    near = (lhs.hint("shuffle_hash")
+            .join(pts.select(F.col("pid").alias("pb"),
+                             F.col("t").alias("tb_"), "ix", "iy",
+                             "bx", "by"), ["bx", "by"])
+            .where((F.col("pa") != F.col("pb"))
+                   & (F.col("ta") != F.col("tb_"))
+                   & (F.expr("(ax - ix) * (ax - ix)"
+                             " + (ay - iy) * (ay - iy)")
+                      <= radius_mdeg * radius_mdeg))
+            .select(F.col("ta").alias("type_a"),
+                    F.col("tb_").alias("type_b"), "pa")
+            .distinct())
+    return (near.groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+            .join(F.broadcast(totals), "type_a")
+            .select("type_a", "type_b", "n_a", "n_near",
+                    F.expr(_Q6.format(
+                        expr="CAST(n_near AS DOUBLE)"
+                             " / CAST(n_a AS DOUBLE)")).alias("pr_q")))
+
+
+def colocation_patterns_sql(source_sql: str,
+                            type_col: str = "etype",
+                            id_col: str = "pid",
+                            radius_mdeg: int = COLOC_RADIUS_MDEG,
+                            lon_col: str = "lon",
+                            lat_col: str = "lat") -> str:
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT {id_col} AS pid, {type_col} AS t,
+             CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT) AS ix,
+             CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT) AS iy
+      FROM ({source_sql})),
+    blk AS MATERIALIZED (
+      SELECT *, CAST(floor(ix / {radius_mdeg}e0) AS BIGINT) AS bx,
+             CAST(floor(iy / {radius_mdeg}e0) AS BIGINT) AS by
+      FROM pts),
+    near AS (
+      SELECT DISTINCT a.t AS type_a, b.t AS type_b, a.pid AS pa
+      FROM blk a
+      JOIN (VALUES {offs}) o(dx, dy) ON true
+      JOIN blk b ON b.bx = a.bx + o.dx AND b.by = a.by + o.dy
+       AND a.pid != b.pid AND a.t != b.t
+       AND (a.ix - b.ix) * (a.ix - b.ix)
+           + (a.iy - b.iy) * (a.iy - b.iy)
+           <= {radius_mdeg}::BIGINT * {radius_mdeg}::BIGINT),
+    tot AS (SELECT t AS type_a, count(*)::BIGINT AS n_a
+            FROM blk GROUP BY 1)
+    SELECT n.type_a, n.type_b, t.n_a, count(*)::BIGINT AS n_near,
+           floor(CAST(count(*) AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                 * 1e6 + 0.5e0) / 1e6 AS pr_q
+    FROM near n JOIN tot t ON t.type_a = n.type_a
+    GROUP BY n.type_a, n.type_b, t.n_a
+    """

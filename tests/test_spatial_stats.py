@@ -178,3 +178,51 @@ def test_ripley_k_matches_bruteforce_and_detects_clustering(spark):
 
     c, u = run(clustered), run(uniform)
     assert c[500000]["mean_neighbors_q"] > 5 * u[500000]["mean_neighbors_q"]
+
+
+def test_colocation_participation_golden(spark):
+    from aef_mosaic_spark.operators.spatial_stats import (
+        colocation_patterns)
+    # type A at x=0,2,4..; type B at x+0.5 near HALF the A's; type C
+    # far away -> pr(A,B) = 0.5, pr(B,A) = 1.0, no (A,C) rows
+    rows = []
+    pid = 0
+    for i in range(10):
+        rows.append((pid, "A", 10.0 * i, 0.0)); pid += 1
+    for i in range(5):
+        rows.append((pid, "B", 10.0 * i + 0.5, 0.5)); pid += 1
+    for i in range(4):
+        rows.append((pid, "C", 10.0 * i, 200.0)); pid += 1
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pid", "etype", "lon", "lat"]))
+    got = {(r["type_a"], r["type_b"]): r
+           for r in colocation_patterns(pts).collect()}
+    assert got[("A", "B")]["pr_q"] == pytest.approx(0.5)
+    assert got[("A", "B")]["n_a"] == 10 and got[("A", "B")]["n_near"] == 5
+    assert got[("B", "A")]["pr_q"] == pytest.approx(1.0)
+    assert ("A", "C") not in got and ("C", "A") not in got
+
+
+def test_co_travelers_convoys_and_occupancy_cap(spark):
+    import pandas as pd
+    from aef_mosaic_spark.operators.sessions import co_travelers
+    rows = []
+    # convoy: users 1,2 share cells across 5 hours; user 3 overlaps
+    # only twice (below min_shared=3); hour 100 is a CROWD key (60
+    # users in one cell) that must not create pairs
+    for t in range(5):
+        rows += [(1, 7 + t, 0, t), (2, 7 + t, 0, t)]
+    rows += [(3, 7, 0, 0), (3, 8, 0, 1)]
+    for u in range(100, 160):
+        rows.append((u, 5, 5, 100))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "cx", "cy", "tb"]))
+    got = {(r["user_a"], r["user_b"]): r["n_shared"]
+           for r in co_travelers(df).collect()}
+    assert got == {(1, 2): 5}
+    # raising the cap above the crowd size lets the crowd pair
+    got2 = co_travelers(df, max_occupancy=100).count()
+    assert got2 == 1 + 0  # crowd keys shared only ONCE -> still below
+    # min_shared; lower min_shared to see them
+    got3 = co_travelers(df, min_shared=1, max_occupancy=100).count()
+    assert got3 > 1000
