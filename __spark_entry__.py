@@ -2632,6 +2632,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return co_travelers(ev)
     q["q181_co_travelers"] = q181_co_travelers
 
+    def q182_huff_catchment(spark, sf):
+        # Huff gravity catchment: p(point -> site) = (w/d^2) over
+        # in-range sites; integer decay on squared-half-centidegree
+        # units, ring-1 blocked join, ONE window sum per point
+        # (operators/interpolate.py)
+        from aef_mosaic_spark.operators.interpolate import (
+            huff_probabilities)
+        sites = _pq(spark, sf, "supplier").selectExpr(
+            "s_suppkey AS site_id",
+            "s_suppkey % 50 + 1 AS w",
+            "(s_suppkey * 23) % 3590 / 10e0 - 179.5e0 AS lon",
+            "(s_suppkey * 29) % 1690 / 10e0 - 84.5e0 AS lat")
+        return huff_probabilities(_points(spark, sf), sites)
+    q["q182_huff_catchment"] = q182_huff_catchment
+
     return _driver_order(q)
 
 
@@ -3956,6 +3971,14 @@ def oracle_sql() -> dict[str, str]:
         areal_interpolation_sql)
     o["q178_areal_interpolation"] = areal_interpolation_sql(
         f"SELECT *, box_id % 100 + 1 AS v FROM ({BOX_SQL})", "v")
+    from aef_mosaic_spark.operators.interpolate import (
+        huff_probabilities_sql)
+    o["q182_huff_catchment"] = huff_probabilities_sql(
+        POINT_SQL,
+        """SELECT s_suppkey AS site_id, s_suppkey % 50 + 1 AS w,
+                  (s_suppkey * 23) % 3590 / 10e0 - 179.5e0 AS lon,
+                  (s_suppkey * 29) % 1690 / 10e0 - 84.5e0 AS lat
+           FROM supplier""")
     from aef_mosaic_spark.functions.features import benford_audit_sql
     o["q179_benford_audit"] = benford_audit_sql(
         "SELECT o_orderpriority, o_totalprice FROM orders",

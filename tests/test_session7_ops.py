@@ -426,3 +426,39 @@ def test_benford_missing_digit_surfaces(spark):
     assert got[2]["n_d"] == 50
     assert all(got[d]["n_d"] == 0 for d in range(1, 10) if d != 2)
     assert got[1]["dev_q"] > 0
+
+
+# ------------------------------------------------------------------ #
+# Huff gravity catchment                                               #
+# ------------------------------------------------------------------ #
+
+def test_huff_probabilities_golden(spark):
+    from aef_mosaic_spark.operators.interpolate import (HUFF_WSCALE,
+                                                        huff_probabilities)
+    # one point, three sites: nearer/heavier sites take more share
+    pts = pd.DataFrame({"point_id": [1], "lon": [0.0], "lat": [0.0]})
+    sts = pd.DataFrame({
+        "site_id": [10, 20, 30, 40],
+        "w": [10, 10, 40, 10],
+        "lon": [0.5, 1.0, 1.0, 99.0],   # site 40 out of range
+        "lat": [0.0, 0.0, 0.0, 0.0]})
+    got = {r["site_id"]: r for r in huff_probabilities(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(sts)).collect()}
+    assert set(got) == {10, 20, 30}
+    # golden integer law
+    def score(w, deg):
+        d2 = int(np.floor(deg * 1e6 + 0.5)) ** 2
+        return (w * HUFF_WSCALE) // (d2 // 10_000_000_000 + 1)
+    s = {10: score(10, 0.5), 20: score(20, 1.0) if False else score(10, 1.0),
+         30: score(40, 1.0)}
+    tot = sum(s.values())
+    for sid in (10, 20, 30):
+        assert got[sid]["score"] == s[sid]
+        exp = np.floor(s[sid] / tot * 1e6 + 0.5) / 1e6
+        assert got[sid]["p_q"] == pytest.approx(exp, abs=1e-9)
+    # nearer beats farther at equal weight; heavier beats lighter at
+    # equal distance
+    assert got[10]["p_q"] > got[20]["p_q"]
+    assert got[30]["p_q"] == pytest.approx(4 * got[20]["p_q"], rel=1e-4)
+    assert sum(r["p_q"] for r in got.values()) == pytest.approx(1.0, abs=1e-5)
