@@ -2647,6 +2647,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return huff_probabilities(_points(spark, sf), sites)
     q["q182_huff_catchment"] = q182_huff_catchment
 
+    def q183_morton_pruning(spark, sf):
+        # bbox -> exact morton interval decomposition (the
+        # index-pruning primitive for the morton-clustered layout of
+        # BENCH 10l): the query filters ONLY by the 42 contiguous key
+        # ranges — the oracle is the direct tile-rect predicate, so a
+        # gate pass proves the decomposition covers the rect exactly
+        # (functions/tiles.py)
+        from aef_mosaic_spark.functions.tiles import (
+            morton_range_predicate, morton_ranges, with_tile_keys)
+        pts = with_tile_keys(_points(spark, sf), zoom=8)
+        ranges = morton_ranges(130, 169, 90, 113, 8, max_ranges=None)
+        return (pts.where(F.expr(morton_range_predicate(ranges)))
+                .select("point_id", "tile_x", "tile_y", "morton"))
+    q["q183_morton_pruning"] = q183_morton_pruning
+
     return _driver_order(q)
 
 
@@ -3979,6 +3994,11 @@ def oracle_sql() -> dict[str, str]:
                   (s_suppkey * 23) % 3590 / 10e0 - 179.5e0 AS lon,
                   (s_suppkey * 29) % 1690 / 10e0 - 84.5e0 AS lat
            FROM supplier""")
+    from aef_mosaic_spark.functions.tiles import tile_keys_sql as _tks
+    o["q183_morton_pruning"] = (
+        f"SELECT * FROM ({_tks(f'({POINT_SQL})', 'point_id', 'lon', 'lat', zoom=8)})"
+        f" WHERE tile_x BETWEEN 130 AND 169"
+        f" AND tile_y BETWEEN 90 AND 113")
     from aef_mosaic_spark.functions.features import benford_audit_sql
     o["q179_benford_audit"] = benford_audit_sql(
         "SELECT o_orderpriority, o_totalprice FROM orders",

@@ -284,3 +284,66 @@ def geohash_sql(table: str, id_col: str, lon_sql: str, lat_sql: str,
     g2 AS (SELECT id, gx, gy, ({e['gh']})::BIGINT AS gh FROM g1)
     SELECT id, gx, gy, gh, {e['geohash']} AS geohash FROM g2
     """
+
+
+# ------------------------------------------------------------------ #
+# Morton range decomposition — bbox -> contiguous key intervals       #
+# ------------------------------------------------------------------ #
+
+def morton_ranges(tx0: int, tx1: int, ty0: int, ty1: int, zoom: int,
+                  max_ranges: int = 64) -> list[tuple[int, int]]:
+    """Exact quadtree decomposition of the tile rectangle
+    [tx0..tx1] x [ty0..ty1] into disjoint, sorted, merged morton key
+    intervals [lo, hi] (inclusive) — the index-pruning primitive for
+    morton-clustered tables (BENCH 10l): a bbox probe becomes a
+    union of CONTIGUOUS key ranges, each of which maps to a run of
+    parquet row groups / icelite files under the clustered layout.
+
+    An axis-aligned power-of-2 quad block holds a contiguous morton
+    interval, so the recursion emits whole blocks where the rect
+    fully covers them and splits otherwise; adjacent intervals merge.
+    If more than max_ranges survive, the smallest inter-range gaps
+    are greedily merged — the result then OVER-covers and callers
+    must keep the exact tx/ty residual predicate (the standard
+    range-scan refinement); with max_ranges = None the decomposition
+    is exact and the residual is unnecessary."""
+    n = 1 << zoom
+    if not (0 <= tx0 <= tx1 < n and 0 <= ty0 <= ty1 < n):
+        raise ValueError("tile rect out of range for zoom")
+    out: list[list[int]] = []
+
+    def rec(x: int, y: int, size: int, lo: int) -> None:
+        if x > tx1 or x + size - 1 < tx0 or y > ty1 or y + size - 1 < ty0:
+            return
+        if x >= tx0 and x + size - 1 <= tx1 \
+                and y >= ty0 and y + size - 1 <= ty1:
+            out.append([lo, lo + size * size - 1])
+            return
+        h = size // 2
+        q = h * h
+        rec(x, y, h, lo)
+        rec(x + h, y, h, lo + q)
+        rec(x, y + h, h, lo + 2 * q)
+        rec(x + h, y + h, h, lo + 3 * q)
+
+    rec(0, 0, n, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    if max_ranges is not None:
+        while len(merged) > max_ranges:
+            gi = min(range(len(merged) - 1),
+                     key=lambda i: merged[i + 1][0] - merged[i][1])
+            merged[gi][1] = merged[gi + 1][1]
+            del merged[gi + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def morton_range_predicate(ranges, col: str = "morton") -> str:
+    """OR-of-BETWEEN SQL predicate (valid in both dialects)."""
+    return "(" + " OR ".join(
+        f"{col} BETWEEN {lo} AND {hi}" for lo, hi in ranges) + ")"

@@ -226,3 +226,33 @@ def test_co_travelers_convoys_and_occupancy_cap(spark):
     # min_shared; lower min_shared to see them
     got3 = co_travelers(df, min_shared=1, max_occupancy=100).count()
     assert got3 > 1000
+
+
+def test_morton_ranges_exact_capped_and_disjoint():
+    from aef_mosaic_spark.functions.tiles import morton_ranges
+
+    def deinterleave(m):
+        x = y = 0
+        for i in range(16):
+            x |= ((m >> (2 * i)) & 1) << i
+            y |= ((m >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    r = morton_ranges(130, 169, 90, 113, 8, max_ranges=None)
+    # sorted, disjoint, merged
+    for (l0, h0), (l1, h1) in zip(r, r[1:]):
+        assert h0 + 1 < l1
+    cells = {deinterleave(m) for lo, hi in r for m in range(lo, hi + 1)}
+    assert cells == {(x, y) for x in range(130, 170)
+                     for y in range(90, 114)}
+    # capped version over-covers but never under-covers
+    r16 = morton_ranges(130, 169, 90, 113, 8, max_ranges=16)
+    assert len(r16) <= 16
+    c16 = {deinterleave(m) for lo, hi in r16 for m in range(lo, hi + 1)}
+    assert cells <= c16
+    # aligned block is ONE range
+    assert morton_ranges(0, 255, 0, 255, 8, max_ranges=None) \
+        == [(0, 65535)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        morton_ranges(0, 256, 0, 10, 8)
