@@ -2662,6 +2662,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("point_id", "tile_x", "tile_y", "morton"))
     q["q183_morton_pruning"] = q183_morton_pruning
 
+    def q184_basin_labels(spark, sf):
+        # T-hop watershed delineation over the D8 grid (labels pull
+        # one pixel per round through chained halo exchanges; sinks
+        # are the fixed point, off-raster drains read 0) — completes
+        # d8 (q146) -> accumulation (q148) -> basins. Pinned fixture.
+        from aef_mosaic_spark.operators.focal import (basin_labels,
+                                                      focal_chunks)
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        d8 = focal_chunks(chunks, grid, op="d8", radius=1)
+        return basin_labels(d8, grid, iters=12, band=0) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("labels_md5"),
+                    "n_parts")
+    q["q184_basin_labels"] = q184_basin_labels
+
     return _driver_order(q)
 
 
@@ -3692,7 +3709,7 @@ def oracle_sql() -> dict[str, str]:
                    "q149_focal_median", "q150_distance_transform",
                    "q166_contour_segments", "q171_morphology",
                    "q172_histogram_match", "q175_otsu_mask",
-                   "q176_sieve"):
+                   "q176_sieve", "q184_basin_labels"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -1038,3 +1038,124 @@ def otsu_mask(chunks: DataFrame, grid: OutputGrid,
             yield pdf
 
     return chunks.mapInPandas(_apply, schema=out_schema), ths
+
+
+# ------------------------------------------------------------------ #
+# Watershed basins — iterated D8 label propagation                    #
+# ------------------------------------------------------------------ #
+
+BASIN_ITERS = 12
+
+# target offset (dy, dx) per D8 code, same ESRI order as _D8_CODES
+_D8_TARGET = ((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+              (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+
+
+def _basin_kernel():
+    """One label-pull round over the packed 5-band state
+    [d8, lab>>24, lab>>16, lab>>8, lab&255]: every cell takes the
+    label of its D8 target (sinks, d8 = 0, keep their own — the fixed
+    point), so after T rounds a cell holds the id of the cell
+    min(T, path length) steps downstream.  Labels of cells draining
+    past the raster edge become 0 (the zero padding), the documented
+    off-raster drain."""
+    def k(pad: np.ndarray) -> np.ndarray:
+        d8 = pad[0]
+        l = pad[1:5].astype(np.uint32)
+        lab = (l[0] << 24) | (l[1] << 16) | (l[2] << 8) | l[3]
+        H, W = pad.shape[1] - 2, pad.shape[2] - 2
+        cd8 = d8[1:-1, 1:-1]
+        new = lab[1:-1, 1:-1].copy()
+        for dy, dx, code in _D8_TARGET:
+            m = cd8 == code
+            new[m] = lab[1 + dy:1 + dy + H, 1 + dx:1 + dx + W][m]
+        return np.stack([cd8,
+                         (new >> 24) & 255, (new >> 16) & 255,
+                         (new >> 8) & 255, new & 255]).astype(np.uint8)
+    return k
+
+
+def basin_labels(d8_chunks: DataFrame, grid: OutputGrid,
+                 iters: int = BASIN_ITERS, band: int = 0,
+                 chunk_col: str = "chunk") -> DataFrame:
+    """T-hop watershed delineation over a committed D8 table ->
+    (time_idx, row_idx, col_idx, chunk, n_parts) with chunk a 4-band
+    big-endian uint32 label raster: each cell labeled by the global
+    id (row*W + col + 1) of the cell `iters` D8 steps downstream —
+    the basin (sink) id wherever the flow path is shorter than
+    `iters`, 0 where flow exits the raster.  Completes the hydrology
+    stack d8 (q146) -> accumulation (q148) -> basins.
+
+    Scale shape: identical to flow_accumulation — `iters` chained
+    radius-1 halo exchanges of the 5-band state (labels move one
+    pixel per round, so only edge strips ship); the chain is linear,
+    one lazy plan, no checkpoint.  32-bit labels cap the raster at
+    2^32 cells; a 100 TB DEM widens the state to 8 label bands, same
+    kernel."""
+    import pandas as pd
+
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+    wtot = grid.chunk_cols * chw
+
+    def _pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                d = np.frombuffer(getattr(t, chunk_col), np.uint8) \
+                    .reshape(nb, chh, chw)[band]
+                oy = int(t.row_idx) * chh
+                ox = int(t.col_idx) * chw
+                rr, cc = np.mgrid[0:chh, 0:chw]
+                lab = ((oy + rr).astype(np.uint32) * wtot
+                       + (ox + cc) + 1)
+                state = np.stack([d,
+                                  (lab >> 24) & 255, (lab >> 16) & 255,
+                                  (lab >> 8) & 255, lab & 255]) \
+                    .astype(np.uint8)
+                rows.append((int(t.time_idx), int(t.row_idx),
+                             int(t.col_idx), state.tobytes(), 1))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "chunk", "n_parts"])
+
+    tcol = (F.col("time_idx") if "time_idx" in d8_chunks.columns
+            else F.lit(0)).cast("int").alias("time_idx")
+    src = d8_chunks.select(tcol, "row_idx", "col_idx", chunk_col)
+    state = src.mapInPandas(_pack, schema=_OUT_SCHEMA)
+    kernel = _basin_kernel()
+    for _ in range(iters):
+        state = _halo_pass(state, n_rows=grid.chunk_rows,
+                           n_cols=grid.chunk_cols, nbands=5,
+                           chh=chh, chw=chw, r=1, kernel=kernel)
+
+    def _strip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                s = np.frombuffer(t.chunk, np.uint8).reshape(
+                    5, chh, chw)
+                rows.append((int(t.time_idx), int(t.row_idx),
+                             int(t.col_idx),
+                             np.ascontiguousarray(s[1:]).tobytes(),
+                             int(t.n_parts)))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "chunk", "n_parts"])
+
+    return state.mapInPandas(_strip, schema=_OUT_SCHEMA)
+
+
+def basins_oracle_np(d8_plane: np.ndarray,
+                     iters: int = BASIN_ITERS) -> np.ndarray:
+    """NumPy golden twin on the stitched single-band D8 raster ->
+    (4, H, W) big-endian label bands via the SAME kernel."""
+    H, W = d8_plane.shape
+    rr, cc = np.mgrid[0:H, 0:W]
+    lab = (rr.astype(np.uint32) * W + cc + 1)
+    state = np.stack([d8_plane,
+                      (lab >> 24) & 255, (lab >> 16) & 255,
+                      (lab >> 8) & 255, lab & 255]).astype(np.uint8)
+    kernel = _basin_kernel()
+    for _ in range(iters):
+        pad = np.zeros((5, H + 2, W + 2), np.uint8)
+        pad[:, 1:-1, 1:-1] = state
+        state = kernel(pad)
+    return state[1:]

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ("focal", "temporal", "overview", "stretch", "trend", "change",
           "regions", "flowacc", "disttrans", "contour", "morpho",
-          "histmatch", "otsu", "sieve")
+          "histmatch", "otsu", "sieve", "basins")
 
 
 def main(argv=None):
@@ -147,6 +147,13 @@ def main(argv=None):
         out_df, ths = otsu_mask(chunks, grid, chunk_col="chunk")
         partition_by = ["time_idx"]
         stage_cfg.update(thresholds=ths)
+    elif args.stage == "basins":
+        # input: a committed D8 table (--stage focal --op d8)
+        from aef_mosaic_spark.operators.focal import basin_labels
+        out_df = basin_labels(chunks, grid, iters=args.iters,
+                              band=args.band, chunk_col="chunk")
+        partition_by = ["time_idx"]
+        stage_cfg.update(iters=args.iters, band=args.band)
     elif args.stage == "sieve":
         from aef_mosaic_spark.operators.regions import sieve_chunks
         out_df = sieve_chunks(chunks, grid, threshold=args.threshold,

@@ -348,6 +348,21 @@ def test_raster_job_derived_products_match_direct(spark, tmp_path):
                                   min_pixels=8).collect()}
     assert got8 == exp8 and len(got8) > 0
 
+    # basins via the CLI chained over a committed d8 table
+    from aef_mosaic_spark.operators.focal import basin_labels
+    d8_out = str(tmp_path / "d8")
+    raster_main(["--table", src, "--output", d8_out,
+                 "--stage", "focal", "--op", "d8"])
+    out9 = str(tmp_path / "basins")
+    raster_main(["--table", d8_out, "--output", out9,
+                 "--stage", "basins", "--iters", "6"])
+    got9 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in Icelite(out9).read(spark).collect()}
+    exp9 = {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+            for r in basin_labels(Icelite(d8_out).read(spark), GRID,
+                                  iters=6).collect()}
+    assert got9 == exp9 and len(got9) > 0
+
     # refusals
     with _pt.raises(FileExistsError):
         raster_main(["--table", src, "--output", out1,

@@ -462,3 +462,55 @@ def test_huff_probabilities_golden(spark):
     assert got[10]["p_q"] > got[20]["p_q"]
     assert got[30]["p_q"] == pytest.approx(4 * got[20]["p_q"], rel=1e-4)
     assert sum(r["p_q"] for r in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+# ------------------------------------------------------------------ #
+# basin labels                                                          #
+# ------------------------------------------------------------------ #
+
+def test_basin_labels_match_stitched_golden(spark, mgrid):
+    from aef_mosaic_spark.operators.focal import (basin_labels,
+                                                  basins_oracle_np,
+                                                  focal_chunks,
+                                                  focal_oracle_np)
+    rows, canvas = _mchunks()
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    d8 = focal_chunks(sdf, mgrid, op="d8", radius=1)
+    got = {(r.time_idx, r.row_idx, r.col_idx):
+           np.frombuffer(r.chunk, np.uint8).reshape(4, CHH, CHW)
+           for r in basin_labels(d8, mgrid, iters=6, band=0).collect()}
+    golden = basins_oracle_np(focal_oracle_np(canvas, "d8", 1)[0],
+                              iters=6)
+    assert len(got) == NR * NC
+    for (t, ri, ci), arr in got.items():
+        exp = golden[:, ri * CHH:(ri + 1) * CHH, ci * CHW:(ci + 1) * CHW]
+        np.testing.assert_array_equal(arr, exp)
+
+
+def test_basin_labels_ramp_semantics(spark, mgrid):
+    from aef_mosaic_spark.operators.focal import basin_labels
+    # synthetic D8 grid: everything flows EAST (code 1); sinks in the
+    # last column (code 0). After enough iters every cell carries the
+    # label of its row's LAST cell; off-raster never happens.
+    W = CHW * NC
+    rows = []
+    for ri in range(NR):
+        for ci in range(NC):
+            d8 = np.full((NB, CHH, CHW), 1, np.uint8)
+            if ci == NC - 1:
+                d8[:, :, -1] = 0
+            rows.append({"time_idx": 0, "row_idx": ri, "col_idx": ci,
+                         "chunk": d8.tobytes()})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    got = {(r.row_idx, r.col_idx):
+           np.frombuffer(r.chunk, np.uint8).reshape(4, CHH, CHW)
+           for r in basin_labels(sdf, mgrid, iters=W, band=0).collect()}
+    for (ri, ci), arr in got.items():
+        lab = ((arr[0].astype(np.uint32) << 24)
+               | (arr[1].astype(np.uint32) << 16)
+               | (arr[2].astype(np.uint32) << 8)
+               | arr[3].astype(np.uint32))
+        for rr in range(CHH):
+            grow = ri * CHH + rr
+            exp = grow * W + (W - 1) + 1   # the row's sink id
+            assert (lab[rr] == exp).all()
