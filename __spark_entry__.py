@@ -2679,6 +2679,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "n_parts")
     q["q184_basin_labels"] = q184_basin_labels
 
+    def q185_mask_agreement(spark, sf):
+        # pixelwise confusion matrix + IoU between the two years'
+        # Otsu masks: one key join (binaries move once) + one
+        # mapInPandas -> key-sized output. Pinned fixture.
+        from aef_mosaic_spark.operators.focal import (mask_confusion,
+                                                      otsu_mask)
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        masks, _ = otsu_mask(chunks, grid)
+        return mask_confusion(masks.where(F.col("time_idx") == 0),
+                              masks.where(F.col("time_idx") == 1),
+                              grid)
+    q["q185_mask_agreement"] = q185_mask_agreement
+
     return _driver_order(q)
 
 
@@ -3709,7 +3724,8 @@ def oracle_sql() -> dict[str, str]:
                    "q149_focal_median", "q150_distance_transform",
                    "q166_contour_segments", "q171_morphology",
                    "q172_histogram_match", "q175_otsu_mask",
-                   "q176_sieve", "q184_basin_labels"):
+                   "q176_sieve", "q184_basin_labels",
+                   "q185_mask_agreement"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -1159,3 +1159,61 @@ def basins_oracle_np(d8_plane: np.ndarray,
         pad[:, 1:-1, 1:-1] = state
         state = kernel(pad)
     return state[1:]
+
+
+# ------------------------------------------------------------------ #
+# Mask agreement — per-chunk confusion matrix + IoU                   #
+# ------------------------------------------------------------------ #
+
+def mask_confusion(chunks_a: DataFrame, chunks_b: DataFrame,
+                   grid: OutputGrid, band: int = 0,
+                   threshold: int = 128,
+                   chunk_col: str = "chunk") -> DataFrame:
+    """Pixelwise agreement between two mask rasters keyed on
+    (row_idx, col_idx) -> per chunk (row_idx, col_idx, tp, fp, fn,
+    tn, iou_q): the validation layer for any pair of binarizations
+    (year-over-year change audit, model-vs-reference masks, sieve
+    before/after).  a is "prediction", b is "reference"; foreground =
+    band pixel >= threshold; iou = tp / (tp + fp + fn), quantized
+    half-up at 1e6, NULL where the union is empty.
+
+    Scale shape: ONE equi-join on the chunk key (each binary moves
+    through the shuffle once), then a single mapInPandas computing
+    the four exact integer counts per chunk — output is key-sized;
+    a global matrix is one further tiny agg."""
+    import pandas as pd
+
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+    a = chunks_a.select(F.col("row_idx"), F.col("col_idx"),
+                        F.col(chunk_col).alias("_ca"))
+    b = chunks_b.select(F.col("row_idx"), F.col("col_idx"),
+                        F.col(chunk_col).alias("_cb"))
+    j = a.join(b, ["row_idx", "col_idx"])
+
+    def _count(it):
+        for pdf in it:
+            rows = []
+            # zip over columns: itertuples RENAMES underscore-prefixed
+            # columns to positional names
+            for ri, ci, ca, cb in zip(pdf["row_idx"], pdf["col_idx"],
+                                      pdf["_ca"], pdf["_cb"]):
+                ma = (np.frombuffer(ca, np.uint8)
+                      .reshape(nb, chh, chw)[band] >= threshold)
+                mb = (np.frombuffer(cb, np.uint8)
+                      .reshape(nb, chh, chw)[band] >= threshold)
+                tp = int((ma & mb).sum())
+                fp = int((ma & ~mb).sum())
+                fn = int((~ma & mb).sum())
+                tn = int((~ma & ~mb).sum())
+                rows.append((int(ri), int(ci), tp, fp, fn, tn))
+            yield pd.DataFrame(rows, columns=[
+                "row_idx", "col_idx", "tp", "fp", "fn", "tn"])
+
+    out = j.mapInPandas(_count, schema="row_idx int, col_idx int, "
+                        "tp long, fp long, fn long, tn long")
+    return out.withColumn(
+        "iou_q",
+        F.expr("CASE WHEN tp + fp + fn = 0 THEN NULL ELSE"
+               " floor(CAST(tp AS DOUBLE)"
+               " / CAST(tp + fp + fn AS DOUBLE) * 1e6 + 0.5e0) / 1e6"
+               " END"))

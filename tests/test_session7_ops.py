@@ -514,3 +514,31 @@ def test_basin_labels_ramp_semantics(spark, mgrid):
             grow = ri * CHH + rr
             exp = grow * W + (W - 1) + 1   # the row's sink id
             assert (lab[rr] == exp).all()
+
+
+def test_mask_confusion_golden(spark, mgrid):
+    from aef_mosaic_spark.operators.focal import mask_confusion
+    rng = np.random.RandomState(9)
+    rows_a, rows_b = [], []
+    gold = {}
+    for ri in range(NR):
+        for ci in range(NC):
+            ma = rng.rand(CHH, CHW) < 0.3
+            mb = rng.rand(CHH, CHW) < 0.3
+            for rows, m in ((rows_a, ma), (rows_b, mb)):
+                arr = np.zeros((NB, CHH, CHW), np.uint8)
+                arr[0] = m.astype(np.uint8) * 255
+                rows.append({"time_idx": 0, "row_idx": ri,
+                             "col_idx": ci, "chunk": arr.tobytes()})
+            gold[(ri, ci)] = (int((ma & mb).sum()), int((ma & ~mb).sum()),
+                              int((~ma & mb).sum()), int((~ma & ~mb).sum()))
+    got = {(r.row_idx, r.col_idx): r for r in mask_confusion(
+        spark.createDataFrame(pd.DataFrame(rows_a)),
+        spark.createDataFrame(pd.DataFrame(rows_b)), mgrid).collect()}
+    assert len(got) == NR * NC
+    for k, (tp, fp, fn, tn) in gold.items():
+        r = got[k]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert tp + fp + fn + tn == CHH * CHW
+        exp = np.floor(tp / (tp + fp + fn) * 1e6 + 0.5) / 1e6
+        assert r.iou_q == pytest.approx(exp, abs=1e-9)
