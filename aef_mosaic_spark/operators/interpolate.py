@@ -296,8 +296,8 @@ def huff_probabilities(points: DataFrame, sites: DataFrame,
                        radius_deg: int = HUFF_RADIUS_DEG,
                        point_id: str = "point_id",
                        site_id: str = "site_id",
-                       lon_col: str = "lon",
-                       lat_col: str = "lat") -> DataFrame:
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       broadcast_sites: bool = True) -> DataFrame:
     """Huff (1963) gravity model -> (point_id, site_id, score, p_q):
     the probability a demand point patronizes each site, score_ij =
     w_j / d_ij^2 normalized over the sites within radius_deg — the
@@ -314,9 +314,12 @@ def huff_probabilities(points: DataFrame, sites: DataFrame,
     IS the semantics — a shopper 400 km away is not a fractional
     customer).
 
-    Scale shape: the ring-1 blocked equi-join (cell = radius, provable
-    Chebyshev cover, shuffle_hash pinned), then ONE window sum per
-    point over candidate groups bounded by local site density.
+    Scale shape: the ring-1 blocked equi-join (cell = radius,
+    provable Chebyshev cover; sites BROADCAST by default — the q177
+    lesson: a block-keyed shuffle join makes a mega-city block one
+    straggler partition, broadcast_sites=False only for site tables
+    beyond executor memory), then ONE window sum per point over
+    candidate groups bounded by local site density.
 
     Overflow: score <= w * WSCALE ~ 10^15 and per-point sums run over
     at most local-density sites — orders of magnitude of headroom
@@ -350,7 +353,9 @@ def huff_probabilities(points: DataFrame, sites: DataFrame,
            .select("pid", "px", "py",
                    (F.col("bx") + F.col("o.dx")).alias("bx"),
                    (F.col("by") + F.col("o.dy")).alias("by")))
-    cand = (lhs.hint("shuffle_hash").join(qs, ["bx", "by"])
+    rhs = F.broadcast(qs) if broadcast_sites else qs
+    lhs2 = lhs if broadcast_sites else lhs.hint("shuffle_hash")
+    cand = (lhs2.join(rhs, ["bx", "by"])
             .where(F.expr(f"greatest(abs(px - sx), abs(py - sy))"
                           f" <= {ru}"))
             .select("pid", "sid",

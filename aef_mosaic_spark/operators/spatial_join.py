@@ -125,8 +125,8 @@ KNN_K = 3
 def spatial_knn_join(points: DataFrame, sites: DataFrame,
                      k: int = KNN_K, radius_deg: int = KNN_CELL_DEG,
                      point_id: str = "point_id", site_id: str = "site_id",
-                     lon_col: str = "lon",
-                     lat_col: str = "lat") -> DataFrame:
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     broadcast_sites: bool = True) -> DataFrame:
     """For every left point, its k nearest right sites by Euclidean
     microdegree distance among sites within Chebyshev distance
     radius_deg -> (point_id, rank, site_id, d2).
@@ -141,10 +141,19 @@ def spatial_knn_join(points: DataFrame, sites: DataFrame,
     site id (deterministic).
 
     Scale shape: 9-offset explode on the POINT side (the big side
-    fans out, the site side stays 1x), equi-join on the block key,
+    fans out, the site side stays 1x), join on the block key, then a
     per-point row_number over candidate groups bounded by local site
     density * (3 cells)^2 — many tiny windows, no global sort.
-    shuffle_hash hint: the q130 explode-blind-broadcast lesson.
+
+    broadcast_sites=True (DEFAULT): the blocked site table broadcasts
+    and the join runs scan-side — NO exchange keyed on blocks, so a
+    mega-city block cannot become a straggler partition; the only
+    shuffle is the pid-hash window exchange, which is uniform by
+    construction.  Site tables are typically 1e3-1e7 rows — far under
+    executor memory.  False = shuffle join on the block key for site
+    tables too big to broadcast; measured 0.37 scaling efficiency
+    4->16 under a mega-box hot key (BENCH 10t) — salt hot blocks
+    before choosing this path at scale.
     """
     from pyspark.sql import Window
 
@@ -172,7 +181,9 @@ def spatial_knn_join(points: DataFrame, sites: DataFrame,
            .select("pid", "px", "py",
                    (F.col("bx") + F.col("o.dx")).alias("bx"),
                    (F.col("by") + F.col("o.dy")).alias("by")))
-    cand = (lhs.hint("shuffle_hash").join(qs, ["bx", "by"])
+    rhs = F.broadcast(qs) if broadcast_sites else qs
+    lhs2 = lhs if broadcast_sites else lhs.hint("shuffle_hash")
+    cand = (lhs2.join(rhs, ["bx", "by"])
             .where(F.expr(f"greatest(abs(px - sx), abs(py - sy))"
                           f" <= {ru}"))
             .select("pid", "sid",
