@@ -2694,6 +2694,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               grid)
     q["q185_mask_agreement"] = q185_mask_agreement
 
+    def q186_markov_transitions(spark, sf):
+        # first-order event-type Markov matrix: one user exchange for
+        # the lead window, |types|^2 groupBy, row totals derive FROM
+        # the aggregate; p in exact integer ppm
+        # (operators/sessions.py)
+        from aef_mosaic_spark.operators.sessions import (
+            markov_transitions)
+        return markov_transitions(_pq(spark, sf, "events"))
+    q["q186_markov_transitions"] = q186_markov_transitions
+
     return _driver_order(q)
 
 
@@ -4006,7 +4016,9 @@ def oracle_sql() -> dict[str, str]:
              (event_id * 7) % 3590 / 10e0 - 179.5e0 AS lon,
              (event_id * 13) % 1690 / 10e0 - 84.5e0 AS lat
       FROM events""")
-    from aef_mosaic_spark.operators.sessions import co_travelers_sql
+    from aef_mosaic_spark.operators.sessions import (
+        co_travelers_sql, markov_transitions_sql)
+    o["q186_markov_transitions"] = markov_transitions_sql("events")
     o["q181_co_travelers"] = co_travelers_sql("""
       SELECT user_id,
              floor(epoch(ts))::BIGINT // 3600 AS tb,

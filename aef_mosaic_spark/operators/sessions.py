@@ -399,3 +399,64 @@ def co_travelers_sql(source_sql: str, user_col: str = "user_id",
     GROUP BY 1, 2
     HAVING count(*) >= {min_shared}
     """
+
+
+# ------------------------------------------------------------------ #
+# Event-type Markov transition matrix                                 #
+# ------------------------------------------------------------------ #
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       type_col: str = "event_type") -> DataFrame:
+    """First-order Markov transition estimates over per-user event
+    streams -> (from_type, to_type, n, total, p_ppm): the behavioral
+    "what happens after X" matrix (funnel diagnostics, anomaly
+    priors, session simulation).
+
+    Law: transitions are adjacent pairs in (unix_timestamp, event_id)
+    order per user; p_ppm = 1e6 * n div total (exact integer parts
+    per million over the from-state's outgoing count).
+
+    Scale shape: ONE hash exchange on user for the lead() window,
+    then a map-side-combinable groupBy onto the |types|^2 matrix;
+    row totals derive FROM that aggregate (scan-audit law), never a
+    second corpus pass."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(user_col).orderBy("es", id_col)
+    pairs = (events
+             .withColumn("es", F.unix_timestamp(F.col(ts_col)))
+             .withColumn("_to", F.lead(type_col).over(wo))
+             .where(F.col("_to").isNotNull())
+             .groupBy(F.col(type_col).alias("from_type"),
+                      F.col("_to").alias("to_type"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .localCheckpoint(eager=False))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").cast("long")
+                                            .alias("total"))
+    return (pairs.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n", "total",
+                    F.expr("(1000000 * n) div total").cast("long")
+                    .alias("p_ppm")))
+
+
+def markov_transitions_sql(table: str = "events") -> str:
+    return f"""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      floor(epoch(ts))::BIGINT AS es
+               FROM {table}),
+    pr AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY es, event_id)
+                  AS to_type
+           FROM e),
+    m AS MATERIALIZED (
+      SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM pr WHERE to_type IS NOT NULL
+      GROUP BY 1, 2),
+    t AS (SELECT from_type, sum(n)::BIGINT AS total FROM m
+          GROUP BY from_type)
+    SELECT m.from_type, m.to_type, m.n, t.total,
+           ((1000000 * m.n) // t.total)::BIGINT AS p_ppm
+    FROM m JOIN t USING (from_type)
+    """

@@ -355,3 +355,69 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
                spark.createDataFrame(pd.DataFrame(reg_rows)),
                ["k"], p=8).collect()}
     assert est == want_est
+
+
+def test_streaming_hotspot_cells_match_batch_gi_star(spark, tmp_path):
+    """The hotspot lattice is a streaming-maintainable aggregate:
+    per-cell counts groupBy'd over a file stream (update mode, three
+    microbatches) must equal the batch bin_cells table register for
+    register, and the Gi* computed from the streamed lattice must
+    equal the batch q168 output row for row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.operators.spatial_stats import (
+        bin_cells, getis_ord_hotspots)
+
+    rng = np.random.RandomState(13)
+    d = str(tmp_path / "pts")
+    import os
+    os.makedirs(d)
+    all_rows = []
+    for part in range(3):
+        pdf = pd.DataFrame({
+            "point_id": np.arange(part * 500, part * 500 + 500),
+            "lon": rng.uniform(-40, 40, 500),
+            "lat": rng.uniform(-30, 30, 500)})
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.parquet(f"{d}/p{part}")
+        all_rows.append(pdf)
+    batch = spark.createDataFrame(pd.concat(all_rows))
+
+    stream = (spark.readStream
+              .schema("point_id long, lon double, lat double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{d}/p*"))
+    cells_stream = bin_cells(stream, 8)
+    q = (cells_stream.writeStream.format("memory")
+         .queryName("hot_cells_live").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    live = {(r.cx, r.cy): r.x
+            for r in spark.sql("SELECT * FROM hot_cells_live").collect()}
+    exact = {(r.cx, r.cy): r.x for r in bin_cells(batch, 8).collect()}
+    assert live == exact and len(live) > 20
+
+    # Gi* over the streamed lattice == batch q168, row for row
+    live_pts_free = spark.createDataFrame(
+        pd.DataFrame([(cx, cy, x) for (cx, cy), x in live.items()],
+                     columns=["cx", "cy", "x"]))
+    # recompute Gi* from the lattice by feeding one synthetic point
+    # per unit of count through the batch operator's exact law is
+    # equivalent to running it on the original points; use the
+    # original points directly as the reference
+    got = sorted(tuple(r) for r in getis_ord_hotspots(batch).collect())
+    # ... and from a reconstruction of the stream (one point per
+    # count placed in its cell) to prove the lattice is sufficient
+    recon_rows = []
+    pid = 0
+    for (cx, cy), x in live.items():
+        for j in range(int(x)):
+            recon_rows.append((pid, cx * 8 + 0.5 + (j % 3) * 0.9,
+                               cy * 8 + 0.5 + (j % 2) * 0.7))
+            pid += 1
+    recon = spark.createDataFrame(
+        pd.DataFrame(recon_rows, columns=["point_id", "lon", "lat"]))
+    got2 = sorted(tuple(r) for r in getis_ord_hotspots(recon).collect())
+    assert got == got2
