@@ -1217,3 +1217,69 @@ def mask_confusion(chunks_a: DataFrame, chunks_b: DataFrame,
                " floor(CAST(tp AS DOUBLE)"
                " / CAST(tp + fp + fn AS DOUBLE) * 1e6 + 0.5e0) / 1e6"
                " END"))
+
+
+def chunk_histograms(chunks: DataFrame, grid: OutputGrid,
+                     chunk_col: str = "chunk") -> DataFrame:
+    """Per-chunk pixel histograms -> (time_idx, row_idx, col_idx,
+    band, bin, cnt): the PERSISTABLE fragment form of
+    global_histogram — additive, so the global histogram is one
+    groupBy(band, bin) over this table, and incremental maintenance
+    is a group-replace MERGE of the changed chunks' rows (the regions
+    fragment-table recipe applied to global statistics: persist the
+    decode product, re-aggregate fragment-sized)."""
+    import pandas as pd
+
+    nb = grid.num_bands
+    chh, chw = grid.chunk_h, grid.chunk_w
+
+    def _emit(it):
+        for pdf in it:
+            rows = []
+            for ti, ri, ci, buf in zip(pdf["time_idx"], pdf["row_idx"],
+                                       pdf["col_idx"], pdf[chunk_col]):
+                arr = np.frombuffer(buf, np.uint8).reshape(nb, chh, chw)
+                for b in range(nb):
+                    bc = np.bincount(arr[b].ravel(), minlength=256)
+                    for v in np.flatnonzero(bc):
+                        rows.append((int(ti), int(ri), int(ci), b,
+                                     int(v), int(bc[v])))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "band", "bin", "cnt"])
+
+    tcol = (F.col("time_idx") if "time_idx" in chunks.columns
+            else F.lit(0)).cast("int").alias("time_idx")
+    src = chunks.select(tcol, "row_idx", "col_idx", chunk_col)
+    return src.mapInPandas(
+        _emit, schema="time_idx int, row_idx int, col_idx int, "
+                      "band int, bin int, cnt long")
+
+
+def apply_thresholds(chunks: DataFrame, grid: OutputGrid,
+                     thresholds, chunk_col: str = "chunk") -> DataFrame:
+    """Binarize with a FIXED per-band threshold vector (foreground =
+    pixel > t, mask uint8 0/255) — the apply half of otsu_mask,
+    reusable when the thresholds come from a maintained histogram
+    table instead of a fresh corpus pass."""
+    import pandas as pd
+
+    nb = grid.num_bands
+    chh, chw = grid.chunk_h, grid.chunk_w
+    th_arr = np.array(list(thresholds), np.uint8).reshape(nb, 1, 1)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in chunks.schema.fields)
+
+    def _apply(it):
+        for pdf in it:
+            outs = []
+            for buf in pdf[chunk_col]:
+                arr = np.frombuffer(buf, np.uint8).reshape(nb, chh, chw)
+                outs.append(((arr > th_arr).astype(np.uint8) * 255)
+                            .tobytes())
+            pdf = pdf.copy()
+            pdf[chunk_col] = outs
+            yield pdf
+
+    return chunks.mapInPandas(_apply, schema=out_schema)

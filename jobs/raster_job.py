@@ -91,8 +91,12 @@ def main(argv=None):
     if args.stage in ("change", "histmatch") and (args.time_a is None
                                                   or args.time_b is None):
         ap.error(f"--stage {args.stage} requires --time-a and --time-b")
-    if args.incremental and args.stage not in ("focal", "regions"):
-        ap.error("--incremental supports --stage focal or regions")
+    if args.incremental and args.stage not in ("focal", "regions",
+                                               "otsu"):
+        ap.error("--incremental supports --stage focal, regions or "
+                 "otsu")
+    if args.incremental and args.stage == "otsu":
+        return _run_incremental_otsu(args)
     if args.incremental and args.stage == "regions":
         return _run_incremental_regions(args)
     if args.incremental:
@@ -143,8 +147,30 @@ def main(argv=None):
         partition_by = ["time_idx"]
         stage_cfg.update(time_a=args.time_a, time_b=args.time_b)
     elif args.stage == "otsu":
-        from aef_mosaic_spark.operators.focal import otsu_mask
-        out_df, ths = otsu_mask(chunks, grid, chunk_col="chunk")
+        # persists the per-chunk histogram fragment table beside the
+        # output (the regions _fragments recipe for a GLOBAL
+        # statistic): incremental maintenance then merges changed
+        # chunks' rows and re-derives the thresholds fragment-sized
+        from aef_mosaic_spark.operators.focal import (apply_thresholds,
+                                                      chunk_histograms,
+                                                      otsu_thresholds)
+        hist_t = Icelite(args.output + "_hist")
+        hist_t.append(
+            chunk_histograms(chunks, grid, chunk_col="chunk"),
+            partition_by=["time_idx"],
+            properties={
+                "derived_from": args.table,
+                "source_snapshot": str(src_snap),
+                "grid": props["grid"],
+                "stage_config": json.dumps({"stage": "otsu"},
+                                           sort_keys=True),
+            },
+            summary={"operation": "derive-otsu-hist"})
+        gh = (hist_t.read(spark).groupBy("band", "bin")
+              .agg({"cnt": "sum"}).withColumnRenamed("sum(cnt)", "cnt")
+              .collect())
+        ths = otsu_thresholds(gh, grid.num_bands)
+        out_df = apply_thresholds(chunks, grid, ths, chunk_col="chunk")
         partition_by = ["time_idx"]
         stage_cfg.update(thresholds=ths)
     elif args.stage == "basins":
@@ -449,3 +475,115 @@ def _run_incremental_regions(args):
 
 if __name__ == "__main__":
     main()
+
+
+def _run_incremental_otsu(args):
+    """Incremental Otsu maintenance — a GLOBAL statistic kept fresh at
+    O(changed) decode cost: CDC chunk keys -> recompute per-chunk
+    histograms for exactly those chunks -> group-replace MERGE into
+    the _hist fragment table -> re-derive the thresholds from the
+    fragment-sized aggregate.  Then the two-level law:
+      thresholds UNCHANGED (the common case — a local edit rarely
+      moves a corpus statistic): re-binarize only the changed chunks
+      and MERGE -> O(changed) end to end.
+      thresholds CHANGED: every mask is stale by definition; one full
+      re-apply pass + OVERWRITE (decode O(table), but histogram work
+      stayed O(changed) and the pass is flagged in the metrics)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from aef_mosaic_spark.grid import OutputGrid
+    from aef_mosaic_spark.operators.focal import (apply_thresholds,
+                                                  chunk_histograms,
+                                                  otsu_thresholds)
+    from aef_mosaic_spark.sources.icelite import Icelite
+
+    spark = SparkSession.builder.getOrCreate()
+    t0 = _time.time()
+    src = Icelite(args.table)
+    hist_t = Icelite(args.output + "_hist")
+    dst = Icelite(args.output)
+    if hist_t.current_snapshot_id() is None:
+        raise FileNotFoundError(
+            f"{args.output}_hist has no snapshots; run the full "
+            "--stage otsu derivation first")
+    hprops = hist_t.properties()
+    if hprops.get("derived_from") != args.table:
+        raise ValueError(
+            f"incremental refused: {args.output}_hist was derived "
+            f"from {hprops.get('derived_from')!r} but this run asks "
+            f"{args.table!r} — rebuild instead of mixing")
+    grid = OutputGrid.from_dict(_json.loads(hprops["grid"]))
+    from_snap = int(hprops["source_snapshot"])
+    to_snap = src.current_snapshot_id()
+    keys = ["time_idx", "row_idx", "col_idx"]
+    old_ths = _json.loads(dst.properties()["stage_config"])["thresholds"]
+
+    cdc = src.read_incremental(spark, from_snap, allow_rewrites=True)
+    changed = cdc.select(*keys).distinct()
+    n_changed = changed.count()
+    if n_changed == 0:
+        print(_json.dumps({"stage": "otsu", "incremental": True,
+                           "changed": 0, "thresholds": old_ths,
+                           "wall_s": round(_time.time() - t0, 3),
+                           "source_snapshot": to_snap}))
+        return
+    bb = changed.agg(F.min("row_idx"), F.max("row_idx"),
+                     F.min("col_idx"), F.max("col_idx")).collect()[0]
+    chunks = src.read(spark, filters={"row_idx": (bb[0], bb[1]),
+                                      "col_idx": (bb[2], bb[3])})
+    inputs = chunks.join(changed, keys, "leftsemi").persist()
+    upd = chunk_histograms(inputs, grid, chunk_col="chunk").persist()
+    upd.count()
+    hist_t.merge(
+        spark, upd, key_cols=keys, partition_by=["time_idx"],
+        filters={"row_idx": (bb[0], bb[1]), "col_idx": (bb[2], bb[3])},
+        properties={"source_snapshot": str(to_snap)},
+        summary={"operation": "otsu-hist-incremental",
+                 "changed_chunks": n_changed})
+    upd.unpersist()
+    gh = (hist_t.read(spark).groupBy("band", "bin")
+          .agg({"cnt": "sum"}).withColumnRenamed("sum(cnt)", "cnt")
+          .collect())
+    new_ths = otsu_thresholds(gh, grid.num_bands)
+
+    stage_cfg = {"stage": "otsu", "thresholds": new_ths}
+    if new_ths == old_ths:
+        out = apply_thresholds(inputs, grid, new_ths,
+                               chunk_col="chunk").persist()
+        n_out = out.count()
+        dst.merge(
+            spark, out, key_cols=keys,
+            partition_by=["time_idx"],
+            filters={"row_idx": (bb[0], bb[1]),
+                     "col_idx": (bb[2], bb[3])},
+            properties={"source_snapshot": str(to_snap)},
+            summary={"operation": "otsu-incremental-stable",
+                     "changed_chunks": n_changed})
+        out.unpersist()
+        path = "stable"
+    else:
+        full = src.read(spark)
+        out = apply_thresholds(full, grid, new_ths, chunk_col="chunk")
+        n_out = out.count()
+        dst.overwrite(
+            out, partition_by=["time_idx"],
+            properties={
+                "derived_from": args.table,
+                "source_snapshot": str(to_snap),
+                "grid": hprops["grid"],
+                "stage_config": _json.dumps(stage_cfg, sort_keys=True),
+            },
+            summary={"operation": "otsu-incremental-reapply",
+                     "changed_chunks": n_changed})
+        path = "reapply"
+    inputs.unpersist()
+    print(_json.dumps({
+        "stage": "otsu", "incremental": True, "path": path,
+        "changed": n_changed, "masks_written": n_out,
+        "thresholds": new_ths, "thresholds_moved": new_ths != old_ths,
+        "wall_s": round(_time.time() - t0, 3),
+        "source_snapshot": to_snap}))

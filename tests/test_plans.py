@@ -423,3 +423,80 @@ def test_raster_job_incremental_focal_matches_full(spark, tmp_path):
         raster_main(["--table", src, "--output", dinc,
                      "--stage", "focal", "--op", "mean",
                      "--incremental"])
+
+
+def test_raster_job_incremental_otsu_matches_full(spark, tmp_path,
+                                                  capsys):
+    """--incremental --stage otsu: per-chunk histogram fragments merge
+    at O(changed); a threshold MOVE triggers the flagged full
+    re-apply, a threshold-stable change touches only the changed
+    chunks — both end states bit-identical to a full rebuild."""
+    import json as _json
+
+    import pytest as _pt
+
+    from aef_mosaic_spark.plans.pipeline import MosaicJob
+    from aef_mosaic_spark.sources.icelite import Icelite
+    from jobs.raster_job import main as raster_main
+
+    images = spark.createDataFrame(generator.images_pdf(40))
+    src = str(tmp_path / "mosaic")
+    job = MosaicJob(GRID, mode="mean")
+    job.run(spark, images, src, row_range=(0, GRID.chunk_rows // 2 - 1))
+    dinc = str(tmp_path / "otsu_inc")
+    raster_main(["--table", src, "--output", dinc, "--stage", "otsu"])
+
+    # snapshot 2: the rest of the grid lands -> global histogram (and
+    # with it the thresholds) moves -> the reapply path
+    job.run(spark, images, src, resume=True)
+    capsys.readouterr()
+    raster_main(["--table", src, "--output", dinc, "--stage", "otsu",
+                 "--incremental"])
+    line1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    dfull = str(tmp_path / "otsu_full")
+    raster_main(["--table", src, "--output", dfull, "--stage", "otsu"])
+
+    def _masks(path):
+        return {(r.time_idx, r.row_idx, r.col_idx): bytes(r.chunk)
+                for r in Icelite(path).read(spark).collect()}
+
+    assert _masks(dinc) == _masks(dfull) and len(_masks(dinc)) > 0
+    assert _json.loads(
+        Icelite(dinc).properties()["stage_config"])["thresholds"] == \
+        _json.loads(
+        Icelite(dfull).properties()["stage_config"])["thresholds"]
+    # the histogram fragment tables agree aggregate-for-aggregate
+    gh_inc = sorted(tuple(r) for r in Icelite(dinc + "_hist")
+                    .read(spark).groupBy("band", "bin")
+                    .agg({"cnt": "sum"}).collect())
+    gh_full = sorted(tuple(r) for r in Icelite(dfull + "_hist")
+                     .read(spark).groupBy("band", "bin")
+                     .agg({"cnt": "sum"}).collect())
+    assert gh_inc == gh_full
+
+    # rewrite ONE chunk with identical content: CDC fires, histogram
+    # is unchanged -> thresholds stable -> O(changed) merge path
+    one = Icelite(src).read(spark).limit(1)
+    Icelite(src).merge(spark, one,
+                       key_cols=["time_idx", "row_idx", "col_idx"],
+                       partition_by=["time_idx"])
+    capsys.readouterr()
+    raster_main(["--table", src, "--output", dinc, "--stage", "otsu",
+                 "--incremental"])
+    line2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (line1["path"], line2["path"]) == ("reapply", "stable")
+    assert line2["thresholds_moved"] is False
+    assert _masks(dinc) == _masks(dfull)
+
+    # no change -> no-op
+    before = Icelite(dinc).current_snapshot_id()
+    raster_main(["--table", src, "--output", dinc, "--stage", "otsu",
+                 "--incremental"])
+    assert Icelite(dinc).current_snapshot_id() == before
+
+    # wrong source refused
+    with _pt.raises(ValueError, match="incremental refused"):
+        raster_main(["--table", str(tmp_path / "other"),
+                     "--output", dinc, "--stage", "otsu",
+                     "--incremental"])
