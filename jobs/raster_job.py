@@ -473,10 +473,6 @@ def _run_incremental_regions(args):
     }))
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _run_incremental_otsu(args):
     """Incremental Otsu maintenance — a GLOBAL statistic kept fresh at
     O(changed) decode cost: CDC chunk keys -> recompute per-chunk
@@ -587,3 +583,7 @@ def _run_incremental_otsu(args):
         "thresholds": new_ths, "thresholds_moved": new_ths != old_ths,
         "wall_s": round(_time.time() - t0, 3),
         "source_snapshot": to_snap}))
+
+
+if __name__ == "__main__":
+    main()
