@@ -2704,6 +2704,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return markov_transitions(_pq(spark, sf, "events"))
     q["q186_markov_transitions"] = q186_markov_transitions
 
+    def q187_burstiness(spark, sf):
+        # Goh-Barabasi inter-event burstiness per user: n-scaled
+        # sigma/mu ratio needs no division before its one
+        # correctly-rounded sqrt (functions/features.py)
+        from aef_mosaic_spark.functions.features import burstiness
+        return burstiness(_pq(spark, sf, "events"))
+    q["q187_burstiness"] = q187_burstiness
+
+    def q188_behavioral_entropy(spark, sf):
+        # Shannon entropy of each user's event-type mix in integer
+        # micro-nats (lm.py quantize-each-ln-then-integer recipe);
+        # totals derive FROM the (user, type) aggregate
+        # (functions/features.py)
+        from aef_mosaic_spark.functions.features import (
+            behavioral_entropy)
+        return behavioral_entropy(_pq(spark, sf, "events"))
+    q["q188_behavioral_entropy"] = q188_behavioral_entropy
+
+    def q189_spend_gini(spark, sf):
+        # Gini concentration of per-customer spend within each
+        # nation: dollar-floor totals, in-group ascending rank, exact
+        # integer 2*sum(i*x) - (n+1)*sum(x) numerator
+        # (functions/features.py)
+        from aef_mosaic_spark.functions.features import spend_gini
+        o = _pq(spark, sf, "orders").join(
+            _pq(spark, sf, "customer").selectExpr(
+                "c_custkey AS o_custkey", "c_nationkey"),
+            "o_custkey")
+        return spend_gini(o)
+    q["q189_spend_gini"] = q189_spend_gini
+
     return _driver_order(q)
 
 
@@ -4019,6 +4050,13 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.operators.sessions import (
         co_travelers_sql, markov_transitions_sql)
     o["q186_markov_transitions"] = markov_transitions_sql("events")
+    from aef_mosaic_spark.functions.features import (
+        behavioral_entropy_sql, burstiness_sql, spend_gini_sql)
+    o["q187_burstiness"] = burstiness_sql("events")
+    o["q188_behavioral_entropy"] = behavioral_entropy_sql("events")
+    o["q189_spend_gini"] = spend_gini_sql(
+        "SELECT o.*, c.c_nationkey FROM orders o"
+        " JOIN customer c ON o.o_custkey = c.c_custkey")
     o["q181_co_travelers"] = co_travelers_sql("""
       SELECT user_id,
              floor(epoch(ts))::BIGINT // 3600 AS tb,

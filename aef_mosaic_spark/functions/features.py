@@ -171,3 +171,178 @@ def benford_audit_sql(source_sql: str, value_col: str,
                  * 1e6 + 0.5e0) / 1e6 AS dev_q
     FROM j
     """
+
+
+# ------------------------------------------------------------------ #
+# Inter-event burstiness + behavioral entropy + spend Gini            #
+# ------------------------------------------------------------------ #
+
+BURST_MIN_GAPS = 5
+
+
+def burstiness(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               min_gaps: int = BURST_MIN_GAPS) -> DataFrame:
+    """Goh-Barabasi burstiness of inter-event gaps per key ->
+    (user_id, n_gaps, s, ss, burstiness_q): B = (sigma - mu) /
+    (sigma + mu) in [-1, 1] — -1 periodic, 0 Poisson, -> 1 bursty.
+    The point-process diagnostic that separates machine heartbeats
+    from human sessions.
+
+    Law: gaps are integer seconds between (unix_timestamp, event_id)
+    -ordered events; with S = sum g, SS = sum g^2, D = n*SS - S^2
+    (all BIGINT), B = (sqrt(D) - S) / (sqrt(D) + S) — numerator and
+    denominator are n*sigma and n*mu + ... both scaled by n, so the
+    ratio needs no division before the one correctly-rounded sqrt;
+    quantized half-up at 1e6.  Keys with < min_gaps gaps or all-zero
+    gaps emit nothing.  Bound: n*SS < 2^63 holds through ~10^5
+    events/key at month-scale spans (document longer keys by
+    chunking gaps to coarser units).
+
+    Scale shape: one user exchange for the lead window, one
+    map-side-combinable groupBy."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(user_col).orderBy("es", id_col)
+    g = (events
+         .withColumn("es", F.unix_timestamp(F.col(ts_col)))
+         .withColumn("g", F.lead("es").over(wo) - F.col("es"))
+         .where(F.col("g").isNotNull()))
+    return (g.groupBy(user_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                 F.sum("g").cast("long").alias("s"),
+                 F.sum(F.expr("g * g")).cast("long").alias("ss"))
+            .where((F.col("n_gaps") >= min_gaps) & (F.col("s") > 0))
+            .withColumn("_d", F.expr("n_gaps * ss - s * s"))
+            .select(user_col, "n_gaps", "s", "ss",
+                    F.expr("floor((sqrt(CAST(_d AS DOUBLE))"
+                           " - CAST(s AS DOUBLE))"
+                           " / (sqrt(CAST(_d AS DOUBLE))"
+                           " + CAST(s AS DOUBLE)) * 1e6 + 0.5e0)"
+                           " / 1e6").alias("burstiness_q")))
+
+
+def burstiness_sql(table: str = "events",
+                   min_gaps: int = BURST_MIN_GAPS) -> str:
+    return f"""
+    WITH e AS (SELECT user_id, event_id,
+                      floor(epoch(ts))::BIGINT AS es
+               FROM {table}),
+    g AS (SELECT user_id,
+                 lead(es) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) - es AS g
+          FROM e),
+    a AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+                 sum(g)::BIGINT AS s, sum(g * g)::BIGINT AS ss
+          FROM g WHERE g IS NOT NULL
+          GROUP BY user_id
+          HAVING count(*) >= {min_gaps} AND sum(g) > 0)
+    SELECT user_id, n_gaps, s, ss,
+           floor((sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+                  - CAST(s AS DOUBLE))
+                 / (sqrt(CAST(n_gaps * ss - s * s AS DOUBLE))
+                    + CAST(s AS DOUBLE)) * 1e6 + 0.5e0) / 1e6
+           AS burstiness_q
+    FROM a
+    """
+
+
+def behavioral_entropy(events: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type") -> DataFrame:
+    """Shannon entropy of each key's event-type mix in integer
+    micro-nats -> (user_id, n, n_types, entropy_u): the "how varied
+    is this actor" feature (bot/monoculture detection; 0 = single
+    type, ln|types| = uniform).
+
+    Law (the lm.py micro-nat recipe): H = ln(n) - (1/n) sum_t n_t
+    ln(n_t); each ln runs on an exact integer and is quantized to
+    floor(ln(x)*1e6 + 0.5) BEFORE any arithmetic, so the remainder is
+    pure BIGINT: entropy_u = lnq(n) - (sum n_t*lnq(n_t)) div n.
+    Scale shape: one groupBy onto (user, type), totals derive FROM it
+    (scan-audit law)."""
+    counts = (events.groupBy(user_col, type_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+              .localCheckpoint(eager=False))
+    tot = counts.groupBy(user_col).agg(
+        F.sum("n_t").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.expr("n_t * CAST(floor(ln(CAST(n_t AS DOUBLE)) * 1e6"
+                     " + 0.5e0) AS BIGINT)")).cast("long").alias("_s"))
+    return tot.select(
+        user_col, "n", "n_types",
+        F.expr("CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5e0) AS"
+               " BIGINT) - _s div n").cast("long").alias("entropy_u"))
+
+
+def behavioral_entropy_sql(table: str = "events") -> str:
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT user_id, event_type, count(*)::BIGINT AS n_t
+      FROM {table} GROUP BY 1, 2),
+    t AS (SELECT user_id, sum(n_t)::BIGINT AS n,
+                 count(*)::BIGINT AS n_types,
+                 sum(n_t * floor(ln(CAST(n_t AS DOUBLE)) * 1e6
+                                 + 0.5e0)::BIGINT)::BIGINT AS s
+          FROM c GROUP BY user_id)
+    SELECT user_id, n, n_types,
+           (floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5e0)::BIGINT
+            - s // n)::BIGINT AS entropy_u
+    FROM t
+    """
+
+
+def spend_gini(orders: DataFrame, group_col: str = "c_nationkey"
+               ) -> DataFrame:
+    """Gini coefficient of per-customer spend within each group ->
+    (group, n, sum_x, gini_q): the inequality / concentration lens on
+    any keyed total ("is this nation's demand a few whales or a broad
+    base").
+
+    Law: x = per-customer total in whole dollars (floor; dollar
+    granularity keeps sum(i*x) < 2^63 through ~10^7 customers/group);
+    ranked ascending by (x, custkey); G = (2*sum(i*x_i)
+    - (n+1)*sum x) / (n * sum x), quantized half-up at 1e6.
+
+    Scale shape: one groupBy to customer totals, one in-group
+    row_number window (at 10^9+ customers per group swap in
+    sampling.sharded_keyed_rank — same law, no single-task window),
+    one final group agg."""
+    from pyspark.sql import Window
+
+    cust = (orders.groupBy(group_col, "o_custkey")
+            .agg(F.sum(F.expr("CAST(floor(o_totalprice) AS BIGINT)"))
+                 .cast("long").alias("x")))
+    w = Window.partitionBy(group_col).orderBy("x", "o_custkey")
+    r = cust.withColumn("i", F.row_number().over(w).cast("long"))
+    return (r.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("x").cast("long").alias("sum_x"),
+                 F.sum(F.expr("i * x")).cast("long").alias("_six"))
+            .where(F.col("sum_x") > 0)
+            .select(group_col, "n", "sum_x",
+                    F.expr("floor(CAST(2 * _six - (n + 1) * sum_x AS"
+                           " DOUBLE) / CAST(n * sum_x AS DOUBLE)"
+                           " * 1e6 + 0.5e0) / 1e6").alias("gini_q")))
+
+
+def spend_gini_sql(orders_sql: str, group_col: str = "c_nationkey"
+                   ) -> str:
+    return f"""
+    WITH cust AS (
+      SELECT {group_col}, o_custkey,
+             sum(floor(o_totalprice)::BIGINT)::BIGINT AS x
+      FROM ({orders_sql}) GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY {group_col}
+                                       ORDER BY x, o_custkey)::BIGINT
+                 AS i
+          FROM cust),
+    a AS (SELECT {group_col}, count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sum_x, sum(i * x)::BIGINT AS six
+          FROM r GROUP BY 1
+          HAVING sum(x) > 0)
+    SELECT {group_col}, n, sum_x,
+           floor(CAST(2 * six - (n + 1) * sum_x AS DOUBLE)
+                 / CAST(n * sum_x AS DOUBLE) * 1e6 + 0.5e0) / 1e6
+           AS gini_q
+    FROM a
+    """

@@ -542,3 +542,76 @@ def test_mask_confusion_golden(spark, mgrid):
         assert tp + fp + fn + tn == CHH * CHW
         exp = np.floor(tp / (tp + fp + fn) * 1e6 + 0.5) / 1e6
         assert r.iou_q == pytest.approx(exp, abs=1e-9)
+
+
+# ------------------------------------------------------------------ #
+# burstiness / entropy / gini                                          #
+# ------------------------------------------------------------------ #
+
+def test_burstiness_periodic_vs_bursty(spark):
+    from aef_mosaic_spark.functions.features import burstiness
+    rows, eid = [], 0
+    t0 = 1_700_000_000
+    # user 1: perfectly periodic (B = -1); user 2: bursty clusters
+    for i in range(30):
+        rows.append((eid, 1, pd.Timestamp(t0 + i * 60, unit="s"), 0.0))
+        eid += 1
+    t = t0
+    for burst in range(6):
+        for j in range(5):
+            rows.append((eid, 2, pd.Timestamp(t, unit="s"), 0.0))
+            eid += 1
+            t += 1
+        t += 3600
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "value"]))
+    got = {r["user_id"]: r for r in burstiness(df).collect()}
+    assert got[1]["burstiness_q"] == -1.0      # zero variance
+    # 5-in-a-row bursts an hour apart read ~0.37 (sigma ~ 2.2x mu)
+    assert got[2]["burstiness_q"] > 0.3
+    # golden law check for user 2
+    gaps = np.array([1] * 4 + ([3601] + [1] * 4) * 5, dtype=np.int64)
+    n, s, ss = len(gaps), int(gaps.sum()), int((gaps ** 2).sum())
+    d = n * ss - s * s
+    exp = np.floor((np.sqrt(d) - s) / (np.sqrt(d) + s) * 1e6 + 0.5) / 1e6
+    assert got[2]["burstiness_q"] == pytest.approx(exp, abs=1e-9)
+    assert (got[2]["n_gaps"], got[2]["s"], got[2]["ss"]) == (n, s, ss)
+
+
+def test_behavioral_entropy_bounds(spark):
+    from aef_mosaic_spark.functions.features import behavioral_entropy
+    rows = []
+    for i in range(40):
+        rows.append((1, "click"))                    # monoculture
+        rows.append((2, ["a", "b", "c", "d"][i % 4]))  # uniform over 4
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["user_id",
+                                                     "event_type"]))
+    got = {r["user_id"]: r for r in behavioral_entropy(df).collect()}
+    assert got[1]["entropy_u"] == 0
+    # uniform over 4 -> ln 4 = 1.386294 micro-nats, integer law:
+    n, n_t = 40, 10
+    lnq = lambda x: int(np.floor(np.log(x) * 1e6 + 0.5))
+    exp = lnq(n) - (4 * n_t * lnq(n_t)) // n
+    assert got[2]["entropy_u"] == exp
+    assert abs(got[2]["entropy_u"] - 1_386_294) < 5
+
+
+def test_spend_gini_extremes(spark):
+    from aef_mosaic_spark.functions.features import spend_gini
+    rows = []
+    # group 0: equal spenders -> G ~ 0; group 1: one whale -> G -> 1
+    for c in range(10):
+        rows.append((0, c, 100.0))
+        rows.append((1, 100 + c, 10000.0 if c == 9 else 1.0))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["c_nationkey", "o_custkey", "o_totalprice"]))
+    got = {r["c_nationkey"]: r for r in spend_gini(df).collect()}
+    assert got[0]["gini_q"] == pytest.approx(0.0, abs=1e-9)
+    assert got[1]["gini_q"] > 0.85
+    # golden integer law for group 1
+    xs = sorted([1] * 9 + [10000])
+    n, sx = 10, sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    exp = np.floor((2 * six - (n + 1) * sx) / (n * sx) * 1e6 + 0.5) / 1e6
+    assert got[1]["gini_q"] == pytest.approx(exp, abs=1e-9)
