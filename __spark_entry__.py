@@ -2735,6 +2735,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spend_gini(o)
     q["q189_spend_gini"] = q189_spend_gini
 
+    def q190_texture_stats(spark, sf):
+        # matrix-free GLCM contrast/homogeneity: pair-separable
+        # identities stream per-pair integer terms into two sums (the
+        # 256x256 co-occurrence matrix never materializes); partial
+        # sums per Arrow batch -> bands-sized groupBy. Pinned fixture.
+        from aef_mosaic_spark.operators.focal import texture_stats
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return texture_stats(chunks, grid)
+    q["q190_texture_stats"] = q190_texture_stats
+
+    def q191_gearys_c(spark, sf):
+        # Geary's C — the local-difference autocorrelation twin of
+        # q167's Moran (same checkpointed lattice machinery; the n^2
+        # scaling cancels between the diff numerator and the q167
+        # denominator) (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import gearys_c
+        return gearys_c(_points(spark, sf))
+    q["q191_gearys_c"] = q191_gearys_c
+
     return _driver_order(q)
 
 
@@ -3766,7 +3787,7 @@ def oracle_sql() -> dict[str, str]:
                    "q166_contour_segments", "q171_morphology",
                    "q172_histogram_match", "q175_otsu_mask",
                    "q176_sieve", "q184_basin_labels",
-                   "q185_mask_agreement"):
+                   "q185_mask_agreement", "q190_texture_stats"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 
@@ -4022,6 +4043,8 @@ def oracle_sql() -> dict[str, str]:
       FROM documents WHERE doc_id % 3 = 0""")
     from aef_mosaic_spark.operators.spatial_stats import (getis_ord_sql,
                                                           morans_i_sql)
+    from aef_mosaic_spark.operators.spatial_stats import gearys_c_sql
+    o["q191_gearys_c"] = gearys_c_sql(POINT_SQL)
     o["q167_morans_i"] = morans_i_sql(POINT_SQL)
     o["q168_getis_ord"] = getis_ord_sql(POINT_SQL)
     from aef_mosaic_spark.operators.spatial_stats import (

@@ -1283,3 +1283,67 @@ def apply_thresholds(chunks: DataFrame, grid: OutputGrid,
             yield pdf
 
     return chunks.mapInPandas(_apply, schema=out_schema)
+
+
+# ------------------------------------------------------------------ #
+# Texture statistics — matrix-free GLCM contrast / homogeneity        #
+# ------------------------------------------------------------------ #
+
+def texture_stats(chunks: DataFrame, grid: OutputGrid,
+                  chunk_col: str = "chunk") -> DataFrame:
+    """Haralick-style texture over the horizontal offset-(0,1) pixel
+    pairs -> per (time_idx, band): (n_pairs, contrast_sum, homog_u,
+    contrast_q): GLCM contrast = E[(a-b)^2] and homogeneity =
+    E[1/(1+(a-b)^2)] computed MATRIX-FREE — both are pair-separable,
+    so per-pair integer terms stream into two sums and the 256x256
+    co-occurrence matrix never materializes (the identity: sum_ij
+    P(i,j) f(i-j) = (1/N) sum_pairs f(a-b)).
+
+    Law: pairs are horizontally adjacent pixels WITHIN a chunk
+    (boundary-pair exclusion, standard for translation-averaged
+    texture); homogeneity terms are floor(1e6 / (1 + (a-b)^2)) —
+    exact integer division per pair; contrast_q = contrast_sum /
+    n_pairs quantized half-up at 1e6.
+
+    Scale shape: one mapInPandas pass emitting per-batch partial sums
+    (np.diff vectorized), then a bands-sized groupBy — the
+    global_histogram two-phase shape."""
+    import pandas as pd
+
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+
+    def _partial(it):
+        for pdf in it:
+            acc = {}
+            for ti, buf in zip(pdf["time_idx"], pdf[chunk_col]):
+                arr = np.frombuffer(buf, np.uint8).reshape(
+                    nb, chh, chw).astype(np.int64)
+                d = np.diff(arr, axis=2)
+                d2 = d * d
+                for b in range(nb):
+                    key = (int(ti), b)
+                    c, h, n = acc.get(key, (0, 0, 0))
+                    acc[key] = (c + int(d2[b].sum()),
+                                h + int((1_000_000
+                                         // (1 + d2[b])).sum()),
+                                n + d2[b].size)
+            rows = [(t, b, n, c, h) for (t, b), (c, h, n) in acc.items()]
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "band", "n_pairs", "contrast_sum",
+                "homog_u"])
+
+    tcol = (F.col("time_idx") if "time_idx" in chunks.columns
+            else F.lit(0)).cast("int").alias("time_idx")
+    src = chunks.select(tcol, chunk_col)
+    out = src.mapInPandas(
+        _partial, schema="time_idx int, band int, n_pairs long, "
+                         "contrast_sum long, homog_u long")
+    return (out.groupBy("time_idx", "band")
+            .agg(F.sum("n_pairs").cast("long").alias("n_pairs"),
+                 F.sum("contrast_sum").cast("long")
+                 .alias("contrast_sum"),
+                 F.sum("homog_u").cast("long").alias("homog_u"))
+            .withColumn("contrast_q",
+                        F.expr("floor(CAST(contrast_sum AS DOUBLE)"
+                               " / CAST(n_pairs AS DOUBLE) * 1e6"
+                               " + 0.5e0) / 1e6")))

@@ -583,3 +583,72 @@ def colocation_patterns_sql(source_sql: str,
     FROM near n JOIN tot t ON t.type_a = n.type_a
     GROUP BY n.type_a, n.type_b, t.n_a
     """
+
+
+# ------------------------------------------------------------------ #
+# Geary's C — the difference-based autocorrelation twin of Moran      #
+# ------------------------------------------------------------------ #
+
+def gearys_c(points: DataFrame, cell_deg: int = GI_CELL_DEG,
+             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Geary's C (Geary 1954) over the occupied queen lattice -> one
+    row (cell_deg, n_cells, s0, diff_num, den, geary_c): C =
+    (n-1) * sum_ij w_ij (x_i - x_j)^2 / (2 S0 sum_i (x_i - xbar)^2).
+    Moran reads GLOBAL structure (cross-products against the mean),
+    Geary reads LOCAL structure (squared neighbor differences) —
+    together they are the standard autocorrelation pair; C < 1 means
+    positive autocorrelation.
+
+    Integer law: the numerator's difference term scaled by n^2 —
+    (n x_i - n x_j)^2 — pairs with the q167 denominator sum (n x_i -
+    S)^2 = n^2 * sum (x_i - xbar)^2, so the n^2 cancels in the ratio
+    and every intermediate is BIGINT; one quantized double at the
+    end, NULL for degenerate lattices."""
+    cells = bin_cells(points, cell_deg, lon_col, lat_col) \
+        .localCheckpoint(eager=True)
+    tot = cells.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("x").cast("long").alias("s"))
+    pairs = (_neighbor_join(cells, _OFFS8)
+             .crossJoin(F.broadcast(tot))
+             .agg(F.count(F.lit(1)).cast("long").alias("s0"),
+                  F.sum(F.expr("(n * xi - n * xj) * (n * xi - n * xj)"))
+                  .cast("long").alias("diff_num")))
+    den = (cells.crossJoin(F.broadcast(tot))
+           .agg(F.first("n").alias("n_cells"),
+                F.sum(F.expr("(n * x - s) * (n * x - s)"))
+                .cast("long").alias("den")))
+    q6 = _Q6.format(
+        expr="CAST(n_cells - 1 AS DOUBLE) * CAST(diff_num AS DOUBLE)"
+             " / (2e0 * CAST(s0 AS DOUBLE) * CAST(den AS DOUBLE))")
+    return (pairs.crossJoin(F.broadcast(den))
+            .select(F.lit(cell_deg).cast("long").alias("cell_deg"),
+                    "n_cells", "s0", "diff_num", "den",
+                    F.expr(f"CASE WHEN s0 * den = 0 THEN NULL"
+                           f" ELSE {q6} END").alias("geary_c")))
+
+
+def gearys_c_sql(source_sql: str, cell_deg: int = GI_CELL_DEG,
+                 lon_col: str = "lon", lat_col: str = "lat") -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFS8)
+    return f"""
+    WITH cells AS MATERIALIZED (
+      {_cells_sql(source_sql, cell_deg, lon_col, lat_col)}),
+    t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+          FROM cells),
+    p AS (SELECT count(*)::BIGINT AS s0,
+                 sum((t.n * a.x - t.n * b.x)
+                     * (t.n * a.x - t.n * b.x))::BIGINT AS diff_num
+          FROM cells a
+          JOIN (VALUES {offs}) o(dx, dy) ON true
+          JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy,
+          t),
+    d AS (SELECT sum((t.n * x - t.s) * (t.n * x - t.s))::BIGINT AS den
+          FROM cells, t)
+    SELECT {cell_deg}::BIGINT AS cell_deg, t.n AS n_cells, p.s0,
+           p.diff_num, d.den,
+           CASE WHEN p.s0 * d.den = 0 THEN NULL ELSE
+           floor(CAST(t.n - 1 AS DOUBLE) * CAST(p.diff_num AS DOUBLE)
+                 / (2e0 * CAST(p.s0 AS DOUBLE) * CAST(d.den AS DOUBLE))
+                 * 1e6 + 0.5e0) / 1e6 END AS geary_c
+    FROM t, p, d
+    """

@@ -32,7 +32,8 @@ PINNED = ["q30_mosaic_chunks", "q31_mosaic_last_on_top",
           "q149_focal_median", "q150_distance_transform",
           "q166_contour_segments", "q171_morphology",
           "q172_histogram_match", "q175_otsu_mask", "q176_sieve",
-          "q184_basin_labels", "q185_mask_agreement"]
+          "q184_basin_labels", "q185_mask_agreement",
+          "q190_texture_stats"]
 FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 

@@ -615,3 +615,34 @@ def test_spend_gini_extremes(spark):
     six = sum((i + 1) * x for i, x in enumerate(xs))
     exp = np.floor((2 * six - (n + 1) * sx) / (n * sx) * 1e6 + 0.5) / 1e6
     assert got[1]["gini_q"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_texture_stats_golden_and_discrimination(spark, mgrid):
+    from aef_mosaic_spark.operators.focal import texture_stats
+    rng = np.random.RandomState(21)
+    rows = []
+    acc = {}
+    for ri in range(NR):
+        for ci in range(NC):
+            smooth = np.tile(np.arange(CHW, dtype=np.uint8), (CHH, 1))
+            noisy = rng.randint(0, 256, (CHH, CHW)).astype(np.uint8)
+            arr = np.stack([smooth, noisy])
+            rows.append({"time_idx": 0, "row_idx": ri, "col_idx": ci,
+                         "chunk": arr.tobytes()})
+            for b in range(NB):
+                d2 = np.diff(arr[b].astype(np.int64), axis=1) ** 2
+                c, h, n = acc.get(b, (0, 0, 0))
+                acc[b] = (c + int(d2.sum()),
+                          h + int((1_000_000 // (1 + d2)).sum()),
+                          n + d2.size)
+    got = {r["band"]: r for r in texture_stats(
+        spark.createDataFrame(pd.DataFrame(rows)), mgrid).collect()}
+    for b in range(NB):
+        c, h, n = acc[b]
+        assert (got[b]["contrast_sum"], got[b]["homog_u"],
+                got[b]["n_pairs"]) == (c, h, n)
+        exp_q = np.floor(c / n * 1e6 + 0.5) / 1e6
+        assert got[b]["contrast_q"] == pytest.approx(exp_q, abs=1e-9)
+    # the smooth gradient band reads ~1; the noise band reads ~10^4
+    assert got[1]["contrast_q"] > 1000 * got[0]["contrast_q"]
+    assert got[0]["homog_u"] > got[1]["homog_u"]

@@ -256,3 +256,37 @@ def test_morton_ranges_exact_capped_and_disjoint():
     import pytest as _pt
     with _pt.raises(ValueError):
         morton_ranges(0, 256, 0, 10, 8)
+
+
+def test_gearys_c_direction_and_golden(spark):
+    from aef_mosaic_spark.operators.spatial_stats import gearys_c
+    # gradient -> C < 1 (positive autocorrelation); checkerboard ->
+    # C > 1 (negative)
+    cells = [(cx, cy) for cx in range(6) for cy in range(4)]
+    grad = [1 + 3 * cx for cx, cy in cells]
+    chk = [9 if (cx + cy) % 2 == 0 else 1 for cx, cy in cells]
+
+    def golden(xs):
+        n, s = len(cells), sum(xs)
+        idx = dict(zip(cells, xs))
+        num = s0 = 0
+        for (cx, cy), xi in idx.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if (dx, dy) == (0, 0):
+                        continue
+                    xj = idx.get((cx + dx, cy + dy))
+                    if xj is None:
+                        continue
+                    s0 += 1
+                    num += (n * xi - n * xj) ** 2
+        den = sum((n * xi - s) ** 2 for xi in xs)
+        return (n - 1) * num / (2 * s0 * den)
+
+    # queen diagonals dilute the checkerboard (the Moran -1/7
+    # effect): C reads ~1.07, still on the negative side of 1
+    for xs, lo, hi in ((grad, 0.0, 0.7), (chk, 1.0, 3.0)):
+        got = gearys_c(_points_df(spark, cells, xs),
+                       cell_deg=4).collect()[0]
+        assert got["geary_c"] == pytest.approx(golden(xs), abs=2e-6)
+        assert lo < got["geary_c"] < hi
