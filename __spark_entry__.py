@@ -2756,6 +2756,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return gearys_c(_points(spark, sf))
     q["q191_gearys_c"] = q191_gearys_c
 
+    def q192_semivariogram(spark, sf):
+        # empirical Matheron semivariogram over valued points (the
+        # kriging precursor: where gamma sills is the correlation
+        # range): q174's blocked pair join at max-bin radius,
+        # per-band conditional aggs, all-BIGINT gamma numerators
+        # (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import (
+            semivariogram)
+        pts = _pq(spark, sf, "orders").selectExpr(
+            "o_orderkey AS point_id",
+            "(o_orderkey * 7) % 3590 / 10e0 - 179.5e0 AS lon",
+            "(o_orderkey * 13) % 1690 / 10e0 - 84.5e0 AS lat",
+            "CAST(floor(o_totalprice) AS BIGINT) % 10000 AS v")
+        return semivariogram(pts)
+    q["q192_semivariogram"] = q192_semivariogram
+
+    def q193_raster_correlation(spark, sf):
+        # per-chunk cross-year Pearson correlation (the continuous
+        # sibling of q185's IoU): 5 exact integer sums per chunk, two
+        # correctly-rounded sqrts. Pinned fixture.
+        from aef_mosaic_spark.operators.focal import raster_correlation
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return raster_correlation(
+            chunks.where(F.col("time_idx") == 0),
+            chunks.where(F.col("time_idx") == 1), grid)
+    q["q193_raster_correlation"] = q193_raster_correlation
+
     return _driver_order(q)
 
 
@@ -3787,7 +3816,8 @@ def oracle_sql() -> dict[str, str]:
                    "q166_contour_segments", "q171_morphology",
                    "q172_histogram_match", "q175_otsu_mask",
                    "q176_sieve", "q184_basin_labels",
-                   "q185_mask_agreement", "q190_texture_stats"):
+                   "q185_mask_agreement", "q190_texture_stats",
+                   "q193_raster_correlation"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 
@@ -4043,8 +4073,15 @@ def oracle_sql() -> dict[str, str]:
       FROM documents WHERE doc_id % 3 = 0""")
     from aef_mosaic_spark.operators.spatial_stats import (getis_ord_sql,
                                                           morans_i_sql)
-    from aef_mosaic_spark.operators.spatial_stats import gearys_c_sql
+    from aef_mosaic_spark.operators.spatial_stats import (
+        gearys_c_sql, semivariogram_sql)
     o["q191_gearys_c"] = gearys_c_sql(POINT_SQL)
+    o["q192_semivariogram"] = semivariogram_sql("""
+      SELECT o_orderkey AS point_id,
+             (o_orderkey * 7) % 3590 / 10e0 - 179.5e0 AS lon,
+             (o_orderkey * 13) % 1690 / 10e0 - 84.5e0 AS lat,
+             floor(o_totalprice)::BIGINT % 10000 AS v
+      FROM orders""")
     o["q167_morans_i"] = morans_i_sql(POINT_SQL)
     o["q168_getis_ord"] = getis_ord_sql(POINT_SQL)
     from aef_mosaic_spark.operators.spatial_stats import (

@@ -1347,3 +1347,66 @@ def texture_stats(chunks: DataFrame, grid: OutputGrid,
                         F.expr("floor(CAST(contrast_sum AS DOUBLE)"
                                " / CAST(n_pairs AS DOUBLE) * 1e6"
                                " + 0.5e0) / 1e6")))
+
+
+# ------------------------------------------------------------------ #
+# Per-chunk cross-raster Pearson correlation                          #
+# ------------------------------------------------------------------ #
+
+def raster_correlation(chunks_a: DataFrame, chunks_b: DataFrame,
+                       grid: OutputGrid, band: int = 0,
+                       chunk_col: str = "chunk") -> DataFrame:
+    """Pixelwise Pearson correlation between two rasters keyed on
+    (row_idx, col_idx) -> per chunk (row_idx, col_idx, n_px, corr_q):
+    the continuous-valued sibling of q185's mask IoU — "where did the
+    scene change structurally vs just radiometrically" (high IoU
+    shift + high correlation = pure tone change; low correlation =
+    structural change).
+
+    Integer law: with exact BIGINT sums Sa, Sb, Saa, Sbb, Sab over
+    n = chh*chw uint8 pixels, r = (n*Sab - Sa*Sb) / (sqrt(n*Saa -
+    Sa^2) * sqrt(n*Sbb - Sb^2)) — every operand BIGINT (n*Sab <=
+    65536 * 65536*65025 < 2^63 at 256x256 chunks), two
+    correctly-rounded sqrts, quantized half-up at 1e6; NULL where
+    either side is constant.
+
+    Scale shape: ONE key equi-join (binaries move once), one
+    mapInPandas emitting the 5 integer sums, arithmetic JVM-side."""
+    import pandas as pd
+
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+    a = chunks_a.select(F.col("row_idx"), F.col("col_idx"),
+                        F.col(chunk_col).alias("_ca"))
+    b = chunks_b.select(F.col("row_idx"), F.col("col_idx"),
+                        F.col(chunk_col).alias("_cb"))
+    j = a.join(b, ["row_idx", "col_idx"])
+
+    def _sums(it):
+        for pdf in it:
+            rows = []
+            for ri, ci, ca, cb in zip(pdf["row_idx"], pdf["col_idx"],
+                                      pdf["_ca"], pdf["_cb"]):
+                pa = np.frombuffer(ca, np.uint8).reshape(
+                    nb, chh, chw)[band].astype(np.int64)
+                pb = np.frombuffer(cb, np.uint8).reshape(
+                    nb, chh, chw)[band].astype(np.int64)
+                rows.append((int(ri), int(ci), pa.size,
+                             int(pa.sum()), int(pb.sum()),
+                             int((pa * pa).sum()), int((pb * pb).sum()),
+                             int((pa * pb).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "row_idx", "col_idx", "n_px", "sa", "sb", "saa",
+                "sbb", "sab"])
+
+    out = j.mapInPandas(_sums, schema="row_idx int, col_idx int, "
+                        "n_px long, sa long, sb long, saa long, "
+                        "sbb long, sab long")
+    return (out
+            .withColumn("_va", F.expr("n_px * saa - sa * sa"))
+            .withColumn("_vb", F.expr("n_px * sbb - sb * sb"))
+            .select("row_idx", "col_idx", "n_px",
+                    F.expr("CASE WHEN _va <= 0 OR _vb <= 0 THEN NULL"
+                           " ELSE floor(CAST(n_px * sab - sa * sb AS"
+                           " DOUBLE) / (sqrt(CAST(_va AS DOUBLE))"
+                           " * sqrt(CAST(_vb AS DOUBLE))) * 1e6"
+                           " + 0.5e0) / 1e6 END").alias("corr_q")))

@@ -652,3 +652,124 @@ def gearys_c_sql(source_sql: str, cell_deg: int = GI_CELL_DEG,
                  * 1e6 + 0.5e0) / 1e6 END AS geary_c
     FROM t, p, d
     """
+
+
+# ------------------------------------------------------------------ #
+# Empirical semivariogram — the kriging precursor                     #
+# ------------------------------------------------------------------ #
+
+VARIOGRAM_BINS_MDEG = (500_000, 1_000_000, 2_000_000)
+
+
+def semivariogram(points: DataFrame, value_col: str = "v",
+                  bins_mdeg=VARIOGRAM_BINS_MDEG,
+                  id_col: str = "point_id", lon_col: str = "lon",
+                  lat_col: str = "lat") -> DataFrame:
+    """Empirical (Matheron) semivariogram -> one row per distance
+    band: (r_lo_mdeg, r_hi_mdeg, n_pairs, gamma_num, gamma_q):
+    gamma(h) = sum (z_i - z_j)^2 / (2 N(h)) over ordered point pairs
+    whose separation falls in the band — the spatial-continuity curve
+    that precedes any kriging/interpolation choice (read: where the
+    curve sills is the correlation range; q134's IDW radius should
+    sit inside it).
+
+    Law: distances are exact BIGINT squared microdegrees banded at
+    the bin edges (lo^2 < d2 <= hi^2, first band starts > 0); values
+    are integer (cents); gamma_num = sum of squared value diffs is
+    BIGINT; gamma_q = gamma_num / (2 n_pairs) quantized half-up at
+    1e6.  Ordered pairs count each unordered pair twice in BOTH num
+    and n_pairs, so gamma is unchanged.
+
+    Scale shape: the q174 blocked pair join at max-bin radius with
+    per-band conditional aggregates over the ONE join."""
+    rmax = max(bins_mdeg)
+    pts = (points.select(
+        F.col(id_col).alias("pid"),
+        F.col(value_col).cast("long").alias("v"),
+        F.expr(f"CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT)")
+        .alias("ix"),
+        F.expr(f"CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT)")
+        .alias("iy"))
+        .withColumn("bx", F.expr(f"CAST(floor(ix / {rmax}e0) AS BIGINT)"))
+        .withColumn("by", F.expr(f"CAST(floor(iy / {rmax}e0) AS BIGINT)"))
+        .localCheckpoint(eager=True))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    lhs = (pts.select(F.col("pid").alias("pa"), F.col("v").alias("va"),
+                      F.col("ix").alias("ax"), F.col("iy").alias("ay"),
+                      "bx", "by", off)
+           .select("pa", "va", "ax", "ay",
+                   (F.col("bx") + F.col("o.dx")).alias("bx"),
+                   (F.col("by") + F.col("o.dy")).alias("by")))
+    joined = (lhs.hint("shuffle_hash")
+              .join(pts.select(F.col("pid").alias("pb"),
+                               F.col("v").alias("vb"), "ix", "iy",
+                               "bx", "by"), ["bx", "by"])
+              .where(F.col("pa") != F.col("pb"))
+              .select(F.expr("(ax - ix) * (ax - ix)"
+                             " + (ay - iy) * (ay - iy)").alias("d2"),
+                      F.expr("(va - vb) * (va - vb)").alias("dv2")))
+    lo = [0] + list(bins_mdeg[:-1])
+    aggs = []
+    for l, h in zip(lo, bins_mdeg):
+        cond = f"d2 > {l * l} AND d2 <= {h * h}"
+        aggs.append(F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0"
+                                 f" END")).cast("long").alias(f"n{h}"))
+        aggs.append(F.sum(F.expr(f"CASE WHEN {cond} THEN dv2 ELSE 0"
+                                 f" END")).cast("long").alias(f"g{h}"))
+    counts = joined.agg(*aggs)
+    stack = ", ".join(f"{l}L, {h}L, n{h}, g{h}"
+                      for l, h in zip(lo, bins_mdeg))
+    return (counts
+            .selectExpr(f"stack({len(bins_mdeg)}, {stack})"
+                        " AS (r_lo_mdeg, r_hi_mdeg, n_pairs,"
+                        " gamma_num)")
+            .select("r_lo_mdeg", "r_hi_mdeg", "n_pairs", "gamma_num",
+                    F.expr("CASE WHEN n_pairs = 0 THEN NULL ELSE"
+                           " floor(CAST(gamma_num AS DOUBLE)"
+                           " / (2e0 * CAST(n_pairs AS DOUBLE)) * 1e6"
+                           " + 0.5e0) / 1e6 END").alias("gamma_q")))
+
+
+def semivariogram_sql(source_sql: str, value_col: str = "v",
+                      bins_mdeg=VARIOGRAM_BINS_MDEG,
+                      id_col: str = "point_id", lon_col: str = "lon",
+                      lat_col: str = "lat") -> str:
+    rmax = max(bins_mdeg)
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    lo = [0] + list(bins_mdeg[:-1])
+    arms = ", ".join(
+        f"sum(CASE WHEN d2 > {l * l} AND d2 <= {h * h} THEN 1 ELSE 0"
+        f" END)::BIGINT AS n{h},"
+        f" sum(CASE WHEN d2 > {l * l} AND d2 <= {h * h} THEN dv2"
+        f" ELSE 0 END)::BIGINT AS g{h}"
+        for l, h in zip(lo, bins_mdeg))
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {l}::BIGINT AS r_lo_mdeg, {h}::BIGINT AS r_hi_mdeg,"
+        f" n{h} AS n_pairs, g{h} AS gamma_num,"
+        f" CASE WHEN n{h} = 0 THEN NULL ELSE"
+        f" floor(CAST(g{h} AS DOUBLE) / (2e0 * CAST(n{h} AS DOUBLE))"
+        f" * 1e6 + 0.5e0) / 1e6 END AS gamma_q FROM c"
+        for l, h in zip(lo, bins_mdeg))
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT {id_col} AS pid, CAST({value_col} AS BIGINT) AS v,
+             CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT) AS ix,
+             CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT) AS iy
+      FROM ({source_sql})),
+    blk AS MATERIALIZED (
+      SELECT *, CAST(floor(ix / {rmax}e0) AS BIGINT) AS bx,
+             CAST(floor(iy / {rmax}e0) AS BIGINT) AS by
+      FROM pts),
+    j AS (SELECT (a.ix - b.ix) * (a.ix - b.ix)
+                 + (a.iy - b.iy) * (a.iy - b.iy) AS d2,
+                 (a.v - b.v) * (a.v - b.v) AS dv2
+          FROM blk a
+          JOIN (VALUES {offs}) o(dx, dy) ON true
+          JOIN blk b ON b.bx = a.bx + o.dx AND b.by = a.by + o.dy
+           AND a.pid != b.pid),
+    c AS (SELECT {arms} FROM j)
+    {sel}
+    """

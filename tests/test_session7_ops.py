@@ -646,3 +646,45 @@ def test_texture_stats_golden_and_discrimination(spark, mgrid):
     # the smooth gradient band reads ~1; the noise band reads ~10^4
     assert got[1]["contrast_q"] > 1000 * got[0]["contrast_q"]
     assert got[0]["homog_u"] > got[1]["homog_u"]
+
+
+def test_raster_correlation_golden_and_extremes(spark, mgrid):
+    from aef_mosaic_spark.operators.focal import raster_correlation
+    rng = np.random.RandomState(33)
+    rows_a, rows_b = [], []
+    cases = {}
+    for ri in range(NR):
+        for ci in range(NC):
+            base = rng.randint(0, 200, (CHH, CHW)).astype(np.uint8)
+            if (ri, ci) == (0, 0):        # perfect linear relation
+                other = (base // 2 + 30).astype(np.uint8)
+            elif (ri, ci) == (0, 1):      # inverted -> r ~ -1
+                other = (200 - base).astype(np.uint8)
+            elif (ri, ci) == (0, 2):      # constant -> NULL
+                other = np.full((CHH, CHW), 7, np.uint8)
+            else:                          # independent noise
+                other = rng.randint(0, 200, (CHH, CHW)).astype(np.uint8)
+            cases[(ri, ci)] = (base, other)
+            for rows, m in ((rows_a, base), (rows_b, other)):
+                arr = np.zeros((NB, CHH, CHW), np.uint8)
+                arr[0] = m
+                rows.append({"time_idx": 0, "row_idx": ri,
+                             "col_idx": ci, "chunk": arr.tobytes()})
+    got = {(r.row_idx, r.col_idx): r for r in raster_correlation(
+        spark.createDataFrame(pd.DataFrame(rows_a)),
+        spark.createDataFrame(pd.DataFrame(rows_b)), mgrid).collect()}
+    for k, (pa, pb) in cases.items():
+        a, b = pa.astype(np.int64), pb.astype(np.int64)
+        n = a.size
+        va = n * (a * a).sum() - a.sum() ** 2
+        vb = n * (b * b).sum() - b.sum() ** 2
+        if va <= 0 or vb <= 0:
+            assert got[k]["corr_q"] is None
+            continue
+        exp = np.floor((n * (a * b).sum() - a.sum() * b.sum())
+                       / (np.sqrt(va) * np.sqrt(vb)) * 1e6 + 0.5) / 1e6
+        assert got[k]["corr_q"] == pytest.approx(exp, abs=1e-9), k
+    assert got[(0, 0)]["corr_q"] > 0.98
+    assert got[(0, 1)]["corr_q"] < -0.99
+    assert got[(0, 2)]["corr_q"] is None
+    assert abs(got[(1, 1)]["corr_q"]) < 0.1

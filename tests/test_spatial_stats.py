@@ -290,3 +290,32 @@ def test_gearys_c_direction_and_golden(spark):
                        cell_deg=4).collect()[0]
         assert got["geary_c"] == pytest.approx(golden(xs), abs=2e-6)
         assert lo < got["geary_c"] < hi
+
+
+def test_semivariogram_golden_and_monotone(spark):
+    from aef_mosaic_spark.operators.spatial_stats import semivariogram
+    rng = np.random.RandomState(17)
+    # values = smooth function of position + noise -> gamma grows
+    # with distance
+    n = 400
+    lon = rng.uniform(-10, 10, n)
+    lat = rng.uniform(-10, 10, n)
+    v = (lon * 300 + lat * 200 + rng.normal(0, 40, n)).astype(np.int64)
+    pdf = pd.DataFrame({"point_id": np.arange(n), "lon": lon,
+                        "lat": lat, "v": v})
+    got = {r["r_hi_mdeg"]: r for r in semivariogram(
+        spark.createDataFrame(pdf)).collect()}
+    # brute-force golden, same integer law
+    ix = np.floor(np.stack([lon, lat], 1) * 1e6 + 0.5).astype(np.int64)
+    d2 = ((ix[:, None, :] - ix[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, -1)
+    dv2 = (v[:, None] - v[None, :]) ** 2
+    lo = [0, 500000, 1000000]
+    for l, h in zip(lo, (500000, 1000000, 2000000)):
+        m = (d2 > l * l) & (d2 <= h * h)
+        npairs, gnum = int(m.sum()), int(dv2[m].sum())
+        assert (got[h]["n_pairs"], got[h]["gamma_num"]) == (npairs, gnum)
+        exp = np.floor(gnum / (2 * npairs) * 1e6 + 0.5) / 1e6
+        assert got[h]["gamma_q"] == pytest.approx(exp, abs=1e-9)
+    assert got[500000]["gamma_q"] < got[1000000]["gamma_q"] \
+        < got[2000000]["gamma_q"]
