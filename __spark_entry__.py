@@ -2785,6 +2785,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             chunks.where(F.col("time_idx") == 1), grid)
     q["q193_raster_correlation"] = q193_raster_correlation
 
+    def q194_local_moran(spark, sf):
+        # Anselin LISA: per-cell local Moran + HH/LL/HL/LH quadrant —
+        # maps WHICH cells drive q167's global statistic; n-scalings
+        # cancel against the shared q167 denominator
+        # (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import local_moran
+        return local_moran(_points(spark, sf))
+    q["q194_local_moran"] = q194_local_moran
+
+    def q195_focal_tri(spark, sf):
+        # terrain ruggedness index as a focal op (truncating-integer
+        # mean |center-neighbor| over the 3x3) — same halo plan as
+        # every FOCAL_OPS member. Pinned fixture.
+        from aef_mosaic_spark.operators.focal import focal_chunks
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return focal_chunks(chunks, grid, op="tri", radius=1) \
+            .select("time_idx", "row_idx", "col_idx",
+                    F.md5(F.col("chunk")).alias("chunk_md5"),
+                    "n_parts")
+    q["q195_focal_tri"] = q195_focal_tri
+
     return _driver_order(q)
 
 
@@ -3817,7 +3840,7 @@ def oracle_sql() -> dict[str, str]:
                    "q172_histogram_match", "q175_otsu_mask",
                    "q176_sieve", "q184_basin_labels",
                    "q185_mask_agreement", "q190_texture_stats",
-                   "q193_raster_correlation"):
+                   "q193_raster_correlation", "q195_focal_tri"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 
@@ -4074,7 +4097,8 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.operators.spatial_stats import (getis_ord_sql,
                                                           morans_i_sql)
     from aef_mosaic_spark.operators.spatial_stats import (
-        gearys_c_sql, semivariogram_sql)
+        gearys_c_sql, local_moran_sql, semivariogram_sql)
+    o["q194_local_moran"] = local_moran_sql(POINT_SQL)
     o["q191_gearys_c"] = gearys_c_sql(POINT_SQL)
     o["q192_semivariogram"] = semivariogram_sql("""
       SELECT o_orderkey AS point_id,

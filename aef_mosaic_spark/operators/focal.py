@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..grid import OutputGrid
 
 FOCAL_OPS = ("mean", "max", "min", "median", "grad", "slope", "hillshade",
-             "aspect", "d8")
+             "aspect", "d8", "tri")
 
 # terrain-op constants (treating each band as an elevation surface):
 # classic 45-degree sun altitude / 315-degree (NW) azimuth defaults,
@@ -155,10 +155,30 @@ def _d8(pad: np.ndarray) -> np.ndarray:
     return np.where(best > 0.0, codes, np.uint8(0)).astype(np.uint8)
 
 
+def _tri(pad: np.ndarray) -> np.ndarray:
+    """Terrain ruggedness index (Wilson 2007 mean-|diff| form): the
+    truncating-integer mean of |center - neighbor| over the 8
+    neighbors — all int64, bit-stable by construction; zero padding
+    participates at the raster border (the documented min/median
+    convention)."""
+    p = pad.astype(np.int64)
+    c = p[:, 1:-1, 1:-1]
+    s = np.zeros_like(c)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) == (0, 0):
+                continue
+            H, W = c.shape[1], c.shape[2]
+            s += np.abs(p[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W] - c)
+    return np.minimum(s // 8, 255).astype(np.uint8)
+
+
 def _apply_kernel(pad: np.ndarray, op: str, r: int,
                   chh: int, chw: int) -> np.ndarray:
     if op == "grad":
         return _sobel(pad, chh, chw)
+    if op == "tri":
+        return _tri(pad)
     if op == "d8":
         return _d8(pad)
     if op == "slope":
@@ -209,7 +229,8 @@ def focal_chunks(chunks: DataFrame, grid: OutputGrid, op: str = "mean",
 
     if op not in FOCAL_OPS:
         raise ValueError(f"op must be one of {FOCAL_OPS}, got {op!r}")
-    if op in ("grad", "slope", "hillshade", "aspect") and radius != 1:
+    if op in ("grad", "slope", "hillshade", "aspect",
+              "tri") and radius != 1:
         raise ValueError(f"{op} is a fixed 3x3 kernel; radius must be 1")
     if radius < 1 or radius > min(grid.chunk_h, grid.chunk_w):
         raise ValueError("radius must be in [1, chunk size]")

@@ -773,3 +773,90 @@ def semivariogram_sql(source_sql: str, value_col: str = "v",
     c AS (SELECT {arms} FROM j)
     {sel}
     """
+
+
+# ------------------------------------------------------------------ #
+# Local Moran (LISA) — per-cell cluster/outlier classification        #
+# ------------------------------------------------------------------ #
+
+def local_moran(points: DataFrame, cell_deg: int = GI_CELL_DEG,
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Anselin's local Moran I_i (LISA, 1995) -> per occupied cell:
+    (cx, cy, x, wi, ii_q, quadrant): I_i = n * dev_i * sum_j w_ij
+    dev_j / den with dev = n*x - S and den = sum dev^2 (the q167
+    denominators — n-scalings cancel exactly), quadrant = HH/LL
+    clusters vs HL/LH outliers by the signs of dev_i and its
+    neighborhood sum.  Completes the 2x2 with q167/q191 (global) and
+    q168 (local z): LISA is what maps WHICH cells drive the global
+    statistic.
+
+    All BIGINT until one quantized double; cells with no neighbors
+    (wi = 0 after the 8-offset join) emit quadrant 'isolate' and
+    NULL ii_q, as do degenerate lattices (den = 0)."""
+    cells = bin_cells(points, cell_deg, lon_col, lat_col) \
+        .localCheckpoint(eager=True)
+    tot = cells.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("x").cast("long").alias("s"))
+    den_t = (cells.crossJoin(F.broadcast(tot))
+             .agg(F.sum(F.expr("(n * x - s) * (n * x - s)"))
+                  .cast("long").alias("den")))
+    hood = (_neighbor_join(cells, _OFFS8)
+            .crossJoin(F.broadcast(tot))
+            .groupBy(F.col("icx").alias("cx"), F.col("icy").alias("cy"))
+            .agg(F.count(F.lit(1)).cast("long").alias("wi"),
+                 F.sum(F.expr("n * xj - s")).cast("long")
+                 .alias("sumdev")))
+    base = (cells.join(hood, ["cx", "cy"], "left")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(den_t))
+            .withColumn("wi", F.coalesce("wi", F.lit(0)))
+            .withColumn("sumdev", F.coalesce("sumdev", F.lit(0)))
+            .withColumn("_dev", F.expr("n * x - s")))
+    q6 = _Q6.format(expr="CAST(n AS DOUBLE) * CAST(_dev AS DOUBLE)"
+                         " * CAST(sumdev AS DOUBLE)"
+                         " / CAST(den AS DOUBLE)")
+    return base.select(
+        "cx", "cy", "x", "wi",
+        F.expr(f"CASE WHEN wi = 0 OR den = 0 THEN NULL"
+               f" ELSE {q6} END").alias("ii_q"),
+        F.expr("CASE WHEN wi = 0 THEN 'isolate'"
+               " WHEN _dev >= 0 AND sumdev >= 0 THEN 'HH'"
+               " WHEN _dev < 0 AND sumdev < 0 THEN 'LL'"
+               " WHEN _dev >= 0 THEN 'HL' ELSE 'LH' END")
+        .alias("quadrant"))
+
+
+def local_moran_sql(source_sql: str, cell_deg: int = GI_CELL_DEG,
+                    lon_col: str = "lon", lat_col: str = "lat") -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFS8)
+    return f"""
+    WITH cells AS MATERIALIZED (
+      {_cells_sql(source_sql, cell_deg, lon_col, lat_col)}),
+    t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+          FROM cells),
+    d AS (SELECT sum((t.n * x - t.s) * (t.n * x - t.s))::BIGINT AS den
+          FROM cells, t),
+    hood AS (
+      SELECT a.cx, a.cy, count(*)::BIGINT AS wi,
+             sum(t.n * b.x - t.s)::BIGINT AS sumdev
+      FROM cells a
+      JOIN (VALUES {offs}) o(dx, dy) ON true
+      JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy, t
+      GROUP BY a.cx, a.cy),
+    z AS (SELECT c.cx, c.cy, c.x,
+                 coalesce(h.wi, 0)::BIGINT AS wi,
+                 coalesce(h.sumdev, 0)::BIGINT AS sumdev,
+                 (t.n * c.x - t.s)::BIGINT AS dev, t.n AS n, d.den
+          FROM cells c LEFT JOIN hood h ON h.cx = c.cx AND h.cy = c.cy,
+               t, d)
+    SELECT cx, cy, x, wi,
+           CASE WHEN wi = 0 OR den = 0 THEN NULL ELSE
+           floor(CAST(n AS DOUBLE) * CAST(dev AS DOUBLE)
+                 * CAST(sumdev AS DOUBLE) / CAST(den AS DOUBLE)
+                 * 1e6 + 0.5e0) / 1e6 END AS ii_q,
+           CASE WHEN wi = 0 THEN 'isolate'
+                WHEN dev >= 0 AND sumdev >= 0 THEN 'HH'
+                WHEN dev < 0 AND sumdev < 0 THEN 'LL'
+                WHEN dev >= 0 THEN 'HL' ELSE 'LH' END AS quadrant
+    FROM z
+    """

@@ -319,3 +319,32 @@ def test_semivariogram_golden_and_monotone(spark):
         assert got[h]["gamma_q"] == pytest.approx(exp, abs=1e-9)
     assert got[500000]["gamma_q"] < got[1000000]["gamma_q"] \
         < got[2000000]["gamma_q"]
+
+
+def test_local_moran_quadrants_and_golden(spark):
+    from aef_mosaic_spark.operators.spatial_stats import local_moran
+    # left half high (20), right half low (2): interior cells are HH
+    # or LL clusters with positive I_i; the boundary columns read as
+    # the transition
+    cells = [(cx, cy) for cx in range(6) for cy in range(4)]
+    x = [20 if cx < 3 else 2 for cx, cy in cells]
+    got = {(r["cx"], r["cy"]): r for r in local_moran(
+        _points_df(spark, cells, x), cell_deg=4).collect()}
+    assert got[(0, 1)]["quadrant"] == "HH" and got[(0, 1)]["ii_q"] > 0
+    assert got[(5, 1)]["quadrant"] == "LL" and got[(5, 1)]["ii_q"] > 0
+    # golden at one cell
+    n, s = len(cells), sum(x)
+    idx = dict(zip(cells, x))
+    den = sum((n * xi - s) ** 2 for xi in x)
+    sumdev = sum(n * idx[(0 + dx, 1 + dy)] - s
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                 if (dx, dy) != (0, 0) and (0 + dx, 1 + dy) in idx)
+    exp = np.floor(n * (n * 20 - s) * sumdev / den * 1e6 + 0.5) / 1e6
+    assert got[(0, 1)]["ii_q"] == pytest.approx(exp, abs=1e-9)
+    # an isolated far-away cell reads 'isolate'
+    cells2 = cells + [(50, 50)]
+    x2 = x + [5]
+    got2 = {(r["cx"], r["cy"]): r for r in local_moran(
+        _points_df(spark, cells2, x2), cell_deg=4).collect()}
+    assert got2[(50, 50)]["quadrant"] == "isolate"
+    assert got2[(50, 50)]["ii_q"] is None
