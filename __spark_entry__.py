@@ -2808,6 +2808,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "n_parts")
     q["q195_focal_tri"] = q195_focal_tri
 
+    def q196_directional_variogram(spark, sf):
+        # anisotropy diagnostic: EW vs NS semivariogram curves from
+        # the SAME blocked pair join (one integer comparison tags the
+        # direction); different sills by direction = anisotropic
+        # continuity (operators/spatial_stats.py)
+        from aef_mosaic_spark.operators.spatial_stats import (
+            semivariogram_directional)
+        pts = _pq(spark, sf, "orders").selectExpr(
+            "o_orderkey AS point_id",
+            "(o_orderkey * 7) % 3590 / 10e0 - 179.5e0 AS lon",
+            "(o_orderkey * 13) % 1690 / 10e0 - 84.5e0 AS lat",
+            "CAST(floor(o_totalprice) AS BIGINT) % 10000 AS v")
+        return semivariogram_directional(pts)
+    q["q196_directional_variogram"] = q196_directional_variogram
+
     return _driver_order(q)
 
 
@@ -4100,6 +4115,14 @@ def oracle_sql() -> dict[str, str]:
         gearys_c_sql, local_moran_sql, semivariogram_sql)
     o["q194_local_moran"] = local_moran_sql(POINT_SQL)
     o["q191_gearys_c"] = gearys_c_sql(POINT_SQL)
+    from aef_mosaic_spark.operators.spatial_stats import (
+        semivariogram_directional_sql)
+    o["q196_directional_variogram"] = semivariogram_directional_sql("""
+      SELECT o_orderkey AS point_id,
+             (o_orderkey * 7) % 3590 / 10e0 - 179.5e0 AS lon,
+             (o_orderkey * 13) % 1690 / 10e0 - 84.5e0 AS lat,
+             floor(o_totalprice)::BIGINT % 10000 AS v
+      FROM orders""")
     o["q192_semivariogram"] = semivariogram_sql("""
       SELECT o_orderkey AS point_id,
              (o_orderkey * 7) % 3590 / 10e0 - 179.5e0 AS lon,

@@ -860,3 +860,117 @@ def local_moran_sql(source_sql: str, cell_deg: int = GI_CELL_DEG,
                 WHEN dev >= 0 THEN 'HL' ELSE 'LH' END AS quadrant
     FROM z
     """
+
+
+def semivariogram_directional(points: DataFrame, value_col: str = "v",
+                              bins_mdeg=VARIOGRAM_BINS_MDEG,
+                              id_col: str = "point_id",
+                              lon_col: str = "lon",
+                              lat_col: str = "lat") -> DataFrame:
+    """Directional semivariogram -> (direction, r_lo_mdeg, r_hi_mdeg,
+    n_pairs, gamma_num, gamma_q) with direction = 'EW' when the pair
+    separation is closer to east-west (|dx| >= |dy|) else 'NS' — the
+    anisotropy diagnostic on top of q192: EW and NS curves that sill
+    at different ranges mean direction-dependent continuity (and an
+    isotropic interpolator like q134's IDW is leaving signal on the
+    table).  Same blocked join, same integer law; the direction tag
+    is one integer comparison on the exact dx/dy."""
+    rmax = max(bins_mdeg)
+    pts = (points.select(
+        F.col(id_col).alias("pid"),
+        F.col(value_col).cast("long").alias("v"),
+        F.expr(f"CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT)")
+        .alias("ix"),
+        F.expr(f"CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT)")
+        .alias("iy"))
+        .withColumn("bx", F.expr(f"CAST(floor(ix / {rmax}e0) AS BIGINT)"))
+        .withColumn("by", F.expr(f"CAST(floor(iy / {rmax}e0) AS BIGINT)"))
+        .localCheckpoint(eager=True))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    lhs = (pts.select(F.col("pid").alias("pa"), F.col("v").alias("va"),
+                      F.col("ix").alias("ax"), F.col("iy").alias("ay"),
+                      "bx", "by", off)
+           .select("pa", "va", "ax", "ay",
+                   (F.col("bx") + F.col("o.dx")).alias("bx"),
+                   (F.col("by") + F.col("o.dy")).alias("by")))
+    joined = (lhs.hint("shuffle_hash")
+              .join(pts.select(F.col("pid").alias("pb"),
+                               F.col("v").alias("vb"), "ix", "iy",
+                               "bx", "by"), ["bx", "by"])
+              .where(F.col("pa") != F.col("pb"))
+              .select(F.expr("CASE WHEN abs(ax - ix) >= abs(ay - iy)"
+                             " THEN 'EW' ELSE 'NS' END")
+                      .alias("direction"),
+                      F.expr("(ax - ix) * (ax - ix)"
+                             " + (ay - iy) * (ay - iy)").alias("d2"),
+                      F.expr("(va - vb) * (va - vb)").alias("dv2")))
+    lo = [0] + list(bins_mdeg[:-1])
+    arms = " ".join(
+        f"WHEN d2 > {l * l} AND d2 <= {h * h} THEN {h}"
+        for l, h in zip(lo, bins_mdeg))
+    lomap = {h: l for l, h in zip(lo, bins_mdeg)}
+    tagged = joined.withColumn(
+        "r_hi_mdeg", F.expr(f"CASE {arms} ELSE NULL END").cast("long")) \
+        .where(F.col("r_hi_mdeg").isNotNull())
+    lo_arms = " ".join(f"WHEN r_hi_mdeg = {h} THEN {l}"
+                       for h, l in lomap.items())
+    return (tagged
+            .groupBy("direction", "r_hi_mdeg")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum("dv2").cast("long").alias("gamma_num"))
+            .withColumn("r_lo_mdeg",
+                        F.expr(f"CASE {lo_arms} END").cast("long"))
+            .select("direction", "r_lo_mdeg", "r_hi_mdeg", "n_pairs",
+                    "gamma_num",
+                    F.expr("floor(CAST(gamma_num AS DOUBLE)"
+                           " / (2e0 * CAST(n_pairs AS DOUBLE)) * 1e6"
+                           " + 0.5e0) / 1e6").alias("gamma_q")))
+
+
+def semivariogram_directional_sql(source_sql: str, value_col: str = "v",
+                                  bins_mdeg=VARIOGRAM_BINS_MDEG,
+                                  id_col: str = "point_id",
+                                  lon_col: str = "lon",
+                                  lat_col: str = "lat") -> str:
+    rmax = max(bins_mdeg)
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    lo = [0] + list(bins_mdeg[:-1])
+    arms = " ".join(f"WHEN d2 > {l * l} AND d2 <= {h * h} THEN {h}"
+                    for l, h in zip(lo, bins_mdeg))
+    lo_arms = " ".join(f"WHEN r_hi_mdeg = {h} THEN {l}"
+                       for l, h in zip(lo, bins_mdeg))
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT {id_col} AS pid, CAST({value_col} AS BIGINT) AS v,
+             CAST(floor({lon_col} * 1e6 + 0.5e0) AS BIGINT) AS ix,
+             CAST(floor({lat_col} * 1e6 + 0.5e0) AS BIGINT) AS iy
+      FROM ({source_sql})),
+    blk AS MATERIALIZED (
+      SELECT *, CAST(floor(ix / {rmax}e0) AS BIGINT) AS bx,
+             CAST(floor(iy / {rmax}e0) AS BIGINT) AS by
+      FROM pts),
+    j AS (SELECT CASE WHEN abs(a.ix - b.ix) >= abs(a.iy - b.iy)
+                      THEN 'EW' ELSE 'NS' END AS direction,
+                 (a.ix - b.ix) * (a.ix - b.ix)
+                 + (a.iy - b.iy) * (a.iy - b.iy) AS d2,
+                 (a.v - b.v) * (a.v - b.v) AS dv2
+          FROM blk a
+          JOIN (VALUES {offs}) o(dx, dy) ON true
+          JOIN blk b ON b.bx = a.bx + o.dx AND b.by = a.by + o.dy
+           AND a.pid != b.pid),
+    tg AS (SELECT direction, dv2,
+                  (CASE {arms} ELSE NULL END)::BIGINT AS r_hi_mdeg
+           FROM j)
+    SELECT direction,
+           (CASE {lo_arms} END)::BIGINT AS r_lo_mdeg,
+           r_hi_mdeg, count(*)::BIGINT AS n_pairs,
+           sum(dv2)::BIGINT AS gamma_num,
+           floor(CAST(sum(dv2) AS DOUBLE)
+                 / (2e0 * CAST(count(*) AS DOUBLE)) * 1e6 + 0.5e0)
+           / 1e6 AS gamma_q
+    FROM tg WHERE r_hi_mdeg IS NOT NULL
+    GROUP BY direction, r_hi_mdeg
+    """

@@ -348,3 +348,33 @@ def test_local_moran_quadrants_and_golden(spark):
         _points_df(spark, cells2, x2), cell_deg=4).collect()}
     assert got2[(50, 50)]["quadrant"] == "isolate"
     assert got2[(50, 50)]["ii_q"] is None
+
+
+def test_directional_variogram_detects_anisotropy(spark):
+    from aef_mosaic_spark.operators.spatial_stats import (
+        semivariogram_directional)
+    rng = np.random.RandomState(23)
+    n = 400
+    lon = rng.uniform(-10, 10, n)
+    lat = rng.uniform(-10, 10, n)
+    # value varies with LON only -> EW pairs see big diffs, NS small
+    v = (lon * 500).astype(np.int64)
+    got = {(r["direction"], r["r_hi_mdeg"]): r
+           for r in semivariogram_directional(
+               spark.createDataFrame(pd.DataFrame(
+                   {"point_id": np.arange(n), "lon": lon, "lat": lat,
+                    "v": v}))).collect()}
+    for h in (500000, 1000000, 2000000):
+        assert got[("EW", h)]["gamma_q"] > 3 * got[("NS", h)]["gamma_q"]
+    # conservation vs the omnidirectional q192 law: per band, the
+    # EW + NS pair counts and numerators partition the total
+    from aef_mosaic_spark.operators.spatial_stats import semivariogram
+    omni = {r["r_hi_mdeg"]: r for r in semivariogram(
+        spark.createDataFrame(pd.DataFrame(
+            {"point_id": np.arange(n), "lon": lon, "lat": lat,
+             "v": v}))).collect()}
+    for h in (500000, 1000000, 2000000):
+        assert (got[("EW", h)]["n_pairs"] + got[("NS", h)]["n_pairs"]
+                == omni[h]["n_pairs"])
+        assert (got[("EW", h)]["gamma_num"] + got[("NS", h)]["gamma_num"]
+                == omni[h]["gamma_num"])
