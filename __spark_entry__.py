@@ -2823,6 +2823,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semivariogram_directional(pts)
     q["q196_directional_variogram"] = q196_directional_variogram
 
+    def q197_orientation_histogram(spark, sf):
+        # per-chunk 8-octant Sobel orientation histogram (the HOG
+        # building block): octants decided by integer sign/magnitude
+        # comparisons only — no atan2, bit-stable by construction
+        # (exhaustive partition-vs-angle-law test). Pinned fixture.
+        from aef_mosaic_spark.operators.focal import (
+            orientation_histogram)
+        images = generator.images_df(spark, 80)
+        grid = _flagship_grid()
+        chunks = M.mosaic(images, grid, mode="mean")
+        return orientation_histogram(chunks, grid)
+    q["q197_orientation_histogram"] = q197_orientation_histogram
+
     return _driver_order(q)
 
 
@@ -3855,7 +3868,8 @@ def oracle_sql() -> dict[str, str]:
                    "q172_histogram_match", "q175_otsu_mask",
                    "q176_sieve", "q184_basin_labels",
                    "q185_mask_agreement", "q190_texture_stats",
-                   "q193_raster_correlation", "q195_focal_tri"):
+                   "q193_raster_correlation", "q195_focal_tri",
+                   "q197_orientation_histogram"):
         o[_qname] = (f"SELECT * FROM read_parquet("
                      f"'{_FIXTURE_DIR}/golden_{_qname}.parquet')")
 

@@ -1431,3 +1431,81 @@ def raster_correlation(chunks_a: DataFrame, chunks_b: DataFrame,
                            " DOUBLE) / (sqrt(CAST(_va AS DOUBLE))"
                            " * sqrt(CAST(_vb AS DOUBLE))) * 1e6"
                            " + 0.5e0) / 1e6 END").alias("corr_q")))
+
+
+# ------------------------------------------------------------------ #
+# Gradient orientation histogram — the HOG building block             #
+# ------------------------------------------------------------------ #
+
+def orientation_histogram(chunks: DataFrame, grid: OutputGrid,
+                          band: int = 0,
+                          chunk_col: str = "chunk") -> DataFrame:
+    """Per-chunk 8-octant histogram of Sobel gradient orientations ->
+    (time_idx, row_idx, col_idx, n_edges, b0..b7, dominant): the HOG /
+    edge-direction descriptor at chunk granularity (texture
+    orientation, road/field-boundary alignment, pre-clustering
+    signatures for scene retrieval).
+
+    All-integer law: Sobel gx, gy over the zero-padded chunk (the
+    same 3x3 as op='grad', int32); pixels with gx = gy = 0 are flat
+    and excluded; the octant is decided PURELY by integer sign and
+    |gx| vs |gy| comparisons (half-open: the |gx| = |gy| diagonal
+    belongs to the steeper-y octant, zero components resolve by
+    sign), never by atan2 — no float anywhere, so cross-host
+    bit-stability by construction.  dominant = smallest octant index
+    among the maxima.  Intra-chunk padding only (per-chunk
+    descriptor, no halo — boundary convention documented)."""
+    import pandas as pd
+
+    nb, chh, chw = grid.num_bands, grid.chunk_h, grid.chunk_w
+
+    def _octant(gx, gy):
+        # octant k covers angle in [k*45, (k+1)*45) degrees (y-up);
+        # every (gx, gy) != (0, 0) matches exactly one rule (the
+        # k*45 boundaries resolve to octant k by construction)
+        ax, ay = np.abs(gx), np.abs(gy)
+        o = np.zeros(gx.shape, np.int8)
+        o = np.where((gx > 0) & (gy >= 0) & (ay < ax), 0, o)
+        o = np.where((gx > 0) & (gy > 0) & (ay >= ax), 1, o)
+        o = np.where((gx <= 0) & (gy > 0) & (ay > ax), 2, o)
+        o = np.where((gx < 0) & (gy > 0) & (ay <= ax), 3, o)
+        o = np.where((gx < 0) & (gy <= 0) & (ay < ax), 4, o)
+        o = np.where((gx < 0) & (gy < 0) & (ay >= ax), 5, o)
+        o = np.where((gx >= 0) & (gy < 0) & (ay > ax), 6, o)
+        o = np.where((gx > 0) & (gy < 0) & (ay <= ax), 7, o)
+        return o
+
+    def _emit(it):
+        for pdf in it:
+            rows = []
+            for ti, ri, ci, buf in zip(pdf["time_idx"], pdf["row_idx"],
+                                       pdf["col_idx"], pdf[chunk_col]):
+                arr = np.frombuffer(buf, np.uint8).reshape(
+                    nb, chh, chw)[band]
+                pad = np.zeros((1, chh + 2, chw + 2), np.uint8)
+                pad[0, 1:-1, 1:-1] = arr
+                p = pad.astype(np.int32)
+                tl, tc, tr = p[:, :-2, :-2], p[:, :-2, 1:-1], p[:, :-2, 2:]
+                ml, mr = p[:, 1:-1, :-2], p[:, 1:-1, 2:]
+                bl, bc, br = p[:, 2:, :-2], p[:, 2:, 1:-1], p[:, 2:, 2:]
+                gx = ((tr + 2 * mr + br) - (tl + 2 * ml + bl))[0]
+                # y-up: row index grows downward, so negate
+                gy = -((bl + 2 * bc + br) - (tl + 2 * tc + tr))[0]
+                live = (gx != 0) | (gy != 0)
+                o = _octant(gx, gy)[live]
+                h = np.bincount(o, minlength=8)
+                rows.append((int(ti), int(ri), int(ci),
+                             int(live.sum()), *[int(v) for v in h],
+                             int(np.argmax(h))))
+            yield pd.DataFrame(rows, columns=[
+                "time_idx", "row_idx", "col_idx", "n_edges",
+                *[f"b{k}" for k in range(8)], "dominant"])
+
+    tcol = (F.col("time_idx") if "time_idx" in chunks.columns
+            else F.lit(0)).cast("int").alias("time_idx")
+    src = chunks.select(tcol, "row_idx", "col_idx", chunk_col)
+    return src.mapInPandas(
+        _emit, schema="time_idx int, row_idx int, col_idx int, "
+                      "n_edges long, " +
+                      ", ".join(f"b{k} long" for k in range(8)) +
+                      ", dominant int")

@@ -34,7 +34,7 @@ PINNED = ["q30_mosaic_chunks", "q31_mosaic_last_on_top",
           "q172_histogram_match", "q175_otsu_mask", "q176_sieve",
           "q184_basin_labels", "q185_mask_agreement",
           "q190_texture_stats", "q193_raster_correlation",
-          "q195_focal_tri"]
+          "q195_focal_tri", "q197_orientation_histogram"]
 FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 

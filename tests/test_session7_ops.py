@@ -688,3 +688,39 @@ def test_raster_correlation_golden_and_extremes(spark, mgrid):
     assert got[(0, 1)]["corr_q"] < -0.99
     assert got[(0, 2)]["corr_q"] is None
     assert abs(got[(1, 1)]["corr_q"]) < 0.1
+
+
+def test_orientation_histogram_planted_gradients(spark, mgrid):
+    from aef_mosaic_spark.operators.focal import orientation_histogram
+    rows = []
+    for ri in range(NR):
+        for ci in range(NC):
+            arr = np.zeros((NB, CHH, CHW), np.uint8)
+            if ci == 0:
+                # brightness increases left->right: gx > 0, gy = 0
+                arr[0] = np.tile(np.arange(CHW, dtype=np.uint8) * 3,
+                                 (CHH, 1))
+            elif ci == 1:
+                # increases top->bottom: raster gy_down > 0 -> y-up
+                # gradient points SOUTH (octant 6)
+                arr[0] = np.tile((np.arange(CHH, dtype=np.uint8)
+                                  * 3)[:, None], (1, CHW))
+            else:
+                arr[0] = ((np.mgrid[0:CHH, 0:CHW][0] * 3
+                           + np.mgrid[0:CHH, 0:CHW][1] * 3) % 251
+                          ).astype(np.uint8)
+            rows.append({"time_idx": 0, "row_idx": ri, "col_idx": ci,
+                         "chunk": arr.tobytes()})
+    got = {(r.row_idx, r.col_idx): r for r in orientation_histogram(
+        spark.createDataFrame(pd.DataFrame(rows)), mgrid).collect()}
+    for ri in range(NR):
+        # interior of col-0 chunks: pure east gradient -> octant 0
+        r0 = got[(ri, 0)]
+        assert r0["dominant"] == 0 and r0["b0"] > r0["n_edges"] * 0.5
+        # col-1: brightness grows downward -> y-up gradient SOUTH
+        r1 = got[(ri, 1)]
+        assert r1["dominant"] == 6 and r1["b6"] > r1["n_edges"] * 0.5
+        # col-2: diagonal wave -> dominated by a diagonal octant
+        r2 = got[(ri, 2)]
+        assert r2["dominant"] in (5, 6, 7)
+        assert sum(r2[f"b{k}"] for k in range(8)) == r2["n_edges"]
