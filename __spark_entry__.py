@@ -2836,6 +2836,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return orientation_histogram(chunks, grid)
     q["q197_orientation_histogram"] = q197_orientation_histogram
 
+    def q198_threshold_episodes(spark, sf):
+        # gaps-and-islands episode detection under an integer value
+        # gate (the q120 sessionization plan with a state gate):
+        # alarm storms / exceedance spells per user
+        # (operators/sessions.py)
+        from aef_mosaic_spark.operators.sessions import (
+            threshold_episodes)
+        return threshold_episodes(_pq(spark, sf, "events"))
+    q["q198_threshold_episodes"] = q198_threshold_episodes
+
+    def q199_spend_hhi(spark, sf):
+        # Herfindahl concentration per nation: two exact BIGINTs, no
+        # rank/window — the cheap always-on monitor beside q189's
+        # Gini (functions/features.py)
+        from aef_mosaic_spark.functions.features import spend_hhi
+        o = _pq(spark, sf, "orders").join(
+            _pq(spark, sf, "customer").selectExpr(
+                "c_custkey AS o_custkey", "c_nationkey"),
+            "o_custkey")
+        return spend_hhi(o)
+    q["q199_spend_hhi"] = q199_spend_hhi
+
     return _driver_order(q)
 
 
@@ -4174,6 +4196,13 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.functions.features import (
         behavioral_entropy_sql, burstiness_sql, spend_gini_sql)
     o["q187_burstiness"] = burstiness_sql("events")
+    from aef_mosaic_spark.operators.sessions import (
+        threshold_episodes_sql)
+    o["q198_threshold_episodes"] = threshold_episodes_sql("events")
+    from aef_mosaic_spark.functions.features import spend_hhi_sql
+    o["q199_spend_hhi"] = spend_hhi_sql(
+        "SELECT o.*, c.c_nationkey FROM orders o"
+        " JOIN customer c ON o.o_custkey = c.c_custkey")
     o["q188_behavioral_entropy"] = behavioral_entropy_sql("events")
     o["q189_spend_gini"] = spend_gini_sql(
         "SELECT o.*, c.c_nationkey FROM orders o"

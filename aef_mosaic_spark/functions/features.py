@@ -346,3 +346,53 @@ def spend_gini_sql(orders_sql: str, group_col: str = "c_nationkey"
            AS gini_q
     FROM a
     """
+
+
+def spend_hhi(orders: DataFrame, group_col: str = "c_nationkey"
+              ) -> DataFrame:
+    """Herfindahl-Hirschman concentration of per-customer spend
+    within each group -> (group, n, sum_x, hhi_q): HHI = sum of
+    squared shares in [1/n, 1] — the antitrust-style "is demand
+    concentrated" metric beside q189's Gini (HHI weights the head,
+    Gini the whole curve).
+
+    Law: x = dollar-floor customer totals; HHI = sum(x^2) / S^2
+    computed from two exact BIGINTs, one quantized double at 1e6.
+    Bound: sum(x^2) <= S^2 < 2^63 for S < 3e9 dollars/group
+    (document larger groups by switching to kilo-dollar floors).
+
+    Scale shape: one groupBy to customer totals, one map-side
+    combinable group agg — no rank, no window (unlike Gini), so it
+    is the cheap always-on monitor of the pair."""
+    cust = (orders.groupBy(group_col, "o_custkey")
+            .agg(F.sum(F.expr("CAST(floor(o_totalprice) AS BIGINT)"))
+                 .cast("long").alias("x")))
+    return (cust.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("x").cast("long").alias("sum_x"),
+                 F.sum(F.expr("x * x")).cast("long").alias("_sxx"))
+            .where(F.col("sum_x") > 0)
+            .select(group_col, "n", "sum_x",
+                    F.expr("floor(CAST(_sxx AS DOUBLE)"
+                           " / (CAST(sum_x AS DOUBLE)"
+                           " * CAST(sum_x AS DOUBLE)) * 1e6 + 0.5e0)"
+                           " / 1e6").alias("hhi_q")))
+
+
+def spend_hhi_sql(orders_sql: str, group_col: str = "c_nationkey"
+                  ) -> str:
+    return f"""
+    WITH cust AS (
+      SELECT {group_col}, o_custkey,
+             sum(floor(o_totalprice)::BIGINT)::BIGINT AS x
+      FROM ({orders_sql}) GROUP BY 1, 2),
+    a AS (SELECT {group_col}, count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sum_x, sum(x * x)::BIGINT AS sxx
+          FROM cust GROUP BY 1
+          HAVING sum(x) > 0)
+    SELECT {group_col}, n, sum_x,
+           floor(CAST(sxx AS DOUBLE) / (CAST(sum_x AS DOUBLE)
+                 * CAST(sum_x AS DOUBLE)) * 1e6 + 0.5e0) / 1e6
+           AS hhi_q
+    FROM a
+    """

@@ -460,3 +460,83 @@ def markov_transitions_sql(table: str = "events") -> str:
            ((1000000 * m.n) // t.total)::BIGINT AS p_ppm
     FROM m JOIN t USING (from_type)
     """
+
+
+# ------------------------------------------------------------------ #
+# Threshold episodes — gaps-and-islands over a value gate             #
+# ------------------------------------------------------------------ #
+
+EPISODE_VCENTS = 40000
+
+
+def threshold_episodes(events: DataFrame, vcents: int = EPISODE_VCENTS,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       value_col: str = "value") -> DataFrame:
+    """Maximal runs of consecutive above-threshold events per key ->
+    (user_id, ep_start_es, n_events, dur_s, vmax_c): episode /
+    exceedance detection (alarm storms, fever spells, load spikes) —
+    the gaps-and-islands pattern under an integer value gate.
+
+    Law: state = (floor(value*100 + 0.5) >= vcents); island id = the
+    running count of state CHANGES in (es, id) order (lag + cumsum),
+    so consecutive above-gate events share an id; episodes keyed by
+    their first event's timestamp (deterministic).
+
+    Scale shape: one user exchange shared by the lag window, the
+    cumsum, and the episode groupBy — the q120 sessionization plan
+    with a value gate instead of a time gap."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(user_col).orderBy("es", id_col)
+    wrun = (Window.partitionBy(user_col).orderBy("es", id_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    e = (events
+         .withColumn("es", F.unix_timestamp(F.col(ts_col)))
+         .withColumn("vc", F.floor(F.col(value_col) * 100
+                                   + F.lit(0.5)).cast("long"))
+         .withColumn("st", (F.col("vc") >= vcents).cast("int")))
+    e = (e.withColumn("_chg", F.expr(
+            "CASE WHEN lag(st) OVER (PARTITION BY user_id"
+            " ORDER BY es, event_id) IS NULL THEN 1"
+            " WHEN lag(st) OVER (PARTITION BY user_id"
+            " ORDER BY es, event_id) != st THEN 1 ELSE 0 END"))
+         .withColumn("_run", F.sum("_chg").over(wrun)))
+    return (e.where(F.col("st") == 1)
+            .groupBy(user_col, "_run")
+            .agg(F.min("es").cast("long").alias("ep_start_es"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"),
+                 (F.max("es") - F.min("es")).cast("long")
+                 .alias("dur_s"),
+                 F.max("vc").cast("long").alias("vmax_c"))
+            .drop("_run")
+            .select(user_col, "ep_start_es", "n_events", "dur_s",
+                    "vmax_c"))
+
+
+def threshold_episodes_sql(table: str = "events",
+                           vcents: int = EPISODE_VCENTS) -> str:
+    return f"""
+    WITH e AS (SELECT user_id, event_id,
+                      floor(epoch(ts))::BIGINT AS es,
+                      floor(value * 100 + 0.5e0)::BIGINT AS vc
+               FROM {table}),
+    s AS (SELECT *, (vc >= {vcents})::INT AS st FROM e),
+    c AS (SELECT *,
+                 CASE WHEN lag(st) OVER w IS NULL THEN 1
+                      WHEN lag(st) OVER w != st THEN 1 ELSE 0 END
+                 AS chg
+          FROM s
+          WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                   ORDER BY es, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS run
+          FROM c)
+    SELECT user_id, min(es)::BIGINT AS ep_start_es,
+           count(*)::BIGINT AS n_events,
+           (max(es) - min(es))::BIGINT AS dur_s,
+           max(vc)::BIGINT AS vmax_c
+    FROM r WHERE st = 1
+    GROUP BY user_id, run
+    """

@@ -724,3 +724,37 @@ def test_orientation_histogram_planted_gradients(spark, mgrid):
         r2 = got[(ri, 2)]
         assert r2["dominant"] in (5, 6, 7)
         assert sum(r2[f"b{k}"] for k in range(8)) == r2["n_edges"]
+
+
+def test_threshold_episodes_islands(spark):
+    from aef_mosaic_spark.operators.sessions import threshold_episodes
+    # pattern: 3 above, 2 below, 1 above, 4 below, 2 above
+    vals = [500, 600, 550, 10, 20, 700, 5, 5, 5, 5, 450, 480]
+    got = sorted(
+        (r["ep_start_es"], r["n_events"], r["dur_s"], r["vmax_c"])
+        for r in threshold_episodes(
+            _series_df(spark, {1: [float(v) for v in vals]}),
+            vcents=40000).collect())
+    t0 = 1_700_000_000
+    assert got == [
+        (t0 + 0 * 60, 3, 120, 60000),
+        (t0 + 5 * 60, 1, 0, 70000),
+        (t0 + 10 * 60, 2, 60, 48000),
+    ]
+
+
+def test_spend_hhi_extremes(spark):
+    from aef_mosaic_spark.functions.features import spend_hhi
+    rows = []
+    for c in range(10):
+        rows.append((0, c, 100.0))                        # equal
+        rows.append((1, 100 + c, 9100.0 if c == 0 else 100.0))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["c_nationkey", "o_custkey", "o_totalprice"]))
+    got = {r["c_nationkey"]: r for r in spend_hhi(df).collect()}
+    assert got[0]["hhi_q"] == pytest.approx(0.1, abs=1e-9)   # 1/n
+    xs = [9100] + [100] * 9
+    exp = np.floor(sum(x * x for x in xs) / sum(xs) ** 2 * 1e6
+                   + 0.5) / 1e6
+    assert got[1]["hhi_q"] == pytest.approx(exp, abs=1e-9)
+    assert got[1]["hhi_q"] > 0.8
