@@ -2858,6 +2858,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spend_hhi(o)
     q["q199_spend_hhi"] = q199_spend_hhi
 
+    def q200_embedding_audit(spark, sf):
+        # embedding ingest gate per label: dims / collapsed vectors /
+        # norm drift; per-row BIGINT norm micro-units make every
+        # aggregate order-independent (sequential-fold parity = the
+        # q62 recipe) (functions/vectors.py)
+        from aef_mosaic_spark.functions.vectors import embedding_audit
+        return embedding_audit(_pq(spark, sf, "embeddings"))
+    q["q200_embedding_audit"] = q200_embedding_audit
+
     return _driver_order(q)
 
 
@@ -4199,6 +4208,8 @@ def oracle_sql() -> dict[str, str]:
     from aef_mosaic_spark.operators.sessions import (
         threshold_episodes_sql)
     o["q198_threshold_episodes"] = threshold_episodes_sql("events")
+    from aef_mosaic_spark.functions.vectors import embedding_audit_sql
+    o["q200_embedding_audit"] = embedding_audit_sql("embeddings")
     from aef_mosaic_spark.functions.features import spend_hhi_sql
     o["q199_spend_hhi"] = spend_hhi_sql(
         "SELECT o.*, c.c_nationkey FROM orders o"

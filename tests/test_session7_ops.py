@@ -758,3 +758,24 @@ def test_spend_hhi_extremes(spark):
                    + 0.5) / 1e6
     assert got[1]["hhi_q"] == pytest.approx(exp, abs=1e-9)
     assert got[1]["hhi_q"] > 0.8
+
+
+def test_embedding_audit_flags_bad_vectors(spark):
+    from aef_mosaic_spark.functions.vectors import embedding_audit
+    rows = [
+        ("a", [3.0, 4.0] + [0.0] * 62),       # norm 5
+        ("a", [0.0001] * 64),                  # collapsed -> subunit
+        ("a", [1.0, 0.0, 0.0]),                # wrong dim
+        ("b", [2.0] + [0.0] * 63),             # norm 2
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["label",
+                                                     "embedding"]))
+    got = {r["label"]: r for r in embedding_audit(df).collect()}
+    assert got["a"]["n_vecs"] == 3
+    assert got["a"]["n_bad_dim"] == 1
+    # only the collapsed vector: the wrong-dim one has norm exactly 1
+    # (nu == 1e6, not < 1e6)
+    assert got["a"]["n_subunit"] == 1
+    assert got["b"]["sum_norm_u"] == 2_000_000
+    assert got["b"]["avg_norm_u"] == 2_000_000
