@@ -2867,6 +2867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_audit(_pq(spark, sf, "embeddings"))
     q["q200_embedding_audit"] = q200_embedding_audit
 
+    def q201_daily_completeness(spark, sf):
+        # ingest-completeness monitor: corpus collapses to |days| in
+        # ONE groupBy, gap detection via lag over that tiny table
+        # (operators/anomaly.py)
+        from aef_mosaic_spark.operators.anomaly import daily_completeness
+        return daily_completeness(_pq(spark, sf, "events"))
+    q["q201_daily_completeness"] = q201_daily_completeness
+
     return _driver_order(q)
 
 
@@ -4143,8 +4151,10 @@ def oracle_sql() -> dict[str, str]:
                  f" FROM ({_diff_old}) WHERE o_orderkey % 53 = 0")
     o["q163_table_diff"] = table_diff_sql(_diff_old, _diff_new,
                                           ["o_orderkey"], ["price_c"])
-    from aef_mosaic_spark.operators.anomaly import acf_sql
+    from aef_mosaic_spark.operators.anomaly import (acf_sql,
+                                                    daily_completeness_sql)
     o["q169_acf"] = acf_sql("events")
+    o["q201_daily_completeness"] = daily_completeness_sql("events")
     from aef_mosaic_spark.operators.dedup import containment_pairs_sql
     o["q170_containment"] = containment_pairs_sql("""
       SELECT doc_id, text FROM documents

@@ -388,3 +388,41 @@ def acf_sql(table: str = "events", lags=ACF_LAGS) -> str:
     GROUP BY user_id, lag
     HAVING any_value(n) > lag + 1 AND sum(r * r) > 0
     """
+
+
+def daily_completeness(events: DataFrame, ts_col: str = "ts"
+                       ) -> DataFrame:
+    """Ingest-completeness audit -> one row per observed UTC day:
+    (day_idx, n_events, gap_before): day_idx = floor(epoch) div
+    86400; gap_before = days since the previous OBSERVED day (1 =
+    contiguous, k > 1 = k-1 missing days before this one, 0 for the
+    first day).  The "did yesterday's partition actually land"
+    monitor every scheduled pipeline needs.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    to |days| rows; the lag window then runs over that tiny table (a
+    single-task window over ~10^3-10^4 rows, not the corpus)."""
+    from pyspark.sql import Window
+
+    days = (events
+            .select(F.expr(f"CAST(unix_timestamp({ts_col}) AS BIGINT)"
+                           " div 86400").alias("day_idx"))
+            .groupBy("day_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    w = Window.orderBy("day_idx")
+    return days.withColumn(
+        "gap_before",
+        F.coalesce(F.col("day_idx") - F.lag("day_idx").over(w),
+                   F.lit(0)).cast("long"))
+
+
+def daily_completeness_sql(table: str = "events") -> str:
+    return f"""
+    WITH d AS (SELECT floor(epoch(ts))::BIGINT // 86400 AS day_idx,
+                      count(*)::BIGINT AS n_events
+               FROM {table} GROUP BY 1)
+    SELECT day_idx, n_events,
+           coalesce(day_idx - lag(day_idx) OVER (ORDER BY day_idx),
+                    0)::BIGINT AS gap_before
+    FROM d
+    """

@@ -779,3 +779,23 @@ def test_embedding_audit_flags_bad_vectors(spark):
     assert got["a"]["n_subunit"] == 1
     assert got["b"]["sum_norm_u"] == 2_000_000
     assert got["b"]["avg_norm_u"] == 2_000_000
+
+
+def test_daily_completeness_detects_gaps(spark):
+    from aef_mosaic_spark.operators.anomaly import daily_completeness
+    t0 = 1_700_000_000
+    day = t0 // 86400
+    # events on days d, d+1, d+4 (2-day hole)
+    rows = []
+    eid = 0
+    for off, n in ((0, 3), (1, 2), (4, 5)):
+        for j in range(n):
+            rows.append((eid, 1, pd.Timestamp((day + off) * 86400
+                                              + j * 100, unit="s"),
+                         1.0))
+            eid += 1
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "value"]))
+    got = sorted((r["day_idx"], r["n_events"], r["gap_before"])
+                 for r in daily_completeness(df).collect())
+    assert got == [(day, 3, 0), (day + 1, 2, 1), (day + 4, 5, 3)]
