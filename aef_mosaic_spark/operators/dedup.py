@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from aef_mosaic_spark.functions.hashes import h32_col, minhash_coeffs, minhash_col
 from aef_mosaic_spark.functions.text import fingerprint_col
+from aef_mosaic_spark.partitioning import spread_fanout, spread_input
 
 
 def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -50,15 +51,27 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str,
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        k: int = 16) -> DataFrame:
     """-> (id, mh0..mh{k-1}) MinHash signature columns over distinct
-    word tokens (shingle=1 word; Broder resemblance sketch)."""
-    toks = distinct_tokens(df, id_col, text_col).withColumn(
-        "h", h32_col(F.col("token"))
-    )
-    aggs = [
-        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+    word tokens (shingle=1 word; Broder resemblance sketch).
+
+    ZERO-shuffle formulation (r6): the per-doc distinct token set is
+    an array_distinct projection and each signature min is an
+    array_min over a transform of the per-token h32 column — all
+    map-side, so the old explode -> distinct -> groupBy pair of
+    exchanges over the full token stream is gone (plan: 2 Exchange ->
+    0 before banding). Values are identical: min over the same
+    distinct token set, same (a,b) permutations. The token-hash array
+    materializes as its own projected column first (no-CSE-in-lambdas
+    law — inlined, the md5 would re-run once per permutation)."""
+    ts = token_sets(spread_input(df, id_col), id_col, text_col) \
+        .where(F.col("n") > 0)
+    hs = ts.select(F.col(id_col),
+                   F.transform("tokens", lambda t: h32_col(t)).alias("_h32"))
+    mhs = [
+        F.array_min(F.transform("_h32", lambda h: minhash_col(h, a, b)))
+        .alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_coeffs(k))
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return hs.select(F.col(id_col), *mhs)
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -209,11 +222,88 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     but the right plan at extreme scale, where candidate pairs >>
     corpus and the token-set table no longer broadcasts: its shuffle
     volume is bands x corpus, independent of the pair count.
-    Tested output-identical to the two-phase path."""
+    Tested output-identical to the two-phase path.
+
+    r6 plan shape (two-phase default): ONE per-doc base table —
+    (id, hashes, n, mh0..mh{k-1}), all map-side array expressions —
+    is lazily localCheckpointed and feeds all four consumers (the two
+    banded self-join sides and the two verify sides), so the corpus
+    is scanned + tokenized + md5-hashed exactly ONCE instead of four
+    times (Catalyst does not reuse multi-consumer subtrees — the
+    scan-audit law). The checkpoint is O(docs) compact rows (token
+    hashes + k longs), the same per-doc state the fused variant
+    shuffles; it spills via MEMORY_AND_DISK storage at scale."""
     if not fused:
-        cand = minhash_candidate_pairs(df, id_col, text_col, k, bands)
-        return jaccard_pairs(df, id_col, text_col, threshold, candidates=cand,
-                             verify_broadcast=verify_broadcast)
+        rows = k // bands
+        base = token_sets(spread_input(df, id_col), id_col, text_col) \
+            .where(F.col("n") > 0) \
+            .withColumn("_h32", F.transform("tokens", lambda t: h32_col(t)))
+        mhs = [
+            F.array_min(F.transform("_h32", lambda h: minhash_col(h, a, b)))
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(k))
+        ]
+        base = base.select(
+            F.col(id_col),
+            F.transform("tokens", lambda t: F.xxhash64(t)).alias("hashes"),
+            F.col("n"), *mhs,
+        ).localCheckpoint(eager=False)
+        bv = [
+            F.concat_ws(":", *[F.col(f"mh{bi * rows + j}") for j in range(rows)])
+            .alias(f"bv{bi}")
+            for bi in range(bands)
+        ]
+        sigs = base.select(F.col(id_col), *bv)
+        banded = sigs.withColumn(
+            "band_idx", F.explode(F.array(*[F.lit(i) for i in range(bands)]))
+        ).withColumn(
+            "band_val",
+            F.element_at(F.array(*[F.col(f"bv{i}") for i in range(bands)]),
+                         F.col("band_idx") + 1),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        # canonical-band dedup (same as minhash_candidate_pairs): a pair
+        # is emitted only at its FIRST matching band
+        first_match = F.lit(True)
+        for j in range(bands - 1):
+            first_match = first_match & (
+                (F.col("a.band_idx") <= j)
+                | (F.col(f"a.bv{j}") != F.col(f"b.bv{j}"))
+            )
+        cand = (
+            a.join(b, ["band_idx", "band_val"])
+            .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & first_match)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+        )
+        ta = base.select(F.col(id_col).alias("id_a"),
+                         F.col("hashes").alias("_ta"),
+                         F.col("n").alias("na"))
+        tb = base.select(F.col(id_col).alias("id_b"),
+                         F.col("hashes").alias("_tb"),
+                         F.col("n").alias("nb"))
+        if verify_broadcast is None:
+            ids = (cand.select(F.col("id_a").alias(id_col))
+                   .union(cand.select(F.col("id_b").alias(id_col))))
+            ta = ta.join(ids.withColumnRenamed(id_col, "id_a"),
+                         "id_a", "left_semi")
+            tb = tb.join(ids.withColumnRenamed(id_col, "id_b"),
+                         "id_b", "left_semi")
+        elif verify_broadcast:
+            ta, tb = F.broadcast(ta), F.broadcast(tb)
+        return (
+            cand.join(ta, "id_a").join(tb, "id_b")
+            # exact length prefilter (Arasu/Bayardo): J <= min/max
+            .where(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
+            .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("na") + F.col("nb") - F.col("inter")),
+                                6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     rows = k // bands
     toks = distinct_tokens(df, id_col, text_col).withColumn(
         "h", h32_col(F.col("token"))
@@ -315,8 +405,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rows (one per bit, all JVM expressions with map-side combine), so
     the shuffle carries 64 longs PER DOCUMENT instead of 64 rows PER
     TOKEN (~64x less shuffle input than the exploded variant below at
-    typical ~1k-token documents; same output bit-for-bit)."""
-    toks = _with_h64(distinct_tokens(df, id_col, text_col))
+    typical ~1k-token documents; same output bit-for-bit).
+
+    r6: per-doc distinct tokens come from the map-side array_distinct
+    projection (token_sets) instead of a global distinct() — drops a
+    full-token-stream exchange from the plan (2 Exchange -> 1); rows
+    feeding the vote aggregation are identical for unique-id inputs
+    (every declared corpus)."""
+    toks = _with_h64(
+        token_sets(spread_input(df, id_col), id_col, text_col)
+        .select(F.col(id_col), F.explode("tokens").alias("token")))
     votes = toks.groupBy(id_col).agg(*[
         F.sum(F.when(F.expr(f"shiftrightunsigned(h64, {b}) & 1") == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
@@ -361,10 +459,24 @@ def hamming_near_duplicates(df: DataFrame, id_col: str, hash_col: str,
     image phash, audio fingerprint): band into 64/n_bands-bit keys
     (complete recall for hamming < n_bands; good above), equi-join on
     (band_idx, band_val) — never a crossJoin — verify exact
-    Hamming <= max_hamming. -> (id_a, id_b, hamming)."""
+    Hamming <= max_hamming. -> (id_a, id_b, hamming).
+
+    Canonical-band dedup (r6, VERDICT r5 #3): a pair is emitted only
+    at its FIRST agreeing band — every earlier band of h_a XOR h_b
+    must be nonzero — exactly one row per candidate pair by
+    construction, replacing the old O(candidate-pairs) ``distinct()``
+    shuffle over the multiply-matched join output (a near-identical
+    pair matches on every band). Both sides carry the full 64-bit
+    hash, so the earlier-band comparison is exact (same pattern as
+    minhash_candidate_pairs / embedding_near_duplicates)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    banded = df.select(F.col(id_col), F.col(hash_col).alias("_h")) \
+    # spread_fanout: the (id, hash) table is thin but the band-bucket
+    # self-join multiplies rows by the bucket sizes; without an
+    # explicit partition count AQE coalesces the tiny pre-join bytes
+    # to 1-2 partitions and the fan-out runs on 1-2 cores
+    banded = spread_fanout(
+        df.select(F.col(id_col), F.col(hash_col).alias("_h")), id_col) \
         .withColumn(
         "band_idx", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
     ).withColumn(
@@ -373,13 +485,19 @@ def hamming_near_duplicates(df: DataFrame, id_col: str, hash_col: str,
                f" & {mask}"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # column-valued shift counts need the SQL form (Column-API shifts
+    # take literal counts only — repo law)
+    first_match = F.expr(
+        f"band_idx = 0 OR forall(sequence(0, band_idx - 1), "
+        f"j -> (shiftrightunsigned(a._h ^ b._h, CAST(j * {width} AS INT))"
+        f" & {mask}) != 0)"
+    )
     return (
         a.join(b, ["band_idx", "band_val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & first_match)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
                 F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
                 .cast("int").alias("hamming"))
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -430,10 +548,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     # partitions is skewed at scale — measured 957 s vs 557 s at a 4x
     # corpus when checkpointed as-is) and (b) pre-aligns the
     # rep-groupBy and rewrite-join on src
-    sym0 = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
+    # pinned_shuffle (r6): the bare repartition("src") was
+    # AQE-coalescible — a few-MB edge table folded to 1-2 partitions
+    # and every loop iteration ran on 1-2 cores
+    from aef_mosaic_spark.partitioning import pinned_shuffle
+
+    sym0 = pinned_shuffle(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"),
-                            F.col("id_a").alias("dst"))) \
-        .repartition("src").localCheckpoint()
+                            F.col("id_a").alias("dst"))), "src") \
+        .localCheckpoint()
     rep = (nodes.join(
         sym0.groupBy("src").agg(F.min("dst").alias("_n"))
             .select(F.col("src").alias("id"),
@@ -642,7 +766,11 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     width = n_planes // n_bands
     mask = (1 << width) - 1
     planes = make_planes(dim, n_planes)
-    sigs = df.select(
+    # spread_input: parallelize the n_planes dot products over the
+    # session's cores (a single-file scan otherwise runs them on one
+    # task); the explicit-N spread also keeps the band-bucket fan-out
+    # join off the 1-2 AQE-coalesced partitions
+    sigs = spread_input(df, id_col).select(
         F.col(id_col), F.col(vec_col).alias("_v"),
         lsh_signature(F.col(vec_col), planes).alias("_sig"),
     )

@@ -40,8 +40,21 @@ DSIR_BUCKETS = 512
 def _grams_col(text):
     """Unigrams + bigrams of whitespace tokens (lowercased). Guard the
     bigram sequence: Spark's sequence(1, 0) steps BACKWARD, so a
-    one-token doc must take the empty-array branch explicitly."""
-    w = F.split(F.lower(F.trim(text)), r"\s+")
+    one-token doc must take the empty-array branch explicitly.
+
+    NOTE (perf): prefer ``_grams_from_tokens`` over a MATERIALIZED
+    token-array column — Spark does no common-subexpression
+    elimination inside lambda functions, so inlining the split here
+    re-evaluates the whole-regex split per bigram element (O(L^2)
+    splits per doc; the repo-wide no-CSE-in-lambdas law)."""
+    return _grams_from_tokens(F.split(F.lower(F.trim(text)), r"\s+"))
+
+
+def _grams_from_tokens(w):
+    """Unigram+bigram array from a token-array column/expression.
+    Callers on a hot path must pass a *projected column* (two-step
+    select) so the tokenization is evaluated once per row, not once
+    per lambda element."""
     bigrams = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -61,10 +74,21 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     the rest. weight > 0 means the doc's hashed-ngram profile is more
     target-like than source-like."""
     b = int(n_buckets)
-    grams = df.select(
+    # two-step select: the token array materializes as its own column
+    # BEFORE the bigram transform references it (no-CSE-in-lambdas law
+    # — inlined, the regex split re-runs per bigram element, O(L^2)
+    # splits per doc; this fix alone took the q103 noop path
+    # 8.18 -> 1.87 s at sf0.1, BENCH §11a)
+    from aef_mosaic_spark.partitioning import spread_input
+
+    toks = spread_input(df, id_col).select(
         F.col(id_col),
         (F.col(target_col) == target_value).cast("int").alias("_is_t"),
-        F.explode(_grams_col(F.col(text_col))).alias("_gram"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    grams = toks.select(
+        F.col(id_col), F.col("_is_t"),
+        F.explode(_grams_from_tokens(F.col("_w"))).alias("_gram"),
     ).withColumn(
         "_bucket",
         F.pmod(h32_col(F.concat(F.lit(f"{salt}:"), F.col("_gram"))),

@@ -496,11 +496,15 @@ def threshold_episodes(events: DataFrame, vcents: int = EPISODE_VCENTS,
          .withColumn("vc", F.floor(F.col(value_col) * 100
                                    + F.lit(0.5)).cast("long"))
          .withColumn("st", (F.col("vc") >= vcents).cast("int")))
-    e = (e.withColumn("_chg", F.expr(
-            "CASE WHEN lag(st) OVER (PARTITION BY user_id"
-            " ORDER BY es, event_id) IS NULL THEN 1"
-            " WHEN lag(st) OVER (PARTITION BY user_id"
-            " ORDER BY es, event_id) != st THEN 1 ELSE 0 END"))
+    # change flag from the PARAMETERIZED window (ADVICE r5 #1: the
+    # old F.expr hardcoded user_id/event_id, so non-default column
+    # names either failed to resolve or silently keyed on a stray
+    # user_id column); same plan for the default names
+    prev = F.lag("st").over(wo)
+    e = (e.withColumn(
+            "_chg",
+            F.when(prev.isNull() | (prev != F.col("st")), F.lit(1))
+            .otherwise(F.lit(0)))
          .withColumn("_run", F.sum("_chg").over(wrun)))
     return (e.where(F.col("st") == 1)
             .groupBy(user_col, "_run")
