@@ -239,14 +239,23 @@ def winnow_grams_col(text: Column, k: int = 8) -> Column:
     winnow_mins_col consumes it: Spark does no common-subexpression
     elimination inside lambda functions, so inlining this under the
     per-window slice re-hashes the whole document per window position
-    (O(n^2) md5 calls — measured 174 s vs 4 s on the gate corpus)."""
+    (O(n^2) md5 calls — measured 174 s vs 4 s on the gate corpus).
+
+    r6: the normalized text is bound ONCE per row through a 1-element
+    array lambda variable — inlined, lower(trim(text)) itself re-ran
+    per gram position (O(L^2) character work; the same no-CSE-in-
+    lambdas law one level down). Values unchanged."""
     norm = F.lower(F.trim(text))
-    n = F.length(norm)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k)), 1, 8),
-                         16, 10).cast("long"),
-    )
+
+    def _grams(nm):
+        n = F.length(nm)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.conv(F.substring(F.md5(F.substring(nm, i, k)), 1, 8),
+                             16, 10).cast("long"),
+        )
+
+    return F.element_at(F.transform(F.array(norm), _grams), 1)
 
 
 def winnow_mins_col(grams: Column, w: int = 4) -> Column:

@@ -155,8 +155,18 @@ def images_df(spark, n: int):
             yield images_pdf(n, pdf["id"].to_numpy())
 
     # ~512 tiles (~1.5 s) per task: large enough to amortize task +
-    # Arrow overhead, small enough to load-balance 1024 ways at scale
+    # Arrow overhead, small enough to load-balance 1024 ways at scale.
+    # r6: floor the task count at 2x the session's cores (scale-
+    # adaptive, not a constant) — the old n//512 heuristic gave a
+    # 4800-tile bench run only 10 tasks on 32 cores, serializing the
+    # generation kernel to a third of the machine. A >=64-tiles-per-
+    # task ceiling keeps tiny jobs from paying python-worker spin-up
+    # per near-empty task (the 300-tile CLI probe regressed without
+    # it).
+    dp = spark.sparkContext.defaultParallelism
+    target = max(min(1024, n // 512 + 1), dp * 2)
+    parts = max(2, min(1024, target, n // 64 + 1))
     return (
-        spark.range(0, n, 1, numPartitions=max(2, min(1024, n // 512 + 1)))
+        spark.range(0, n, 1, numPartitions=parts)
         .mapInPandas(gen, schema=IMAGE_SCHEMA)
     )

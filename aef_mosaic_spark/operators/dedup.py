@@ -359,7 +359,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 2,
                         threshold: float = 0.3) -> DataFrame:
     """Word n-gram (shingle) Jaccard: grams built JVM-side with
     transform over index sequences; then the same equi-join reduction."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # two-step select (r6): the token array materializes as its own
+    # column before the gram lambda references it — inlined, the regex
+    # split re-runs per gram element (no-CSE-in-lambdas law, O(L^2))
+    tdf = df.select(F.col(id_col),
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                    .alias("_toks"))
+    toks = F.col("_toks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) ),
@@ -367,7 +373,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 2,
                                          for j in range(n)]),
         )
     )
-    gdf = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    gdf = tdf.select(F.col(id_col), F.explode(grams).alias("gram"))
     sizes = gdf.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = gdf.alias("a"), gdf.alias("b")
     inter = (
@@ -951,7 +957,12 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     intersections; the filtered gram table is localCheckpointed (3
     consumers — the scan-audit law).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # two-step select (r6): materialize the token array first — the
+    # inlined split re-ran per gram element (no-CSE-in-lambdas law)
+    tdf = df.select(F.col(id_col),
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                    .alias("_toks"))
+    toks = F.col("_toks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -960,7 +971,7 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                                          for j in range(n)]),
         )
     )
-    gdf = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    gdf = tdf.select(F.col(id_col), F.explode(grams).alias("gram"))
     w = Window.partitionBy("gram")
     rare = (gdf.withColumn("dfreq", F.count(F.lit(1)).over(w))
             .where(F.col("dfreq") <= max_df)

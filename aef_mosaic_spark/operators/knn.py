@@ -88,8 +88,13 @@ def knn_cosine_exact(queries: DataFrame, items: DataFrame, k: int,
                      vec: str = "embedding") -> DataFrame:
     """Brute-force cosine top-k, broadcast queries (the correctness
     baseline; linear in |items|, embarrassingly parallel)."""
+    from aef_mosaic_spark.partitioning import spread_input
+
     q = queries.select(F.col(q_id), F.col(vec).alias("_qv"))
-    i = items.select(F.col(i_id), F.col(vec).alias("_iv"))
+    # spread_input (r6): the per-pair cosine runs on the items-scan
+    # partitioning — a single-file scan serializes |q| x |items|
+    # lambda evaluations onto one core; no-op at real scale
+    i = spread_input(items, i_id).select(F.col(i_id), F.col(vec).alias("_iv"))
     pairs = F.broadcast(q).crossJoin(i).where(F.col(q_id) != F.col(i_id))
     pairs = pairs.withColumn(
         "sim", F.round(cosine_sim(F.col("_qv"), F.col("_iv")), 6)
@@ -234,7 +239,11 @@ def ann_cosine_lsh(queries: DataFrame, items: DataFrame, k: int, dim: int,
         "_probe",
         F.explode(F.array(*[F.lit(m).cast("long") for m in masks])),
     ).withColumn("_sig", F.col("_qsig").bitwiseXOR(F.col("_probe")))
-    i = items.select(
+    from aef_mosaic_spark.partitioning import spread_input
+
+    # spread_input (r6): n_planes dot products per item on a
+    # single-file scan otherwise run on one task; no-op at scale
+    i = spread_input(items, i_id).select(
         F.col(i_id), F.col(vec).alias("_iv"),
         lsh_signature(F.col(vec), planes).alias("_sig"),
     )

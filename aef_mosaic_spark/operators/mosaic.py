@@ -425,6 +425,13 @@ def composite_chunks(patches: DataFrame, grid: OutputGrid, mode: str = "mean") -
             "valid_px": valid, "bands": nb, "chunk_h": chh, "chunk_w": chw,
         }])
 
+    # NOTE (r6): pinning the group exchange at the configured shuffle
+    # partition count was tried and REVERTED — no bench gain (the
+    # AQE-coalesced compositor was not the bottleneck at sf0.1) and a
+    # 3.2 s -> 9.0 s wall regression on the small CLI job (dozens of
+    # cold python-worker spin-ups for a 31-chunk output). AQE's
+    # byte-based coalescing is the right default here because the
+    # per-group python work tracks patch bytes closely.
     return patches.groupBy("time_idx", "row_idx", "col_idx").applyInPandas(
         _fin, schema=CHUNK_SCHEMA
     )
@@ -950,8 +957,16 @@ def tiles_to_patches(images: DataFrame, grid: OutputGrid,
                 columns=["time_idx", "row_idx", "col_idx", "y0", "x0", "ph", "pw",
                          "patch", "mask", "sort_key", "weight", "image_id"])
 
-    return wgs84_prefilter(images, grid, row_range=row_range).mapInPandas(
-        _gen, schema=PATCH_SCHEMA)
+    # spread_input (r6): a small bin-packed parquet scan (150 MB of
+    # tile rows -> 2 splits at the 128 MB target) serializes the
+    # decode+reproject kernel onto 2 cores; the conditional spread is
+    # a no-op at real scale where the scan has thousands of splits.
+    # Applied AFTER the prefilter so only surviving tiles shuffle.
+    from aef_mosaic_spark.partitioning import spread_input
+
+    return spread_input(
+        wgs84_prefilter(images, grid, row_range=row_range), "image_id"
+    ).mapInPandas(_gen, schema=PATCH_SCHEMA)
 
 
 def mosaic(images: DataFrame, grid: OutputGrid, mode: str = "mean",
