@@ -556,13 +556,18 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     # rep-groupBy and rewrite-join on src
     # pinned_shuffle (r6): the bare repartition("src") was
     # AQE-coalescible — a few-MB edge table folded to 1-2 partitions
-    # and every loop iteration ran on 1-2 cores
+    # and every loop iteration ran on 1-2 cores.
+    # explode instead of union (r6): union(edges, edges.swapped)
+    # executed the ENTIRE upstream pair pipeline twice in the sym0
+    # job (Catalyst does not reuse the duplicated subtree — scan-audit
+    # law); the explode emits both orientations from one pass.
     from aef_mosaic_spark.partitioning import pinned_shuffle
 
     sym0 = pinned_shuffle(
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"),
-                            F.col("id_a").alias("dst"))), "src") \
+        edges.select(F.explode(F.array(
+            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+        )).alias("_e")).select("_e.src", "_e.dst"), "src") \
         .localCheckpoint()
     rep = (nodes.join(
         sym0.groupBy("src").agg(F.min("dst").alias("_n"))
@@ -577,6 +582,44 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
            .select(F.col("_s2").alias("src"), F.col("_d2").alias("dst"))
            .where(F.col("src") != F.col("dst"))
            .distinct().localCheckpoint())
+    # small-residual fast path (r6): after pre-contraction a clique-
+    # shaped near-dup graph leaves a few-thousand-edge residual, but
+    # the distributed loop still pays ~2 fixed-latency jobs per
+    # iteration. A BOUNDED driver finish (cap = 100k edges ~ 1.6 MB
+    # through Arrow, the same bounded-collect class as the codebook /
+    # probe-list collects) runs exact min-label union-find locally and
+    # broadcasts the labels back; above the cap — chain graphs, real
+    # scale — the distributed loop below runs unchanged. Output is
+    # identical either way (min id per component, any algorithm).
+    resid = sym.count()
+    if not doubling and resid <= 100_000:
+        if resid == 0:
+            return rep.select("id", F.col("rep").alias("cluster_id"))
+        import pandas as pd
+
+        le = sym.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(le["src"].tolist(), le["dst"].tolist()):
+            rs_, rd_ = find(s), find(d)
+            if rs_ != rd_:
+                parent[max(rs_, rd_)] = min(rs_, rd_)
+        touched = set(le["src"].tolist()) | set(le["dst"].tolist())
+        lbl = {v: find(v) for v in touched}
+        small = edges.sparkSession.createDataFrame(
+            pd.DataFrame({"rep": list(lbl.keys()),
+                          "_lbl": list(lbl.values())}))
+        return (rep.join(F.broadcast(small), "rep", "left")
+                .select("id", F.coalesce("_lbl", F.col("rep"))
+                        .alias("cluster_id")))
     labels = rep.select(F.col("rep").alias("id")).distinct() \
         .select(F.col("id"), F.col("id").alias("label")) \
         .localCheckpoint()
