@@ -518,6 +518,12 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                                    max_hamming=max_hamming, n_bands=n_bands)
 
 
+# Residual-edge bound for the driver-side union-find finish in
+# connected_components: 100k edges ~ 1.6 MB through Arrow (bounded
+# collect). Module constant so tests can force the distributed loop.
+CC_DRIVER_RESIDUAL_CAP = 100_000
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          max_iter: int = 20,
                          doubling: bool = False) -> DataFrame:
@@ -592,7 +598,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     # scale — the distributed loop below runs unchanged. Output is
     # identical either way (min id per component, any algorithm).
     resid = sym.count()
-    if not doubling and resid <= 100_000:
+    if not doubling and resid <= CC_DRIVER_RESIDUAL_CAP:
         if resid == 0:
             return rep.select("id", F.col("rep").alias("cluster_id"))
         import pandas as pd

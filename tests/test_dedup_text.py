@@ -613,3 +613,29 @@ def test_bloom_decontamination_superset_and_mergeable(spark):
               .agg(F.expr("bit_or(val)").alias("val")).collect()}
     whole = {r.reg: r.val for r in regs.collect()}
     assert merged == whole
+
+
+def test_connected_components_driver_finish_equals_loop(spark, monkeypatch):
+    """r6: small residuals finish with a driver-side union-find; the
+    distributed loop must produce the IDENTICAL labeling. Force the
+    loop by zeroing the residual cap and compare on a graph whose
+    post-contraction residual is non-trivial (two cliques bridged by
+    a path through their non-min members)."""
+    from aef_mosaic_spark.operators import dedup as D
+
+    edges = [(1, 2), (1, 3), (2, 3),          # clique A (min 1)
+             (10, 11), (10, 12), (11, 12),    # clique B (min 10)
+             (3, 50), (50, 11),               # bridge A-B via path
+             (70, 71), (90, 91), (91, 92)]
+    nodes = sorted({n for e in edges for n in e} | {100, 101})
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+
+    fast = {r.id: r.cluster_id
+            for r in D.connected_components(edf, ndf).collect()}
+    monkeypatch.setattr(D, "CC_DRIVER_RESIDUAL_CAP", -1)
+    loop = {r.id: r.cluster_id
+            for r in D.connected_components(edf, ndf).collect()}
+    assert fast == loop
+    assert fast[12] == 1 and fast[50] == 1      # bridged into min 1
+    assert fast[92] == 90 and fast[100] == 100  # separate + singleton

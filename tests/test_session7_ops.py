@@ -799,3 +799,22 @@ def test_daily_completeness_detects_gaps(spark):
     got = sorted((r["day_idx"], r["n_events"], r["gap_before"])
                  for r in daily_completeness(df).collect())
     assert got == [(day, 3, 0), (day + 1, 2, 1), (day + 4, 5, 3)]
+
+
+def test_threshold_episodes_nondefault_columns(spark):
+    """ADVICE r5 #1: the change flag must come from the parameterized
+    window — non-default column names used to raise (or silently key
+    on a stray user_id column)."""
+    from aef_mosaic_spark.operators.sessions import threshold_episodes
+    import pandas as pd
+
+    t0 = 1_700_000_000
+    vals = [500, 600, 10, 700]
+    rows = [{"uid": 7, "eid": i, "when": pd.Timestamp(t0 + i * 60, unit="s"),
+             "metric": float(v)} for i, v in enumerate(vals)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = sorted((r["ep_start_es"], r["n_events"], r["vmax_c"])
+                 for r in threshold_episodes(
+                     df, vcents=40000, user_col="uid", ts_col="when",
+                     id_col="eid", value_col="metric").collect())
+    assert got == [(t0, 2, 60000), (t0 + 3 * 60, 1, 70000)]
